@@ -1,0 +1,55 @@
+"""Static render configuration.
+
+The reference routes all configuration through a UBO + RenderFlags bitmask
+read dynamically by shaders (SURVEY §5.6). TPU-native we split:
+
+* ``RenderSettings`` — *static*, hashable: anything that changes the traced
+  program structure (resolution, which passes exist, SVGF iteration count,
+  kernel backend). It is the jit cache key — the analog of the reference's
+  PipelineManager name+spec-constant pipeline cache (PipelineManager.cpp:89-103).
+* ``FrameParams`` (graph/passes.py) — *traced*: camera matrices, sun light,
+  exposure, svgf alpha/phi, frame counter. Changing these never recompiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from .types import DisplayMode, RenderFlags, RenderPathType
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    width: int = 512
+    height: int = 512
+    path: RenderPathType = RenderPathType.FORWARD
+    flags: RenderFlags = RenderFlags.LIGHT | RenderFlags.IBL
+    display_mode: DisplayMode = DisplayMode.FINAL
+
+    # SVGF structure (SVGFPass.h:82-101: Config{atrousIterations=3, ...})
+    svgf_atrous_iterations: int = 3
+
+    # Raster kernel selection: "jnp" reference or "pallas" tiled kernel.
+    raster_backend: str = "auto"
+    trace_backend: str = "auto"
+
+    # Raster tiling (pallas path)
+    tile_h: int = 8
+    tile_w: int = 128
+    max_tris_per_tile: int = 512
+
+    # Ray tracing
+    bvh_leaf_size: int = 4
+    ao_radius: float = 10.0  # rt_shadow.rgen:96 traces AO rays to 10 units
+
+    # Reflection roughness cutoff (reflection.rgen:55-63)
+    reflection_roughness_cutoff: float = 0.6
+
+    def has(self, flag: RenderFlags) -> bool:
+        return bool(self.flags & flag)
+
+    def replace(self, **kw) -> "RenderSettings":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def resolution(self):
+        return (self.height, self.width)

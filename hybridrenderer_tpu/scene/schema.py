@@ -1,0 +1,249 @@
+"""Scene data schemas — the GPU-side scene state, as JAX pytrees.
+
+TPU-native counterpart of the reference's bindless scene descriptor set
+(ResourceManager.cpp:244-299): materials SSBO, instances SSBO, texture
+array, lights + light CDF SSBOs, TLAS. Here each is a plain struct-of-
+arrays pytree; "bindless" access is array indexing; the TLAS is replaced
+by an LBVH built in ``ops/bvh.py`` over the flattened world-space
+triangle soup.
+
+Field layouts mirror ShaderCommon.h:
+  * MaterialTable  ← GpuMaterial   (ShaderCommon.h:119-139)
+  * InstanceTable  ← GpuInstance   (ShaderCommon.h:149-165), with buffer
+    device addresses replaced by (vertex_offset, index_offset) into the
+    global concatenated vertex/index arrays.
+  * LightTable     ← GpuLight + lightsCDF (ShaderCommon.h:191-197,
+    LightManager.cpp:21-124)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import INVALID_ID, MaterialType
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MaterialTable:
+    """SoA of GpuMaterial (ShaderCommon.h:119-139)."""
+
+    emission: Any          # (M, 3) f32
+    colour: Any            # (M, 3) f32
+    roughness: Any         # (M,)   f32
+    metallic: Any          # (M,)   f32
+    opacity: Any           # (M,)   f32
+    anisotropy: Any        # (M,)   f32
+    material_type: Any     # (M,)   i32
+    scattering_colour: Any # (M, 3) f32
+    transmission_depth: Any  # (M,) f32
+    emission_texture: Any  # (M,) i32, -1 = none
+    colour_texture: Any    # (M,) i32
+    roughness_texture: Any # (M,) i32
+    normal_texture: Any    # (M,) i32
+
+    @property
+    def count(self) -> int:
+        return self.colour.shape[0]
+
+    @staticmethod
+    def build(mats: list["Material"]) -> "MaterialTable":
+        def f(get, dt=np.float32):
+            return jnp.asarray(np.array([get(m) for m in mats], dtype=dt))
+
+        return MaterialTable(
+            emission=f(lambda m: m.emission),
+            colour=f(lambda m: m.colour),
+            roughness=f(lambda m: m.roughness),
+            metallic=f(lambda m: m.metallic),
+            opacity=f(lambda m: m.opacity),
+            anisotropy=f(lambda m: m.anisotropy),
+            material_type=f(lambda m: int(m.material_type), np.int32),
+            scattering_colour=f(lambda m: m.scattering_colour),
+            transmission_depth=f(lambda m: m.transmission_depth),
+            emission_texture=f(lambda m: m.emission_texture, np.int32),
+            colour_texture=f(lambda m: m.colour_texture, np.int32),
+            roughness_texture=f(lambda m: m.roughness_texture, np.int32),
+            normal_texture=f(lambda m: m.normal_texture, np.int32),
+        )
+
+
+@dataclasses.dataclass
+class Material:
+    """Host-side named material (Material.h:8-96 CPU mirror)."""
+
+    name: str = "material"
+    colour: tuple = (0.8, 0.8, 0.8)
+    emission: tuple = (0.0, 0.0, 0.0)
+    roughness: float = 0.5
+    metallic: float = 0.0
+    opacity: float = 1.0
+    anisotropy: float = 0.0
+    material_type: MaterialType = MaterialType.PBR
+    scattering_colour: tuple = (0.0, 0.0, 0.0)
+    transmission_depth: float = 0.0
+    emission_texture: int = INVALID_ID
+    colour_texture: int = INVALID_ID
+    roughness_texture: int = INVALID_ID
+    normal_texture: int = INVALID_ID
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class InstanceTable:
+    """SoA of GpuInstance (ShaderCommon.h:149-165).
+
+    One row per entity-mesh, flattened in scene order — the row index is
+    the ``instanceCustomIndex`` / ObjectID contract used by the G-buffer
+    and ray-hit shading (ResourceManager.cpp:477-532).
+    """
+
+    transform: Any        # (N, 4, 4)
+    inverse_transform: Any
+    normal_transform: Any # (N, 4, 4)
+    prev_transform: Any   # (N, 4, 4)
+    aabb_min: Any         # (N, 3) world-space
+    aabb_max: Any         # (N, 3)
+    material: Any         # (N,) i32
+    vertex_offset: Any    # (N,) i32 into global vertex arrays
+    index_offset: Any     # (N,) i32 into global index array
+    index_count: Any      # (N,) i32
+    selected: Any         # (N,) i32
+
+    @property
+    def count(self) -> int:
+        return self.material.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VertexArrays:
+    """Concatenated vertex attribute arrays (GpuVertex, ShaderCommon.h:183-189)."""
+
+    position: Any  # (V, 3) local space
+    normal: Any    # (V, 3)
+    tangent: Any   # (V, 4)
+    uv: Any        # (V, 2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LightTable:
+    """GpuLight SoA + triangle-area CDF (LightManager.cpp:21-124).
+
+    ``cdf`` is the concatenation of per-light prefix-sum triangle areas in
+    world space; ``environment`` rows mark an environment light.
+    """
+
+    instance: Any   # (L,) i32 instance id or -1
+    cdf_start: Any  # (L,) i32
+    cdf_count: Any  # (L,) i32
+    environment: Any  # (L,) i32
+    cdf: Any        # (C,) f32
+
+    @property
+    def count(self) -> int:
+        return self.instance.shape[0]
+
+    @staticmethod
+    def empty() -> "LightTable":
+        zi = jnp.zeros((0,), jnp.int32)
+        return LightTable(zi, zi, zi, zi, jnp.zeros((1,), jnp.float32))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TextureStack:
+    """Bindless texture array replacement (ResourceManager.cpp:244-281).
+
+    Textures are padded into one (N, H, W, 4) f32 stack; per-texture true
+    sizes drive UV wrap and bilinear footprint in ops/texture.py.
+    """
+
+    data: Any   # (N, H, W, 4) f32, linear color
+    sizes: Any  # (N, 2) i32 (height, width) actually used
+
+    @property
+    def count(self) -> int:
+        return self.data.shape[0]
+
+    @staticmethod
+    def empty() -> "TextureStack":
+        return TextureStack(
+            data=jnp.zeros((1, 1, 1, 4), jnp.float32),
+            sizes=jnp.ones((1, 2), jnp.int32),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TriangleSoup:
+    """World-space flattened triangles — the ray-tracing geometry pool.
+
+    Replaces BLAS/TLAS source data (Model.cpp:114-186 / Scene.cpp:323-440):
+    triangle order is the global primitive order; ``instance`` recovers the
+    GpuInstance row (= ObjectID) for shading, exactly the
+    ``instanceCustomIndex`` contract of the reference TLAS build.
+    """
+
+    v0: Any        # (T, 3) world-space
+    v1: Any        # (T, 3)
+    v2: Any        # (T, 3)
+    instance: Any  # (T,) i32
+    # global vertex indices for attribute interpolation at hit points
+    i0: Any        # (T,) i32
+    i1: Any
+    i2: Any
+
+    @property
+    def count(self) -> int:
+        return self.instance.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SunLight:
+    """Main directional light (Scene.h:57-70, LightData UBO block)."""
+
+    direction: Any  # (3,) pointing from sun toward scene
+    color: Any      # (3,)
+    intensity: Any  # () scalar
+    ambient: Any    # () ambient strength (postData.y)
+
+    @staticmethod
+    def default() -> "SunLight":
+        # Application.cpp:319-324 fallback sun
+        d = np.array([-1.0, -1.0, -1.0], np.float32)
+        d /= np.linalg.norm(d)
+        return SunLight(
+            direction=jnp.asarray(d),
+            color=jnp.ones((3,), jnp.float32),
+            intensity=jnp.float32(3.0),
+            ambient=jnp.float32(0.05),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SceneData:
+    """The complete device-side scene — analog of descriptor set 1 plus
+    the per-frame UBO scene constants."""
+
+    materials: MaterialTable
+    instances: InstanceTable
+    vertices: VertexArrays
+    indices: Any          # (I,) i32 global vertex indices
+    triangles: TriangleSoup
+    lights: LightTable
+    textures: TextureStack
+    sun: SunLight
+    sky_texture: Any      # () i32, -1 = procedural sky
+    blue_noise: Any       # (Hn, Wn, 4) f32
+
+    @property
+    def num_triangles(self) -> int:
+        return self.triangles.count

@@ -1,0 +1,113 @@
+"""Declarative render graph over traced passes.
+
+Keeps the reference's render-graph *API shape* (RenderGraph.h:70-219:
+named virtual resources, read/write declarations, SaveAsHistory,
+Mermaid export) while delegating everything its Compile/Execute did
+mechanically — barriers, image layouts, lifetime analysis, pass leveling
+(RenderGraph.cpp:102-331) — to XLA: executing the graph simply composes
+pure pass functions into one traceable Python callable, and `jax.jit`
+performs dependency analysis, fusion, scheduling and memory reuse.
+
+A pass is a function ``fn(reg: dict, ctx) -> dict`` returning its written
+resources. Declared reads/writes are validated at build time (the analog
+of the reference's validation layers catching missing bindings) and drive
+the Mermaid export.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+from .params import FrameState
+
+
+@dataclasses.dataclass
+class PassDecl:
+    name: str
+    fn: Callable
+    reads: List[str]
+    writes: List[str]
+    save_as_history: Dict[str, str]  # virtual resource -> history name
+    kind: str = "compute"            # graphics | compute | raytracing
+
+
+class RenderGraph:
+    """Pass stack + resource bookkeeping (RenderGraph.cpp analog)."""
+
+    def __init__(self, width: int, height: int):
+        self.width, self.height = width, height
+        self.passes: List[PassDecl] = []
+        self._compiled = False
+
+    def reset(self):
+        self.passes.clear()
+        self._compiled = False
+
+    def add_pass(self, name: str, fn: Callable, reads=(), writes=(),
+                 save_as_history: Optional[Dict[str, str]] = None,
+                 kind: str = "compute"):
+        self.passes.append(PassDecl(
+            name=name, fn=fn, reads=list(reads), writes=list(writes),
+            save_as_history=dict(save_as_history or {}), kind=kind))
+        return self
+
+    # --- compile: validate the DAG (XLA does the real work later) -------
+    def compile(self, external: () = ()):  # noqa: B006
+        available = set(external)
+        for p in self.passes:
+            for r in p.reads:
+                if r.startswith("History_"):
+                    continue  # satisfied by FrameState (or safe fallback)
+                if r not in available:
+                    raise ValueError(
+                        f"pass '{p.name}' reads undeclared resource '{r}' "
+                        f"(available: {sorted(available)})")
+            available.update(p.writes)
+        self._compiled = True
+        return self
+
+    # --- execute: run passes over a registry dict -----------------------
+    def execute(self, registry: dict, ctx, state: FrameState):
+        """Returns (registry, new_history dict). ``registry`` seeds
+        external resources; history reads pull from ``state`` with
+        fallback to the current-frame resource (ReadHistorySafe,
+        RenderGraph.cpp:446-456)."""
+        if not self._compiled:
+            self.compile(external=tuple(registry.keys()))
+        new_history: dict = {}
+        for p in self.passes:
+            for r in p.reads:
+                if r.startswith("History_"):
+                    hname = r[len("History_"):]
+                    if r not in registry:
+                        h = state.get(hname)
+                        if h is None:
+                            h = registry.get(hname)
+                        registry[r] = h
+            out = p.fn(registry, ctx)
+            if out:
+                registry.update(out)
+            for virt, hname in p.save_as_history.items():
+                new_history[hname] = registry[virt]
+        return registry, new_history
+
+    # --- tooling --------------------------------------------------------
+    def export_mermaid(self) -> str:
+        """Graph dump (RenderGraph::ExportToMermaid, RenderGraph.cpp:606-741)."""
+        lines = ["graph TD"]
+        style = {"graphics": ":::graphics", "compute": ":::compute",
+                 "raytracing": ":::raytracing"}
+        for i, p in enumerate(self.passes):
+            lines.append(f"  P{i}[{p.name}]{style.get(p.kind, '')}")
+            for r in p.reads:
+                rid = r.replace(" ", "_")
+                lines.append(f"  R_{rid}([{r}]) --> P{i}")
+            for w in p.writes:
+                wid = w.replace(" ", "_")
+                lines.append(f"  P{i} --> R_{wid}([{w}])")
+        lines += [
+            "classDef graphics fill:#264653",
+            "classDef compute fill:#2a9d8f",
+            "classDef raytracing fill:#e76f51",
+        ]
+        return "\n".join(lines)

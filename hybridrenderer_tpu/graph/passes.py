@@ -1,0 +1,274 @@
+"""Render pass library — the reference's Renderer/Passes/ inventory as
+pure traced functions over the render-graph registry.
+
+Each ``make_*_pass(settings)`` returns (fn, reads, writes, history) ready
+for ``RenderGraph.add_pass``. The FrameContext ``ctx`` carries scene,
+camera state, traced FrameParams, static RenderSettings and the previous
+FrameState.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+from ..core import maths
+from ..core.types import DisplayMode, RenderFlags
+from ..ops import composition as comp_ops
+from ..ops import gbuffer as gbuffer_ops
+from ..ops import image as img_ops
+from ..ops import postprocess as post_ops
+from ..ops import raster as raster_ops
+from ..ops import shade, sky
+from ..ops import svgf as svgf_ops
+from ..ops import taa as taa_ops
+from .params import RS, FrameState
+
+
+@dataclasses.dataclass
+class FrameContext:
+    scene: Any
+    cam: Any
+    params: Any
+    settings: Any
+    state: FrameState
+    history_valid: bool          # static: False on frame 0 / after resize
+    shadow_query: Optional[Callable] = None  # (origin, dir, tmax) -> visibility
+    trace_radiance: Optional[Callable] = None
+
+
+# ---------------------------------------------------------------------------
+# Geometry: raster + deferred G-buffer (DepthPrepass + GBufferPass)
+# ---------------------------------------------------------------------------
+
+def make_gbuffer_pass(settings):
+    """GBufferPass (GBufferPass.cpp:13-139): full MRT G-buffer.
+
+    Instance frustum culling replaces the reference's octree traversal
+    with a dense vectorized AABB test (see scene/scene.py docstring).
+    """
+
+    def fn(reg, ctx: FrameContext):
+        sc, cam = ctx.scene, ctx.cam
+        planes = maths.frustum_from_viewproj(cam.proj @ cam.view)
+        culled = maths.aabb_outside_frustum(
+            sc.instances.aabb_min, sc.instances.aabb_max, planes)
+        tri_mask = ~culled[sc.triangles.instance]
+        jitter_on = bool(settings.flags & RenderFlags.TAA) or \
+            bool(settings.flags & RenderFlags.SVGF)
+        vis = raster_ops.rasterize_scene(
+            sc.vertices.world_position, sc.triangles.i0, sc.triangles.i1,
+            sc.triangles.i2, cam, settings.width, settings.height,
+            jitter_enabled=jitter_on, tri_mask=tri_mask)
+        gb = gbuffer_ops.build_gbuffer(vis, sc, cam)
+        return {
+            "_GBuffer": gb,
+            RS.ALBEDO: gb.albedo,
+            RS.NORMAL: gb.normal,
+            RS.MATERIAL_PARAMS: gb.material,
+            RS.OBJECT_ID: gb.object_id,
+            RS.MOTION: gb.motion_plane(),
+            RS.EMISSIVE: gb.emissive,
+            RS.DEPTH: gb.depth,
+            RS.WORLD_POS: gb.world_pos,
+        }
+
+    reads = ()
+    writes = ("_GBuffer", RS.ALBEDO, RS.NORMAL, RS.MATERIAL_PARAMS,
+              RS.OBJECT_ID, RS.MOTION, RS.EMISSIVE, RS.DEPTH, RS.WORLD_POS)
+    history = {RS.NORMAL: RS.NORMAL, RS.OBJECT_ID: RS.OBJECT_ID,
+               RS.MOTION: RS.MOTION, RS.DEPTH: RS.DEPTH}
+    return fn, reads, writes, history
+
+
+# ---------------------------------------------------------------------------
+# Forward shading (ForwardPass, forward.frag)
+# ---------------------------------------------------------------------------
+
+def make_forward_pass(settings):
+    """ForwardPass (ForwardPass.cpp:14-87 / forward.frag): single-pass PBR
+    with optional ray-query sun shadow and sky-based ambient."""
+
+    def fn(reg, ctx: FrameContext):
+        gb = reg["_GBuffer"]
+        sc, cam, params = ctx.scene, ctx.cam, ctx.params
+        flags = settings.flags
+        bg = gb.background
+
+        n = maths.normalize(jnp.where(bg[..., None],
+                                      jnp.array([0.0, 1.0, 0.0]), gb.normal))
+        v = maths.normalize(cam.position - gb.world_pos)
+        l = maths.normalize(-params.sun_direction)
+        intensity = params.sun_color * params.sun_intensity \
+            if flags & RenderFlags.LIGHT else jnp.zeros((3,), jnp.float32)
+
+        # inline ray-query sun shadow (forward.frag:36-40)
+        if ctx.shadow_query is not None and (flags & RenderFlags.SHADOW):
+            shadow = ctx.shadow_query(gb.world_pos, n,
+                                      jnp.broadcast_to(l, gb.world_pos.shape),
+                                      1000.0)
+        else:
+            shadow = jnp.ones_like(gb.depth)
+
+        rough = gb.material[..., 0]
+        metal = gb.material[..., 1]
+        direct = shade.eval_pbr(gb.albedo, 1.5, rough, metal, n, v, l) * \
+            shadow[..., None] * intensity
+
+        # ambient / IBL (forward.frag:42-58)
+        has_sky = bool(flags & RenderFlags.IBL)
+        if has_sky:
+            r = maths.reflect(-v, n)
+            env_spec = sky.sample_environment(r, sc.sky_texture, sc.textures, True)
+            env_diff = sky.sample_environment(n, sc.sky_texture, sc.textures, True)
+            f0 = maths.mix(jnp.full_like(gb.albedo, 0.04), gb.albedo,
+                           metal[..., None])
+            f = shade.fresnel_schlick(f0, n, v)
+            kd = (1.0 - f) * (1.0 - metal[..., None])
+            ambient = (kd * env_diff * gb.albedo + f * env_spec) * \
+                params.ambient_strength
+        else:
+            ambient = params.ambient_strength * gb.albedo
+
+        color = ambient + direct + gb.emissive
+
+        mode = settings.display_mode
+        if mode == DisplayMode.ALBEDO:
+            color = gb.albedo
+        elif mode == DisplayMode.NORMAL:
+            color = n * 0.5 + 0.5
+        elif mode == DisplayMode.MATERIAL:
+            color = jnp.stack([rough, metal, jnp.ones_like(rough)], -1)
+        elif mode == DisplayMode.MOTION:
+            color = jnp.concatenate(
+                [jnp.abs(gb.motion) * 100.0, jnp.zeros_like(gb.depth)[..., None]], -1)
+        elif mode == DisplayMode.DEPTH:
+            color = gb.depth[..., None] * jnp.ones(3)
+
+        # background: sky (or black) — forward path has no composition pass
+        view_dir = maths.normalize(gb.world_pos - cam.position)
+        H, W = gb.depth.shape
+        uv = img_ops.pixel_uv_grid(H, W)
+        ndc = jnp.concatenate(
+            [uv * 2.0 - 1.0, jnp.zeros((H, W, 1)), jnp.ones((H, W, 1))], -1)
+        far_h = ndc @ cam.view_proj_inverse.T
+        far_pt = far_h[..., :3] / jnp.where(
+            jnp.abs(far_h[..., 3:4]) < 1e-12, 1e-12, far_h[..., 3:4])
+        bg_dir = maths.normalize(far_pt - cam.position)
+        sky_rgb = sky.sample_environment(bg_dir, sc.sky_texture, sc.textures,
+                                         has_sky)
+        color = jnp.where(bg[..., None], sky_rgb, color)
+        return {RS.FINAL_COLOR: color}
+
+    return fn, ("_GBuffer",), (RS.FINAL_COLOR,), {}
+
+
+# ---------------------------------------------------------------------------
+# TAA (TAAPass, taa.comp)
+# ---------------------------------------------------------------------------
+
+def make_taa_pass(settings):
+    def fn(reg, ctx: FrameContext):
+        gb = reg["_GBuffer"]
+        history = reg.get("History_" + RS.TAA_OUTPUT)
+        if history is None:
+            history = reg[RS.FINAL_COLOR]
+        out = taa_ops.resolve(
+            reg[RS.FINAL_COLOR], history, gb.motion, gb.depth,
+            ctx.cam.jitter, ctx.cam.prev_jitter,
+            history_valid=ctx.history_valid,
+            enabled=bool(settings.flags & RenderFlags.TAA))
+        return {RS.TAA_OUTPUT: out}
+
+    return (fn, (RS.FINAL_COLOR, "History_" + RS.TAA_OUTPUT), (RS.TAA_OUTPUT,),
+            {RS.TAA_OUTPUT: RS.TAA_OUTPUT})
+
+
+# ---------------------------------------------------------------------------
+# Post-process (PostProcessPass, postprocess.frag)
+# ---------------------------------------------------------------------------
+
+def make_postprocess_pass(settings, input_name):
+    def fn(reg, ctx: FrameContext):
+        return {RS.RENDER_OUTPUT: post_ops.tonemap(reg[input_name][..., :3],
+                                                   ctx.params.exposure)}
+
+    return fn, (input_name,), (RS.RENDER_OUTPUT,), {}
+
+
+# ---------------------------------------------------------------------------
+# SVGF chains (SVGFPass compound)
+# ---------------------------------------------------------------------------
+
+def make_svgf_chain(settings, config: svgf_ops.SVGFConfig, input_name,
+                    output_name):
+    """One SVGF signal chain; history keys are '<prefix>' and
+    '<prefix>Moments' (SVGFPass.cpp naming)."""
+
+    def fn(reg, ctx: FrameContext):
+        gb = reg["_GBuffer"]
+        hist_sig = ctx.state.get(config.prefix)
+        hist_mom = ctx.state.get(config.prefix + "Moments")
+        if hist_sig is None or not ctx.history_valid:
+            hist = svgf_ops.SVGFSignalHistory.create(settings.height,
+                                                     settings.width)
+            hist_ok = False
+        else:
+            hist = svgf_ops.SVGFSignalHistory(signal=hist_sig,
+                                              moments=hist_mom)
+            hist_ok = True
+
+        prev_normal = ctx.state.get(RS.NORMAL, gb.normal)
+        prev_motion = ctx.state.get(RS.MOTION, gb.motion_plane())
+        prev_oid = ctx.state.get(RS.OBJECT_ID, gb.object_id)
+
+        signal = reg[input_name]
+        if signal.shape[-1] == 3:
+            signal = jnp.concatenate(
+                [signal, jnp.ones_like(signal[..., :1])], axis=-1)
+
+        out, new_hist, var_dbg = svgf_ops.denoise(
+            signal, gb.albedo, gb.motion_plane(), gb.normal, gb.object_id,
+            hist, prev_normal, prev_motion[..., 2], prev_oid,
+            config, ctx.params.svgf_phi,
+            history_valid=ctx.history_valid and hist_ok)
+        return {
+            output_name: out,
+            config.prefix + "_HistSignal": new_hist.signal,
+            config.prefix + "_HistMoments": new_hist.moments,
+            config.prefix + "_Variance": var_dbg,
+        }
+
+    reads = (input_name, "_GBuffer")
+    writes = (output_name, config.prefix + "_HistSignal",
+              config.prefix + "_HistMoments", config.prefix + "_Variance")
+    history = {config.prefix + "_HistSignal": config.prefix,
+               config.prefix + "_HistMoments": config.prefix + "Moments"}
+    return fn, reads, writes, history
+
+
+# ---------------------------------------------------------------------------
+# Composition (CompositionPass, composition.frag)
+# ---------------------------------------------------------------------------
+
+def make_composition_pass(settings, shadow_name, gi_name, refl_name,
+                          variance_name=None):
+    def fn(reg, ctx: FrameContext):
+        gb = reg["_GBuffer"]
+        H, W = gb.depth.shape
+        ones = jnp.ones((H, W, 2), jnp.float32)
+        zeros3 = jnp.zeros((H, W, 3), jnp.float32)
+        shadow_ao = reg.get(shadow_name)
+        shadow_ao = ones if shadow_ao is None else shadow_ao[..., :2]
+        gi = reg.get(gi_name)
+        gi = zeros3 if gi is None else gi[..., :3]
+        refl = reg.get(refl_name)
+        refl = zeros3 if refl is None else refl[..., :3]
+        var = reg.get(variance_name) if variance_name else None
+        out = comp_ops.compose(gb, shadow_ao, gi, refl, ctx.scene, ctx.cam,
+                               settings, ctx.params, svgf_variance=var)
+        return {RS.FINAL_COLOR: out}
+
+    reads = ("_GBuffer",)
+    return fn, reads, (RS.FINAL_COLOR,), {}

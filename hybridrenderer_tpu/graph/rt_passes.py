@@ -1,0 +1,147 @@
+"""Ray-tracing passes (RTShadowPass / RTReflectionPass / RTDiffuseGIPass /
+RaytracePass) over the frame context's trace hooks.
+
+The hooks are provided by the runtime once a ray tracer is attached
+(ops/bvh + ops/trace); without them passes emit neutral signals —
+mirroring the reference's graceful RT-unsupported fallback
+(HybridRenderPath.cpp:44-47, VulkanDevice.cpp:103-116).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import maths
+from ..core.types import RenderFlags
+from ..ops import image as img_ops
+from ..ops import sampling, sky
+from .params import RS
+
+
+def _reconstruct_dirs(gb, cam):
+    v = maths.normalize(gb.world_pos - cam.position)
+    return v
+
+
+def make_rt_shadow_pass(settings):
+    """RTShadowPass (rt_shadow.rgen): packed (shadow, AO) 1-spp signal via
+    NEE light sampling + cosine-hemisphere AO, both through the visibility
+    query hook."""
+
+    def fn(reg, ctx):
+        gb = reg["_GBuffer"]
+        H, W = gb.depth.shape
+        out = jnp.ones((H, W, 4), jnp.float32)
+        if ctx.shadow_query is None:
+            return {RS.CUR_COLOR: out.at[..., 2].set(0.0)}
+
+        sc, params = ctx.scene, ctx.params
+        n = gb.normal
+        bg = gb.background
+
+        # per-pixel seeds (rt_shadow.rgen:53)
+        ys = jnp.arange(H, dtype=jnp.uint32)[:, None]
+        xs = jnp.arange(W, dtype=jnp.uint32)[None, :]
+        pixel_idx = ys * jnp.uint32(W) + xs
+        seed = sampling.init_random_seed(pixel_idx, params.frame_index)
+
+        shadow = jnp.ones((H, W), jnp.float32)
+        if settings.flags & RenderFlags.SHADOW:
+            ldir, sampled_inst, seed = sampling.sample_lights(
+                sc, gb.world_pos, seed)
+            has_area = maths.length(ldir) > 0.01
+            sun_dir = maths.normalize(-params.sun_direction)
+            l = jnp.where(has_area[..., None], ldir,
+                          jnp.broadcast_to(sun_dir, ldir.shape))
+            shadow = ctx.shadow_query(gb.world_pos, n, l, 1e10)
+
+        ao = jnp.ones((H, W), jnp.float32)
+        if settings.flags & RenderFlags.AO:
+            ao_dir, seed = sampling.cos_hemisphere_sample(seed, n)
+            ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
+                                  settings.ao_radius)
+
+        shadow = jnp.where(bg, 1.0, shadow)
+        ao = jnp.where(bg, 1.0, ao)
+        return {RS.CUR_COLOR: jnp.stack(
+            [shadow, ao, jnp.zeros_like(ao), jnp.ones_like(ao)], axis=-1)}
+
+    return fn, ("_GBuffer",), (RS.CUR_COLOR,), {}
+
+
+def make_rt_reflection_pass(settings):
+    """RTReflectionPass (reflection.rgen): mirror rays below the roughness
+    cutoff, shaded by the closest-hit radiance hook."""
+
+    def fn(reg, ctx):
+        gb = reg["_GBuffer"]
+        H, W = gb.depth.shape
+        zeros = jnp.zeros((H, W, 4), jnp.float32)
+        if ctx.trace_radiance is None:
+            return {RS.REFLECTION_RAW: zeros}
+
+        n = gb.normal
+        v = _reconstruct_dirs(gb, ctx.cam)
+        refl_dir = maths.reflect(v, n)
+        origin = sampling.offset_ray(gb.world_pos, n)
+        radiance, _dist = ctx.trace_radiance(origin, refl_dir, ctx, 0)
+
+        rough = gb.material[..., 0]
+        cut = (rough > settings.reflection_roughness_cutoff) | gb.background
+        rgb = jnp.where(cut[..., None], 0.0, radiance)
+        return {RS.REFLECTION_RAW: jnp.concatenate(
+            [rgb, jnp.ones((H, W, 1), jnp.float32)], axis=-1)}
+
+    return fn, ("_GBuffer",), (RS.REFLECTION_RAW,), {}
+
+
+def make_rt_gi_pass(settings):
+    """RTDiffuseGIPass (diffuse_gi.rgen): 1-spp cosine-hemisphere bounce."""
+
+    def fn(reg, ctx):
+        gb = reg["_GBuffer"]
+        H, W = gb.depth.shape
+        zeros = jnp.zeros((H, W, 4), jnp.float32)
+        if ctx.trace_radiance is None:
+            return {RS.GI_RAW: zeros}
+
+        params = ctx.params
+        ys = jnp.arange(H, dtype=jnp.uint32)[:, None]
+        xs = jnp.arange(W, dtype=jnp.uint32)[None, :]
+        seed = sampling.init_random_seed(ys * jnp.uint32(W) + xs,
+                                         params.frame_index)
+        n = gb.normal
+        ray_dir, seed = sampling.cos_hemisphere_sample(seed, n)
+        origin = sampling.offset_ray(gb.world_pos, n)
+        radiance, _dist = ctx.trace_radiance(origin, ray_dir, ctx, 0)
+        rgb = jnp.where(gb.background[..., None], 0.0, radiance)
+        return {RS.GI_RAW: jnp.concatenate(
+            [rgb, jnp.ones((H, W, 1), jnp.float32)], axis=-1)}
+
+    return fn, ("_GBuffer",), (RS.GI_RAW,), {}
+
+
+def make_primary_rt_pass(settings):
+    """RaytracePass (raytrace.rgen): primary camera rays → FinalColor."""
+
+    def fn(reg, ctx):
+        gb = reg["_GBuffer"]
+        H, W = gb.depth.shape
+        cam = ctx.cam
+        uv = img_ops.pixel_uv_grid(H, W)
+        ndc = jnp.concatenate(
+            [uv * 2.0 - 1.0, jnp.zeros((H, W, 1)), jnp.ones((H, W, 1))], -1)
+        far_h = ndc @ cam.view_proj_inverse.T
+        far_pt = far_h[..., :3] / jnp.where(
+            jnp.abs(far_h[..., 3:4]) < 1e-12, 1e-12, far_h[..., 3:4])
+        direction = maths.normalize(far_pt - cam.position)
+        origin = jnp.broadcast_to(cam.position, direction.shape)
+
+        if ctx.trace_radiance is None:
+            rgb = sky.sample_environment(
+                direction, ctx.scene.sky_texture, ctx.scene.textures,
+                bool(settings.flags & RenderFlags.IBL))
+        else:
+            rgb, _dist = ctx.trace_radiance(origin, direction, ctx, 0)
+        return {RS.FINAL_COLOR: rgb}
+
+    return fn, ("_GBuffer",), (RS.FINAL_COLOR,), {}

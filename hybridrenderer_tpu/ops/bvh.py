@@ -1,0 +1,211 @@
+"""LBVH build — the BLAS/TLAS replacement.
+
+The reference builds per-mesh BLASes + a TLAS through Vulkan acceleration
+structures (Model.cpp:114-186, Scene.cpp:323-440). TPU-native we build one
+*linear BVH* over the world-space triangle soup: Morton codes of triangle
+centroids, a radix sort, a Karras-2012 binary radix tree (every internal
+node computed independently — fully parallel, no sequential insertion),
+and level-free iterative AABB propagation. Everything is jnp, so the
+build itself runs on-device and re-runs cheaply on scene changes.
+
+Node indexing for T triangles:
+  internal nodes: 0 .. T-2
+  leaves:         T-1 .. 2T-2  (leaf k = node (T-1)+k, holds sorted tri k)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BVH:
+    node_min: Any   # (2T-1, 3)
+    node_max: Any   # (2T-1, 3)
+    left: Any       # (2T-1,) i32 child node id (undefined for leaves)
+    right: Any      # (2T-1,) i32
+    tri: Any        # (2T-1,) i32 original triangle id for leaves, -1 internal
+    num_tris: Any   # () i32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_min.shape[0]
+
+
+def morton_codes(centroids, scene_min, scene_max):
+    """30-bit Morton codes of centroids normalized to the scene AABB."""
+    extent = jnp.maximum(scene_max - scene_min, 1e-9)
+    q = jnp.clip((centroids - scene_min) / extent, 0.0, 1.0 - 1e-7)
+    xyz = (q * 1024.0).astype(jnp.uint32)  # 10 bits per axis
+
+    def expand_bits(v):
+        v = (v * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+        v = (v * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+        v = (v * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+        v = (v * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+        return v
+
+    return (expand_bits(xyz[:, 0]) * 4 + expand_bits(xyz[:, 1]) * 2
+            + expand_bits(xyz[:, 2]))
+
+
+def _clz32(x):
+    """Count leading zeros of uint32 (branchless bit-length)."""
+    x = x.astype(jnp.uint32)
+    bl = jnp.zeros(x.shape, jnp.int32)
+    for shift in (16, 8, 4, 2, 1):
+        mask = x >= (jnp.uint32(1) << shift)
+        bl = jnp.where(mask, bl + shift, bl)
+        x = jnp.where(mask, x >> shift, x)
+    bl = bl + x.astype(jnp.int32)  # remaining 0/1 bit
+    return 32 - bl
+
+
+def _delta(codes, i, j, T):
+    """Longest-common-prefix metric with index tie-break (Karras §4)."""
+    valid = (j >= 0) & (j < T)
+    jc = jnp.clip(j, 0, T - 1)
+    ci = codes[i]
+    cj = codes[jc]
+    same = ci == cj
+    d_code = _clz32(ci ^ cj)
+    d_idx = 32 + _clz32((i.astype(jnp.uint32) ^ jc.astype(jnp.uint32)))
+    d = jnp.where(same, d_idx, d_code)
+    return jnp.where(valid, d, -1)
+
+
+def build_radix_tree(codes):
+    """Karras binary radix tree: per-internal-node range + split, all
+    vectorized (no data-dependent loops beyond fixed 32-step searches)."""
+    T = codes.shape[0]
+    i = jnp.arange(T - 1, dtype=jnp.int32)
+
+    d = jnp.sign(_delta(codes, i, i + 1, T) - _delta(codes, i, i - 1, T)).astype(jnp.int32)
+    d = jnp.where(d == 0, 1, d)
+    delta_min = _delta(codes, i, i - d, T)
+
+    # exponential search for range upper bound
+    lmax = jnp.full_like(i, 2)
+    for _ in range(32):  # covers ranges up to 2^32
+        probe = _delta(codes, i, i + lmax * d, T)
+        grow = probe > delta_min
+        lmax = jnp.where(grow, lmax * 2, lmax)
+
+    # binary search for exact length l
+    l = jnp.zeros_like(i)
+    t = lmax // 2
+    for _ in range(32):
+        probe = _delta(codes, i, i + (l + t) * d, T)
+        l = jnp.where((t > 0) & (probe > delta_min), l + t, l)
+        t = t // 2
+
+    j = i + l * d
+    delta_node = _delta(codes, i, j, T)
+
+    # binary search for split point
+    s = jnp.zeros_like(i)
+    div = 2
+    t = (l + div - 1) // div
+    for _ in range(32):
+        probe = _delta(codes, i, i + (s + t) * d, T)
+        s = jnp.where((t > 0) & (probe > delta_node), s + t, s)
+        div *= 2
+        t = (l + div - 1) // div
+
+    gamma = i + s * d + jnp.minimum(d, 0)
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+    # child is a leaf when the range collapses
+    left = jnp.where(lo == gamma, (T - 1) + gamma, gamma)
+    right = jnp.where(hi == gamma + 1, (T - 1) + gamma + 1, gamma + 1)
+    return left, right
+
+
+def build_bvh(v0, v1, v2, max_depth_iters: int = 64) -> BVH:
+    """World-space triangles → LBVH. All-jnp; jit-safe for fixed T."""
+    T = v0.shape[0]
+    if T == 0:
+        z3 = jnp.zeros((1, 3), jnp.float32)
+        zi = jnp.zeros((1,), jnp.int32)
+        return BVH(z3, z3, zi, zi, jnp.full((1,), -1, jnp.int32),
+                   jnp.int32(0))
+    if T == 1:
+        tmin = jnp.minimum(jnp.minimum(v0, v1), v2)
+        tmax = jnp.maximum(jnp.maximum(v0, v1), v2)
+        return BVH(tmin, tmax, jnp.full((1,), -1, jnp.int32),
+                   jnp.full((1,), -1, jnp.int32),
+                   jnp.zeros((1,), jnp.int32), jnp.int32(1))
+
+    centroids = (v0 + v1 + v2) / 3.0
+    scene_min = jnp.min(jnp.minimum(jnp.minimum(v0, v1), v2), axis=0)
+    scene_max = jnp.max(jnp.maximum(jnp.maximum(v0, v1), v2), axis=0)
+
+    codes = morton_codes(centroids, scene_min, scene_max)
+    order = jnp.argsort(codes).astype(jnp.int32)
+    codes = codes[order]
+
+    left, right = build_radix_tree(codes)
+
+    N = 2 * T - 1
+    tri = jnp.concatenate([jnp.full((T - 1,), -1, jnp.int32), order])
+    left_full = jnp.concatenate([left, jnp.full((T,), -1, jnp.int32)])
+    right_full = jnp.concatenate([right, jnp.full((T,), -1, jnp.int32)])
+
+    # leaf AABBs (sorted order), internal zeroed then propagated
+    tv0, tv1, tv2 = v0[order], v1[order], v2[order]
+    leaf_min = jnp.minimum(jnp.minimum(tv0, tv1), tv2)
+    leaf_max = jnp.maximum(jnp.maximum(tv0, tv1), tv2)
+    node_min = jnp.concatenate([jnp.full((T - 1, 3), jnp.inf), leaf_min])
+    node_max = jnp.concatenate([jnp.full((T - 1, 3), -jnp.inf), leaf_max])
+
+    # iterative bottom-up union: after k iterations all nodes whose height
+    # ≤ k are correct; LBVH height is O(log T) thanks to index tie-breaks.
+    def prop(carry, _):
+        nmin, nmax = carry
+        lmin = nmin[left_full[: T - 1]]
+        lmax_ = nmax[left_full[: T - 1]]
+        rmin = nmin[right_full[: T - 1]]
+        rmax = nmax[right_full[: T - 1]]
+        new_min = nmin.at[: T - 1].set(jnp.minimum(lmin, rmin))
+        new_max = nmax.at[: T - 1].set(jnp.maximum(lmax_, rmax))
+        return (new_min, new_max), None
+
+    iters = min(max_depth_iters, max(2, int(jnp.ceil(jnp.log2(T))) * 2 + 8))
+    (node_min, node_max), _ = jax.lax.scan(prop, (node_min, node_max),
+                                           None, length=iters)
+    return BVH(node_min.astype(jnp.float32), node_max.astype(jnp.float32),
+               left_full, right_full, tri, jnp.int32(T))
+
+
+def validate_bvh(bvh: BVH, v0, v1, v2) -> bool:
+    """Host-side sanity check: every triangle is inside its leaf AABB and
+    every node AABB contains its children (test utility)."""
+    import numpy as np
+
+    nmin = np.asarray(bvh.node_min)
+    nmax = np.asarray(bvh.node_max)
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    tri = np.asarray(bvh.tri)
+    T = int(bvh.num_tris)
+    if T <= 1:
+        return True
+    for n in range(T - 1):
+        for c in (left[n], right[n]):
+            if not (nmin[n] <= nmin[c] + 1e-5).all():
+                return False
+            if not (nmax[n] >= nmax[c] - 1e-5).all():
+                return False
+    tv = np.stack([np.asarray(v0), np.asarray(v1), np.asarray(v2)], 1)
+    for k in range(T):
+        node = T - 1 + k
+        t = tv[tri[node]]
+        if not (t.min(0) >= nmin[node] - 1e-5).all():
+            return False
+        if not (t.max(0) <= nmax[node] + 1e-5).all():
+            return False
+    return True

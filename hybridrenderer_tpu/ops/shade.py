@@ -1,0 +1,166 @@
+"""PBR shading math — the engine's single BRDF module.
+
+Vectorized port of the shader library's Cook-Torrance evaluation
+(common.glsl:171-219: EtaToReflectivity / FresnelSchlick /
+MicrofacetDistribution / MicrofacetShadowing / EvalPbr) and the material
+point fetch (common.glsl:282-337). All functions are elementwise over
+leading dims — (H, W) images or (R,) ray batches alike.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core import maths
+from . import texture as tex_ops
+
+PI = 3.14159265359
+MIN_ROUGHNESS = 0.03 * 0.03  # common.glsl:46
+
+
+def luminance(rgb):
+    """Rec.709 luma (temporal.comp CalculateLuminance)."""
+    return (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2])
+
+
+def eta_to_reflectivity(eta):
+    return ((eta - 1.0) ** 2) / ((eta + 1.0) ** 2)
+
+
+def fresnel_schlick(specular, normal, outgoing):
+    """common.glsl:182-186 (note: |cos| as the reference)."""
+    cosine = maths.dot(normal, outgoing, keepdims=True)
+    f = specular + (1.0 - specular) * jnp.clip(1.0 - jnp.abs(cosine), 0.0, 1.0) ** 5
+    nonzero = jnp.any(specular != 0.0, axis=-1, keepdims=True)
+    return jnp.where(nonzero, f, 0.0)
+
+
+def microfacet_distribution(roughness, normal, halfway):
+    cosine = maths.dot(normal, halfway)
+    r2 = roughness * roughness
+    c2 = cosine * cosine
+    denom = c2 * (r2 - 1.0) + 1.0
+    d = r2 / (PI * denom * denom)
+    return jnp.where(cosine > 0.0, d, 0.0)
+
+
+def _microfacet_shadowing1(roughness, normal, halfway, direction):
+    cosine = maths.dot(normal, direction)
+    c2 = cosine * cosine
+    cosine_h = maths.dot(halfway, direction)
+    r2 = roughness * roughness
+    g = 2.0 / (jnp.sqrt(jnp.maximum(((r2 * (1.0 - c2)) + c2) / jnp.maximum(c2, 1e-12), 0.0)) + 1.0)
+    return jnp.where(cosine * cosine_h > 0.0, g, 0.0)
+
+
+def microfacet_shadowing(roughness, normal, halfway, outgoing, incoming):
+    return (_microfacet_shadowing1(roughness, normal, halfway, outgoing)
+            * _microfacet_shadowing1(roughness, normal, halfway, incoming))
+
+
+def eval_pbr(colour, ior, roughness, metallic, normal, outgoing, incoming):
+    """EvalPbr (common.glsl:203-219): diffuse + specular, cosine-weighted.
+
+    ``outgoing`` = direction to viewer, ``incoming`` = direction to light.
+    Scalar args broadcast; colour/normal/... are (..., 3).
+    """
+    roughness = roughness[..., None] if jnp.ndim(roughness) == jnp.ndim(colour) - 1 else roughness
+    metallic_ = metallic[..., None] if jnp.ndim(metallic) == jnp.ndim(colour) - 1 else metallic
+
+    reflectivity = maths.mix(
+        jnp.broadcast_to(eta_to_reflectivity(jnp.float32(ior)), colour.shape),
+        colour, metallic_,
+    )
+    n_dot_o = maths.dot(normal, outgoing, keepdims=True)
+    up_normal = jnp.where(n_dot_o <= 0.0, -normal, normal)
+    f1 = fresnel_schlick(reflectivity, up_normal, outgoing)
+    halfway = maths.normalize(incoming + outgoing)
+    f = fresnel_schlick(reflectivity, halfway, incoming)
+    d = microfacet_distribution(roughness[..., 0], up_normal, halfway)[..., None]
+    g = microfacet_shadowing(roughness[..., 0], up_normal, halfway, outgoing, incoming)[..., None]
+
+    cosine = jnp.abs(maths.dot(up_normal, incoming, keepdims=True))
+    diffuse = colour * (1.0 - metallic_) * (1.0 - f1) / PI
+    denom = 4.0 * jnp.abs(maths.dot(up_normal, outgoing, keepdims=True)) * \
+        jnp.abs(maths.dot(up_normal, incoming, keepdims=True))
+    specular = f * d * g / jnp.maximum(denom, 1e-8)
+
+    result = (diffuse + specular) * cosine
+    visible = (maths.dot(normal, incoming) * maths.dot(normal, outgoing) > 0.0)[..., None]
+    return jnp.where(visible, result, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Material point evaluation (common.glsl:313-337)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MaterialPoint:
+    colour: Any      # (..., 3)
+    emission: Any    # (..., 3)
+    roughness: Any   # (...)  — squared-roughness convention
+    metallic: Any    # (...)
+    opacity: Any     # (...)
+    material_type: Any  # (...) i32
+
+
+def get_material_point(materials, mat_id, uv, textures) -> MaterialPoint:
+    """Fetch + texture-modulate material params at surface points.
+
+    ``mat_id`` (...,) i32 rows of MaterialTable; applies the reference's
+    squared-roughness floor (common.glsl:330-333).
+    """
+    base_colour = materials.colour[mat_id]
+    base_opacity = materials.opacity[mat_id]
+    albedo_tex = tex_ops.sample_bilinear(
+        textures.data, textures.sizes, materials.colour_texture[mat_id], uv,
+        jnp.ones((4,), jnp.float32))
+    colour = base_colour * albedo_tex[..., :3]
+    opacity = base_opacity * albedo_tex[..., 3]
+
+    emission = materials.emission[mat_id]
+    em_tex = tex_ops.sample_bilinear(
+        textures.data, textures.sizes, materials.emission_texture[mat_id], uv,
+        jnp.ones((4,), jnp.float32))
+    emission = emission * em_tex[..., :3]
+
+    roughness = materials.roughness[mat_id]
+    metallic = materials.metallic[mat_id]
+    mr_tex = tex_ops.sample_bilinear(
+        textures.data, textures.sizes, materials.roughness_texture[mat_id], uv,
+        jnp.ones((4,), jnp.float32))
+    roughness = roughness * mr_tex[..., 1]
+    metallic = metallic * mr_tex[..., 2]
+
+    r2 = roughness * roughness
+    r2 = jnp.where(r2 < MIN_ROUGHNESS, 0.0, r2)
+    return MaterialPoint(
+        colour=colour,
+        emission=emission,
+        roughness=r2,
+        metallic=metallic,
+        opacity=opacity,
+        material_type=materials.material_type[mat_id],
+    )
+
+
+def apply_normal_map(materials, mat_id, shading_normal, tangent, uv, textures):
+    """CalculateNormal (common.glsl:293-303): TBN-transformed normal map."""
+    nrm_tex_id = materials.normal_texture[mat_id]
+    n = maths.normalize(shading_normal)
+    t = maths.normalize(tangent[..., :3])
+    t_len = maths.length(tangent[..., :3])
+    w = tangent[..., 3]
+    b = maths.cross(n, t) * jnp.where(jnp.abs(w) < 0.001, 1.0, w)[..., None]
+    nm = tex_ops.sample_bilinear(
+        textures.data, textures.sizes, nrm_tex_id, uv,
+        jnp.array([0.5, 0.5, 1.0, 1.0], jnp.float32))[..., :3] * 2.0 - 1.0
+    mapped = maths.normalize(
+        t * nm[..., 0:1] + b * nm[..., 1:2] + n * nm[..., 2:3]
+    )
+    use = ((nrm_tex_id >= 0) & (t_len >= 0.001))[..., None]
+    return jnp.where(use, mapped, n)

@@ -1,0 +1,342 @@
+"""Ray traversal + hit shading — the ray-query / RT-pipeline replacement.
+
+Three traversal engines with one contract:
+  * ``intersect_brute``  — O(T·R) reference oracle for tests
+  * ``intersect_bvh``    — SIMT-style batched stack traversal (jnp
+    while_loop; every ray keeps its own VMEM-resident stack; gathers are
+    XLA-vectorized). Correct everywhere, used on CPU and as fallback.
+  * ops/trace_pallas.py  — packet traversal Pallas kernel (the perf path).
+
+``SceneTracer`` packages a built BVH with the two hooks the render passes
+consume (graph/rt_passes.py):
+  shadow_query(pos, normal, dir, tmax) → visibility   (ray-query analog,
+      common.glsl:124-153 CalculateRayQueryShadow)
+  trace_radiance(origin, dir, ctx, depth) → (rgb, dist)  (traceRayEXT +
+      closesthit.rchit / miss.rmiss shading)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core import maths
+from ..core.types import RenderFlags
+from . import sampling, shade, sky
+from .bvh import BVH, build_bvh
+
+TRI_EPS = 1e-9
+STACK_DEPTH = 64
+
+
+# ---------------------------------------------------------------------------
+# Primitive tests
+# ---------------------------------------------------------------------------
+
+def ray_triangle(o, d, p0, p1, p2, tmin, tmax):
+    """Möller–Trumbore, both-faced. Returns (hit, t, u, v)."""
+    e1 = p1 - p0
+    e2 = p2 - p0
+    pvec = maths.cross(d, e2)
+    det = maths.dot(e1, pvec)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, TRI_EPS, det)
+    tvec = o - p0
+    u = maths.dot(tvec, pvec) * inv_det
+    qvec = maths.cross(tvec, e1)
+    v = maths.dot(d, qvec) * inv_det
+    t = maths.dot(e2, qvec) * inv_det
+    hit = ((jnp.abs(det) >= TRI_EPS) & (u >= 0.0) & (v >= 0.0)
+           & (u + v <= 1.0) & (t >= tmin) & (t <= tmax))
+    return hit, t, u, v
+
+
+def ray_aabb(o, inv_d, bmin, bmax, tmin, tmax):
+    """Slab test; inv_d precomputed (inf-safe). Returns (hit, tnear)."""
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tn <= tf) & (tf >= tmin) & (tn <= tmax)
+    return hit, tn
+
+
+# ---------------------------------------------------------------------------
+# Brute-force oracle
+# ---------------------------------------------------------------------------
+
+def intersect_brute(v0, v1, v2, o, d, tmin, tmax, any_hit=False):
+    """All rays × all triangles. Returns (t, tri, u, v); tri=-1 on miss.
+    Rays flat (R, 3)."""
+    def per_ray(oo, dd, tmx):
+        hit, t, u, v = ray_triangle(oo[None], dd[None], v0, v1, v2, tmin, tmx)
+        t_masked = jnp.where(hit, t, jnp.inf)
+        k = jnp.argmin(t_masked)
+        return (jnp.where(hit[k], t_masked[k], jnp.inf),
+                jnp.where(hit[k], k, -1).astype(jnp.int32), u[k], v[k])
+
+    tmx = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), o.shape[:-1])
+    return jax.vmap(per_ray)(o, d, tmx)
+
+
+# ---------------------------------------------------------------------------
+# Batched BVH traversal (SIMT-style while_loop)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("any_hit", "max_iters"))
+def intersect_bvh(bvh: BVH, tri_v0, tri_v1, tri_v2, o, d, tmin, tmax,
+                  any_hit: bool = False, max_iters: int = 10_000):
+    """Stack traversal over a ray batch; rays flat (R, 3).
+
+    Returns (t, tri, u, v) with tri = -1 for miss (t = +inf). With
+    ``any_hit`` the search stops at the first confirmed hit per ray
+    (gl_RayFlagsTerminateOnFirstHitEXT analog).
+    """
+    R = o.shape[0]
+    T = tri_v0.shape[0]
+    n_internal = jnp.maximum(bvh.num_tris - 1, 0)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    tmax_in = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (R,))
+
+    stack = jnp.zeros((R, STACK_DEPTH), jnp.int32)
+    # root = 0 when internal nodes exist, else the single leaf node 0
+    stack = stack.at[:, 0].set(0)
+    sp = jnp.ones((R,), jnp.int32)
+
+    init = dict(
+        stack=stack, sp=sp,
+        t=tmax_in, tri=jnp.full((R,), -1, jnp.int32),
+        u=jnp.zeros((R,), jnp.float32), v=jnp.zeros((R,), jnp.float32),
+        iters=jnp.int32(0),
+    )
+
+    def cond(s):
+        return jnp.any(s["sp"] > 0) & (s["iters"] < max_iters)
+
+    def body(s):
+        active = s["sp"] > 0
+        sp1 = jnp.maximum(s["sp"] - 1, 0)
+        node = s["stack"][jnp.arange(R), sp1]
+        node = jnp.where(active, node, 0)
+        sp = jnp.where(active, sp1, s["sp"])
+
+        is_leaf = node >= n_internal
+        # --- leaf: triangle test ---
+        tri_id = bvh.tri[node]
+        safe_tri = jnp.clip(tri_id, 0, T - 1)
+        hit, t, u, v = ray_triangle(
+            o, d, tri_v0[safe_tri], tri_v1[safe_tri], tri_v2[safe_tri],
+            tmin, s["t"])
+        take = active & is_leaf & hit & (tri_id >= 0)
+        new_t = jnp.where(take, t, s["t"])
+        new_tri = jnp.where(take, tri_id, s["tri"])
+        new_u = jnp.where(take, u, s["u"])
+        new_v = jnp.where(take, v, s["v"])
+        if any_hit:
+            # terminate ray: clear its stack
+            sp = jnp.where(take, 0, sp)
+
+        # --- internal: AABB test both children, push near last ---
+        left = bvh.left[node]
+        right = bvh.right[node]
+        lmin = bvh.node_min[left]
+        lmax = bvh.node_max[left]
+        rmin = bvh.node_min[right]
+        rmax = bvh.node_max[right]
+        lhit, lt = ray_aabb(o, inv_d, lmin, lmax, tmin, new_t)
+        rhit, rt = ray_aabb(o, inv_d, rmin, rmax, tmin, new_t)
+        inner = active & (~is_leaf)
+        lhit = lhit & inner
+        rhit = rhit & inner
+
+        # order: push far child first so near is popped first
+        l_nearer = lt <= rt
+        first = jnp.where(l_nearer, right, left)     # pushed first (far)
+        first_ok = jnp.where(l_nearer, rhit, lhit)
+        second = jnp.where(l_nearer, left, right)    # pushed last (near)
+        second_ok = jnp.where(l_nearer, lhit, rhit)
+
+        rows = jnp.arange(R)
+        idx1 = jnp.where(first_ok, sp, STACK_DEPTH)  # OOB index drops write
+        stack1 = s["stack"].at[rows, jnp.clip(idx1, 0, STACK_DEPTH - 1)].set(
+            jnp.where(first_ok, first, s["stack"][rows, jnp.clip(idx1, 0, STACK_DEPTH - 1)]))
+        sp_after1 = sp + first_ok.astype(jnp.int32)
+        idx2 = jnp.where(second_ok, sp_after1, STACK_DEPTH)
+        stack2 = stack1.at[rows, jnp.clip(idx2, 0, STACK_DEPTH - 1)].set(
+            jnp.where(second_ok, second, stack1[rows, jnp.clip(idx2, 0, STACK_DEPTH - 1)]))
+        sp_final = sp_after1 + second_ok.astype(jnp.int32)
+
+        return dict(stack=stack2, sp=sp_final, t=new_t, tri=new_tri,
+                    u=new_u, v=new_v, iters=s["iters"] + 1)
+
+    out = jax.lax.while_loop(cond, body, init)
+    missed = out["tri"] < 0
+    return (jnp.where(missed, jnp.inf, out["t"]), out["tri"],
+            out["u"], out["v"])
+
+
+# ---------------------------------------------------------------------------
+# SceneTracer: BVH + shading hooks
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SceneTracer:
+    """BVH handle + traversal/shading methods. A pytree — pass it through
+    ``jax.jit`` as an argument (the Renderer does) so BVH arrays stay
+    device buffers rather than baked constants. Scene data is taken
+    per-call to share the frame function's traced scene."""
+
+    bvh: BVH
+    backend: str = dataclasses.field(metadata=dict(static=True),
+                                     default="jnp")
+
+    @staticmethod
+    def build(scene_data, settings=None) -> "SceneTracer":
+        soup = scene_data.triangles
+        bvh = build_bvh(soup.v0, soup.v1, soup.v2)
+        backend = "jnp"
+        if settings is not None:
+            backend = _detect_backend(settings.trace_backend)
+        return SceneTracer(bvh=bvh, backend=backend)
+
+    # --- occlusion ------------------------------------------------------
+    def occluded(self, scene, origin, direction, tmax):
+        """flat-batch any-hit query → visibility (1.0 = unoccluded)."""
+        t, tri, _, _ = self._intersect(scene, origin, direction, 1e-3, tmax,
+                                       any_hit=True)
+        return jnp.where(tri >= 0, 0.0, 1.0)
+
+    def shadow_query(self, scene, world_pos, normal, direction, tmax):
+        """CalculateRayQueryShadow contract over (H, W) images: origins are
+        offset along the normal (OffsetRay, common.glsl:155-167); tMax is
+        capped at 10000 with tmin 0.01 (common.glsl:127-129)."""
+        H, W = world_pos.shape[:2]
+        origin = sampling.offset_ray(world_pos, normal).reshape(-1, 3)
+        d = direction.reshape(-1, 3)
+        tmax_c = jnp.minimum(jnp.asarray(tmax, jnp.float32), 10000.0)
+        t, tri, _, _ = self._intersect(scene, origin, d, 0.01, tmax_c,
+                                       any_hit=True)
+        return jnp.where(tri >= 0, 0.0, 1.0).reshape(H, W)
+
+    def _intersect(self, scene, o, d, tmin, tmax, any_hit):
+        soup = scene.triangles
+        if self.backend == "pallas":
+            from . import trace_pallas
+
+            return trace_pallas.intersect(
+                self.bvh, soup.v0, soup.v1, soup.v2, o, d, tmin, tmax,
+                any_hit=any_hit)
+        return intersect_bvh(self.bvh, soup.v0, soup.v1, soup.v2, o, d,
+                             tmin, tmax, any_hit=any_hit)
+
+    # --- radiance (closesthit.rchit + miss.rmiss) -----------------------
+    def trace_radiance(self, scene, origin, direction, ctx, depth: int = 0):
+        """Trace + shade closest hits. origin/direction (..., 3); returns
+        (rgb (..., 3), hit distance (...,) with -1 on miss)."""
+        lead = origin.shape[:-1]
+        o = origin.reshape(-1, 3)
+        d = direction.reshape(-1, 3)
+        t, tri, u, v = self._intersect(scene, o, d, 0.01, 1e10, any_hit=False)
+        hit = tri >= 0
+
+        rgb_hit = self._shade_hit(scene, o, d, t, tri, u, v, ctx)
+        rgb_miss = sky.sample_environment(
+            d, scene.sky_texture, scene.textures,
+            bool(ctx.settings.flags & RenderFlags.IBL))
+        rgb = jnp.where(hit[..., None], rgb_hit, rgb_miss)
+        dist = jnp.where(hit, t, -1.0)
+        return rgb.reshape(*lead, 3), dist.reshape(lead)
+
+    def _shade_hit(self, scene, o, d, t, tri, u, v, ctx):
+        """closesthit.rchit:23-130 — interpolate attributes, evaluate
+        material, sun NEE + emissive-light NEE (both shadowed), IBL
+        ambient, emission."""
+        sc = scene
+        params = ctx.params
+        flags = ctx.settings.flags
+        soup = sc.triangles
+        safe = jnp.clip(tri, 0, soup.count - 1)
+
+        i0, i1, i2 = soup.i0[safe], soup.i1[safe], soup.i2[safe]
+        b0 = (1.0 - u - v)[..., None]
+        b1 = u[..., None]
+        b2 = v[..., None]
+        verts = sc.vertices
+
+        world_pos = o + d * t[..., None]
+        uv = verts.uv[i0] * b0 + verts.uv[i1] * b1 + verts.uv[i2] * b2
+        ln = verts.normal[i0] * b0 + verts.normal[i1] * b1 + verts.normal[i2] * b2
+        lt = verts.tangent[i0] * b0 + verts.tangent[i1] * b1 + verts.tangent[i2] * b2
+
+        inst = soup.instance[safe]
+        nmat = sc.instances.normal_transform[inst][..., :3, :3]
+        geo_n = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, ln))
+        # face backfacing rays (closesthit.rchit:56)
+        flip = maths.dot(geo_n, d, keepdims=True) > 0.0
+        geo_n = jnp.where(flip, -geo_n, geo_n)
+        wt3 = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, lt[..., :3]))
+        wt = jnp.concatenate([wt3, lt[..., 3:4]], axis=-1)
+
+        mat_id = sc.instances.material[inst]
+        mp = shade.get_material_point(sc.materials, mat_id, uv, sc.textures)
+        n = shade.apply_normal_map(sc.materials, mat_id, geo_n, wt, uv,
+                                   sc.textures)
+
+        view = -d
+        light_on = bool(flags & RenderFlags.LIGHT)
+        sun_dir = maths.normalize(-params.sun_direction)
+        sun_int = params.sun_color * params.sun_intensity if light_on else \
+            jnp.zeros((3,), jnp.float32)
+
+        shadow_origin = sampling.offset_ray(world_pos, geo_n)
+        sun_shadow = self.occluded(sc, shadow_origin,
+                                   jnp.broadcast_to(sun_dir, d.shape), 1000.0)
+        direct = shade.eval_pbr(mp.colour, 1.5, mp.roughness, mp.metallic,
+                                n, view, sun_dir) * \
+            sun_shadow[..., None] * sun_int
+
+        # emissive area-light NEE (closesthit.rchit:82-96)
+        if sc.lights.count > 0:
+            R = o.shape[0]
+            idx = jnp.arange(R, dtype=jnp.uint32)
+            seed = sampling.init_random_seed(idx, params.frame_index)
+            ldir, sampled_inst, seed = sampling.sample_lights(
+                sc, world_pos, seed)
+            has = maths.length(ldir) > 0.001
+            lshadow = self.occluded(sc, shadow_origin, ldir, 1000.0)
+            s_inst = jnp.maximum(sampled_inst, 0)
+            s_mat = sc.instances.material[s_inst]
+            l_rad = sc.materials.emission[s_mat] * 5.0
+            nee = shade.eval_pbr(mp.colour, 1.5, mp.roughness, mp.metallic,
+                                 n, view, ldir) * l_rad
+            ok = (has & (lshadow > 0.5) & (sampled_inst >= 0))[..., None]
+            direct = direct + jnp.where(ok, nee, 0.0)
+
+        # IBL ambient (closesthit.rchit:99-113)
+        ambient = jnp.zeros_like(direct)
+        if flags & RenderFlags.IBL:
+            r = maths.reflect(d, n)
+            env_spec = sky.sample_environment(r, sc.sky_texture, sc.textures, True)
+            env_diff = sky.sample_environment(n, sc.sky_texture, sc.textures, True)
+            f0 = maths.mix(jnp.full_like(mp.colour, 0.04), mp.colour,
+                           mp.metallic[..., None])
+            f = shade.fresnel_schlick(f0, n, view)
+            kd = (1.0 - f) * (1.0 - mp.metallic[..., None])
+            amb_str = jnp.maximum(params.ambient_strength, 0.2)
+            ambient = (kd * env_diff * mp.colour + f * env_spec) * amb_str
+
+        return direct + ambient + mp.emission
+
+
+def _detect_backend(requested: str) -> str:
+    if requested == "pallas":
+        return "pallas"
+    # auto: pallas on TPU once the kernel lands, jnp elsewhere
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        platform = "cpu"
+    return "jnp" if platform != "tpu" else "jnp"  # flips when pallas lands

@@ -1,0 +1,122 @@
+"""Renderer driver — the Application::Run / Renderer frame-pacing analog.
+
+What the reference's backend plumbing does is absorbed here by JAX/XLA,
+deliberately (SURVEY §2.2 inventory accounting):
+
+  * VulkanInstance/VulkanDevice/VulkanContext → ``jax.devices()`` and the
+    XLA client; device pick, feature probing and allocator are the
+    runtime's.
+  * Swapchain / present → headless readback (runtime/output.py).
+  * Frame pacing (fences, frames-in-flight, Renderer.cpp:147-309) →
+    XLA async dispatch: ``render()`` returns a device array immediately;
+    ``np.asarray`` / ``block_until_ready`` is the fence. Buffer donation
+    of FrameState replaces the deletion queue + history copies.
+  * PipelineManager's pipeline cache → the jit cache keyed by
+    (RenderSettings, history_valid).
+  * Descriptor sets / barriers / layouts → nonexistent by construction.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..core.camera import OrbitCamera
+from ..graph.params import FrameParams, FrameState
+from ..graph.passes import FrameContext
+from ..paths.factory import create_render_path
+
+
+class Renderer:
+    def __init__(self, settings, scene_data, shadow_query=None,
+                 trace_radiance=None):
+        self.settings = settings
+        self.scene = scene_data
+        self.path = create_render_path(settings)
+        self.shadow_query = shadow_query
+        self.trace_radiance = trace_radiance
+        self.state = FrameState.empty()
+        self.frame_count = 0
+        self._fns = {}
+
+    @classmethod
+    def for_scene(cls, settings, scene_data):
+        """Construct with ray-trace hooks auto-attached when the path's
+        flags ask for RT (the RenderPathFactory + IsRayTracingSupported
+        analog)."""
+        shadow_query = None
+        trace_radiance = None
+        from ..core.types import RenderFlags, RenderPathType
+
+        needs_rt = (settings.path == RenderPathType.RAYTRACED) or bool(
+            settings.flags & (RenderFlags.SHADOW | RenderFlags.AO
+                              | RenderFlags.REFLECTION | RenderFlags.GI))
+        if needs_rt:
+            try:
+                from ..ops import trace as trace_ops
+
+                tracer = trace_ops.SceneTracer.build(scene_data, settings)
+                shadow_query = tracer.shadow_query
+                trace_radiance = tracer.trace_radiance
+            except ImportError:
+                pass  # tracer not available: neutral RT signals
+        return cls(settings, scene_data, shadow_query=shadow_query,
+                   trace_radiance=trace_radiance)
+
+    # --- jitted frame function per (history_valid,) ---------------------
+    def _get_frame_fn(self, history_valid: bool):
+        key = history_valid
+        if key in self._fns:
+            return self._fns[key]
+
+        path = self.path
+        settings = self.settings
+        shadow_query = self.shadow_query
+        trace_radiance = self.trace_radiance
+
+        def frame(scene, cam_state, params, state):
+            ctx = FrameContext(
+                scene=scene, cam=cam_state, params=params, settings=settings,
+                state=state, history_valid=history_valid,
+                shadow_query=shadow_query, trace_radiance=trace_radiance)
+            out, new_state, _ = path.run(ctx, state)
+            return out, new_state
+
+        fn = jax.jit(frame, donate_argnums=(3,))
+        self._fns[key] = fn
+        return fn
+
+    # --- public API -----------------------------------------------------
+    def render(self, cam_state, params: Optional[FrameParams] = None):
+        """Render one frame; returns the device array (async)."""
+        if params is None:
+            params = FrameParams.create(self.scene,
+                                        frame_index=self.frame_count)
+        fn = self._get_frame_fn(history_valid=self.frame_count > 0)
+        out, self.state = fn(self.scene, cam_state, params, self.state)
+        self.frame_count += 1
+        return out
+
+    def render_np(self, cam_state, params=None) -> np.ndarray:
+        return np.asarray(self.render(cam_state, params))
+
+    def reset_history(self):
+        """Path switch / resize semantics (RenderPath.cpp:50-56): drop
+        all carried history."""
+        self.state = FrameState.empty()
+        self.frame_count = 0
+
+    def benchmark(self, camera: OrbitCamera, frames: int = 32,
+                  warmup: int = 4) -> dict:
+        """Steady-state FPS measurement."""
+        for _ in range(warmup):
+            out = self.render(camera.step(taa_enabled=True))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            out = self.render(camera.step(taa_enabled=True))
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        return {"fps": frames / dt, "ms_per_frame": 1000.0 * dt / frames}

@@ -192,7 +192,9 @@ class Scene:
             materials=MaterialTable.build(self.materials),
             instances=instances,
             vertices=VertexArrays(
-                position=jnp.asarray(positions), normal=jnp.asarray(normals),
+                position=jnp.asarray(positions),
+                world_position=jnp.asarray(pw),
+                normal=jnp.asarray(normals),
                 tangent=jnp.asarray(tangents), uv=jnp.asarray(uvs),
             ),
             indices=jnp.asarray(indices),

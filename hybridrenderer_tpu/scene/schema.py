@@ -124,10 +124,12 @@ class InstanceTable:
 class VertexArrays:
     """Concatenated vertex attribute arrays (GpuVertex, ShaderCommon.h:183-189)."""
 
-    position: Any  # (V, 3) local space
-    normal: Any    # (V, 3)
-    tangent: Any   # (V, 4)
-    uv: Any        # (V, 2)
+    position: Any        # (V, 3) local space
+    world_position: Any  # (V, 3) world space (baked; == position @ T for
+                         # the owning instance, recomputed on scene changes)
+    normal: Any          # (V, 3)
+    tangent: Any         # (V, 4)
+    uv: Any              # (V, 2)
 
 
 @jax.tree_util.register_dataclass

@@ -1,0 +1,163 @@
+"""SVGF + TAA unit tests (small images, property-based)."""
+import jax.numpy as jnp
+import numpy as np
+
+from hybridrenderer_tpu.ops import svgf, taa
+
+H, W = 24, 32
+PHI = jnp.array([4.0, 128.0, 0.02, 0.0], jnp.float32)
+
+
+def _flat_geom(depth_val=5.0):
+    normal = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (H, W, 1))
+    motion_plane = jnp.zeros((H, W, 4)).at[..., 2].set(depth_val)
+    oid = jnp.zeros((H, W), jnp.int32)
+    return normal, motion_plane, oid
+
+
+def test_temporal_accumulates_history_length():
+    normal, mp, oid = _flat_geom()
+    hist = svgf.SVGFSignalHistory.create(H, W)
+    sig = jnp.ones((H, W, 4))
+    albedo = jnp.ones((H, W, 3))
+    out, moments = svgf.temporal(sig, albedo, mp, normal, oid, hist,
+                                 normal, mp[..., 2], oid,
+                                 use_albedo_demod=False, history_valid=False)
+    assert float(moments[..., 3].mean()) == 1.0
+    hist2 = svgf.SVGFSignalHistory(signal=out, moments=moments)
+    out2, moments2 = svgf.temporal(sig, albedo, mp, normal, oid, hist2,
+                                   normal, mp[..., 2], oid,
+                                   use_albedo_demod=False, history_valid=True)
+    assert float(moments2[..., 3].mean()) == 2.0
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(sig), atol=1e-5)
+
+
+def test_temporal_variance_decreases():
+    """EMA over noisy constant-mean signal shrinks luma variance."""
+    rng = np.random.default_rng(3)
+    normal, mp, oid = _flat_geom()
+    albedo = jnp.ones((H, W, 3))
+    hist = svgf.SVGFSignalHistory.create(H, W)
+    var0 = None
+    for frame in range(12):
+        noise = rng.random((H, W, 1)).astype(np.float32)
+        sig = jnp.concatenate(
+            [jnp.asarray(np.repeat(noise, 3, -1)), jnp.ones((H, W, 1))], -1)
+        out, moments = svgf.temporal(
+            sig, albedo, mp, normal, oid, hist, normal, mp[..., 2], oid,
+            use_albedo_demod=False, history_valid=frame > 0)
+        hist = svgf.SVGFSignalHistory(signal=out, moments=moments)
+        if frame == 1:
+            var0 = float(moments[..., 2].mean())
+    var_end = float(moments[..., 2].mean())
+    # accumulated signal's own variance across pixels also shrinks
+    spatial_spread = float(np.var(np.asarray(out[..., 0])))
+    assert spatial_spread < float(np.var(noise)) * 0.5
+
+
+def test_temporal_rejects_id_mismatch():
+    normal, mp, oid = _flat_geom()
+    hist = svgf.SVGFSignalHistory(
+        signal=jnp.full((H, W, 4), 100.0),
+        moments=jnp.full((H, W, 4), 9.0))
+    prev_oid = jnp.ones((H, W), jnp.int32)  # different object last frame
+    sig = jnp.ones((H, W, 4)) * 0.5
+    out, moments = svgf.temporal(sig, jnp.ones((H, W, 3)), mp, normal, oid,
+                                 hist, normal, mp[..., 2], prev_oid,
+                                 use_albedo_demod=False, history_valid=True)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)  # no ghosting
+    assert float(moments[..., 3].mean()) == 1.0
+
+
+def test_atrous_preserves_uniform_image():
+    normal, mp, oid = _flat_geom()
+    sig = jnp.full((H, W, 4), 0.7).at[..., 3].set(0.01)
+    out = svgf.atrous(sig, sig, normal, mp, step=1, svgf_phi=PHI)
+    np.testing.assert_allclose(np.asarray(out[..., :3]), 0.7, atol=1e-5)
+
+
+def test_atrous_smooths_noise():
+    rng = np.random.default_rng(0)
+    normal, mp, oid = _flat_geom()
+    noisy = rng.random((H, W)).astype(np.float32)
+    sig = jnp.stack([noisy, noisy, noisy, np.full_like(noisy, 0.1)], -1)
+    out = svgf.atrous(sig, sig, normal, mp, step=1, svgf_phi=PHI)
+    assert np.var(np.asarray(out[..., 0])) < np.var(noisy) * 0.8
+
+
+def test_filter_moments_boosts_young_variance():
+    normal, mp, oid = _flat_geom()
+    rng = np.random.default_rng(1)
+    noisy = jnp.asarray(rng.random((H, W, 1)).astype(np.float32))
+    sig = jnp.concatenate([jnp.repeat(noisy, 3, -1), jnp.zeros((H, W, 1))], -1)
+    young = jnp.concatenate(
+        [jnp.zeros((H, W, 2)), jnp.zeros((H, W, 1)), jnp.ones((H, W, 1))], -1)
+    old = young.at[..., 3].set(10.0)
+    _, m_young = svgf.filter_moments(sig, young, normal, mp, PHI)
+    _, m_old = svgf.filter_moments(sig, old, normal, mp, PHI)
+    assert float(m_young[..., 2].mean()) > float(m_old[..., 2].mean()) * 2.0
+
+
+def test_variance_blur_spreads_spike():
+    m = jnp.zeros((H, W, 4)).at[H // 2, W // 2, 2].set(1.0)
+    out = svgf.variance_blur(m)
+    assert float(out[H // 2, W // 2 + 1, 2]) > 0.2  # max-component smears
+    assert float(out[H // 2, W // 2, 2]) > 0.5
+
+
+def test_denoise_full_chain_runs():
+    normal, mp, oid = _flat_geom()
+    rng = np.random.default_rng(5)
+    sig = jnp.asarray(rng.random((H, W, 4)).astype(np.float32))
+    albedo = jnp.full((H, W, 3), 0.5)
+    hist = svgf.SVGFSignalHistory.create(H, W)
+    cfg = svgf.SVGFConfig(prefix="T", atrous_iterations=3,
+                          use_albedo_demod=True)
+    out, new_hist, var = svgf.denoise(
+        sig, albedo, mp, normal, oid, hist, normal, mp[..., 2], oid, cfg,
+        PHI, history_valid=False)
+    assert out.shape == (H, W, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    assert new_hist.signal.shape == (H, W, 4)
+    # demod+remod roundtrip: uniform signal stays near its value
+    assert 0.0 < float(out[..., :3].mean()) < 2.0
+
+
+# --- TAA -------------------------------------------------------------------
+
+def _taa_inputs(color_val=0.5):
+    cur = jnp.full((H, W, 3), color_val)
+    motion = jnp.zeros((H, W, 2))
+    depth = jnp.full((H, W), 0.5)
+    j = jnp.zeros((2,))
+    return cur, motion, depth, j
+
+
+def test_taa_static_identity():
+    cur, motion, depth, j = _taa_inputs()
+    out = taa.resolve(cur, cur, motion, depth, j, j, history_valid=True)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-4)
+
+
+def test_taa_disabled_passthrough():
+    cur, motion, depth, j = _taa_inputs()
+    hist = jnp.zeros_like(cur)
+    out = taa.resolve(cur, hist, motion, depth, j, j, history_valid=True,
+                      enabled=False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(cur))
+
+
+def test_taa_clips_stale_history():
+    """History far outside the neighborhood AABB must be clipped toward
+    the current color (ghosting kill)."""
+    cur, motion, depth, j = _taa_inputs(0.2)
+    hist = jnp.full((H, W, 3), 50.0)
+    out = taa.resolve(cur, hist, motion, depth, j, j, history_valid=True)
+    assert float(np.abs(np.asarray(out) - 0.2).max()) < 0.05
+
+
+def test_taa_nan_history_safe():
+    cur, motion, depth, j = _taa_inputs()
+    hist = jnp.full((H, W, 3), jnp.nan)
+    out = taa.resolve(cur, hist, motion, depth, j, j, history_valid=True)
+    assert np.isfinite(np.asarray(out)).all()

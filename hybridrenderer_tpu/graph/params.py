@@ -32,14 +32,16 @@ class FrameParams:
     @staticmethod
     def create(scene, exposure=1.0, frame_index=0,
                svgf_phi=(4.0, 128.0, 0.02, 0.0)) -> "FrameParams":
+        import numpy as np  # host-side scalars; device transfer at jit boundary
+
         return FrameParams(
             sun_direction=scene.sun.direction,
             sun_color=scene.sun.color,
             sun_intensity=scene.sun.intensity,
             ambient_strength=scene.sun.ambient,
-            exposure=jnp.float32(exposure),
-            svgf_phi=jnp.asarray(svgf_phi, jnp.float32),
-            frame_index=jnp.uint32(frame_index),
+            exposure=np.float32(exposure),
+            svgf_phi=np.asarray(svgf_phi, np.float32),
+            frame_index=np.uint32(frame_index),
         )
 
 

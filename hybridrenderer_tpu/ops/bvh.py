@@ -113,7 +113,7 @@ def build_radix_tree(codes):
     for _ in range(32):
         probe = _delta(codes, i, i + (s + t) * d, T)
         s = jnp.where((t > 0) & (probe > delta_node), s + t, s)
-        div *= 2
+        div = min(div * 2, 1 << 30)  # cap: avoids int32 overflow; t==0 there
         t = (l + div - 1) // div
 
     gamma = i + s * d + jnp.minimum(d, 0)

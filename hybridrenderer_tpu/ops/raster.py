@@ -246,23 +246,31 @@ def rasterize(tris: ClippedTriangles, width: int, height: int,
         cover = cover & (z >= 0.0) & (z <= 1.0)
         zc = jnp.where(cover, z, -1.0)
 
-        # winner within chunk
-        win = jnp.argmax(zc, axis=0)  # (H, W)
-        win_z = jnp.take_along_axis(zc, win[None], axis=0)[0]
+        # winner within chunk — selection is done with a one-hot mask
+        # (pure VPU compares + reductions): TPU-hostile gathers avoided.
+        win = jnp.argmax(zc, axis=0)                      # (H, W)
+        win_z = jnp.max(zc, axis=0)                       # (H, W)
+        onehot = (jnp.arange(zc.shape[0], dtype=jnp.int32)[:, None, None]
+                  == win[None])                           # (C, H, W) bool
 
-        # perspective-correct original barycentrics for the winner
-        def pick(x):
-            return jnp.take_along_axis(x, win[None], axis=0)[0]
+        def sel(x):  # (C, H, W) → winner's value, gather-free
+            return jnp.sum(jnp.where(onehot, x, 0.0), axis=0)
 
-        u0 = pick(l0) * pick(jnp.broadcast_to(c_iw[:, 0, None, None], l0.shape))
-        u1 = pick(l1) * pick(jnp.broadcast_to(c_iw[:, 1, None, None], l0.shape))
-        u2 = pick(l2) * pick(jnp.broadcast_to(c_iw[:, 2, None, None], l0.shape))
+        # perspective-correct original barycentrics, per candidate
+        u0 = l0 * c_iw[:, 0, None, None]
+        u1 = l1 * c_iw[:, 1, None, None]
+        u2 = l2 * c_iw[:, 2, None, None]
         s = jnp.maximum(u0 + u1 + u2, 1e-20)
         pc0, pc1, pc2 = u0 / s, u1 / s, u2 / s
-        Bw = c_bary[win]  # (H, W, 3verts, 3comps)
-        ob1 = pc0 * Bw[..., 0, 1] + pc1 * Bw[..., 1, 1] + pc2 * Bw[..., 2, 1]
-        ob2 = pc0 * Bw[..., 0, 2] + pc1 * Bw[..., 1, 2] + pc2 * Bw[..., 2, 2]
-        win_tri = c_id[win]
+        B = c_bary  # (C, 3verts, 3comps)
+        ob1_all = (pc0 * B[:, 0, 1, None, None] + pc1 * B[:, 1, 1, None, None]
+                   + pc2 * B[:, 2, 1, None, None])
+        ob2_all = (pc0 * B[:, 0, 2, None, None] + pc1 * B[:, 1, 2, None, None]
+                   + pc2 * B[:, 2, 2, None, None])
+        ob1 = sel(ob1_all)
+        ob2 = sel(ob2_all)
+        win_tri = jnp.sum(
+            jnp.where(onehot, c_id[:, None, None], 0), axis=0).astype(jnp.int32)
 
         take = win_z > best_z
         best_b1 = jnp.where(take, ob1, best_b1)

@@ -1,0 +1,104 @@
+"""Sharded frame execution — pjit the whole frame over a device mesh.
+
+Strategy (SURVEY §2.9 / §5.8 design): one traced frame program, GSPMD-
+partitioned. Image-space tensors (visibility buffer, G-buffer planes,
+SVGF/TAA history, output) are sharded over rows (`P('y')`); scene,
+camera, params are replicated. XLA then:
+
+  * splits the raster edge-function/depth-resolve loops row-wise (each
+    chip rasterizes the full triangle list against its rows — raster is
+    embarrassingly data-parallel in screen space),
+  * inserts halo collective-permutes for the shifted reads in SVGF/TAA
+    stencils,
+  * runs ray passes on each chip's own pixels (BVH replicated, so no ray
+    forwarding is needed at Sponza scale; see SURVEY §5.7).
+
+This is the "pick a mesh, annotate, let XLA place collectives" recipe —
+no hand-written NCCL/MPI analog exists, by design.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..graph.params import FrameState
+from ..graph.passes import FrameContext
+
+
+def _state_shardings(state: FrameState, mesh, axis: str):
+    """History images are (H, W, ...) → shard rows; scalars replicated."""
+
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, state)
+
+
+class ShardedRenderer:
+    """Multi-chip wrapper around a RenderPath: same API as the
+    single-chip Renderer but the jitted frame is GSPMD-sharded."""
+
+    def __init__(self, settings, scene_data, mesh, axis: str = "y",
+                 tracer=None):
+        from ..paths.factory import create_render_path
+
+        self.settings = settings
+        self.scene = scene_data
+        self.mesh = mesh
+        self.axis = axis
+        self.path = create_render_path(settings)
+        self.tracer = tracer
+        self.state = FrameState.empty()
+        self.frame_count = 0
+        self._fns = {}
+        if settings.height % mesh.devices.size != 0:
+            raise ValueError(
+                f"height {settings.height} not divisible by mesh size "
+                f"{mesh.devices.size}")
+
+    def _get_frame_fn(self, history_valid: bool):
+        if history_valid in self._fns:
+            return self._fns[history_valid]
+
+        path, settings = self.path, self.settings
+        mesh, axis = self.mesh, self.axis
+        has_tracer = self.tracer is not None
+        out_sharding = NamedSharding(mesh, P(axis))
+
+        def frame(scene, cam_state, params, state, tracer):
+            shadow_query = None
+            trace_radiance = None
+            if has_tracer:
+                def shadow_query(p, n, d, t):
+                    return tracer.shadow_query(scene, p, n, d, t)
+
+                def trace_radiance(o, d, c, dep):
+                    return tracer.trace_radiance(scene, o, d, c, dep)
+            ctx = FrameContext(
+                scene=scene, cam=cam_state, params=params, settings=settings,
+                state=state, history_valid=history_valid,
+                shadow_query=shadow_query, trace_radiance=trace_radiance)
+            out, new_state, _ = path.run(ctx, state)
+            out = jax.lax.with_sharding_constraint(out, out_sharding)
+            return out, new_state
+
+        fn = jax.jit(frame, donate_argnums=(3,))
+        self._fns[history_valid] = fn
+        return fn
+
+    def render(self, cam_state, params=None):
+        from ..graph.params import FrameParams
+
+        if params is None:
+            params = FrameParams.create(self.scene,
+                                        frame_index=self.frame_count)
+        fn = self._get_frame_fn(self.frame_count > 0)
+        with self.mesh:
+            out, self.state = fn(self.scene, cam_state, params, self.state,
+                                 self.tracer)
+        self.frame_count += 1
+        return out

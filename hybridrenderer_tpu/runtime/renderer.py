@@ -30,13 +30,11 @@ from ..paths.factory import create_render_path
 
 
 class Renderer:
-    def __init__(self, settings, scene_data, shadow_query=None,
-                 trace_radiance=None):
+    def __init__(self, settings, scene_data, tracer=None):
         self.settings = settings
         self.scene = scene_data
         self.path = create_render_path(settings)
-        self.shadow_query = shadow_query
-        self.trace_radiance = trace_radiance
+        self.tracer = tracer
         self.state = FrameState.empty()
         self.frame_count = 0
         self._fns = {}
@@ -46,24 +44,17 @@ class Renderer:
         """Construct with ray-trace hooks auto-attached when the path's
         flags ask for RT (the RenderPathFactory + IsRayTracingSupported
         analog)."""
-        shadow_query = None
-        trace_radiance = None
         from ..core.types import RenderFlags, RenderPathType
 
+        tracer = None
         needs_rt = (settings.path == RenderPathType.RAYTRACED) or bool(
             settings.flags & (RenderFlags.SHADOW | RenderFlags.AO
                               | RenderFlags.REFLECTION | RenderFlags.GI))
         if needs_rt:
-            try:
-                from ..ops import trace as trace_ops
+            from ..ops import trace as trace_ops
 
-                tracer = trace_ops.SceneTracer.build(scene_data, settings)
-                shadow_query = tracer.shadow_query
-                trace_radiance = tracer.trace_radiance
-            except ImportError:
-                pass  # tracer not available: neutral RT signals
-        return cls(settings, scene_data, shadow_query=shadow_query,
-                   trace_radiance=trace_radiance)
+            tracer = trace_ops.SceneTracer.build(scene_data, settings)
+        return cls(settings, scene_data, tracer=tracer)
 
     # --- jitted frame function per (history_valid,) ---------------------
     def _get_frame_fn(self, history_valid: bool):
@@ -73,10 +64,17 @@ class Renderer:
 
         path = self.path
         settings = self.settings
-        shadow_query = self.shadow_query
-        trace_radiance = self.trace_radiance
+        has_tracer = self.tracer is not None
 
-        def frame(scene, cam_state, params, state):
+        def frame(scene, cam_state, params, state, tracer):
+            shadow_query = None
+            trace_radiance = None
+            if has_tracer:
+                def shadow_query(p, n, d, t):
+                    return tracer.shadow_query(scene, p, n, d, t)
+
+                def trace_radiance(o, d, c, dep):
+                    return tracer.trace_radiance(scene, o, d, c, dep)
             ctx = FrameContext(
                 scene=scene, cam=cam_state, params=params, settings=settings,
                 state=state, history_valid=history_valid,
@@ -95,7 +93,8 @@ class Renderer:
             params = FrameParams.create(self.scene,
                                         frame_index=self.frame_count)
         fn = self._get_frame_fn(history_valid=self.frame_count > 0)
-        out, self.state = fn(self.scene, cam_state, params, self.state)
+        out, self.state = fn(self.scene, cam_state, params, self.state,
+                             self.tracer)
         self.frame_count += 1
         return out
 

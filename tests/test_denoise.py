@@ -90,8 +90,10 @@ def test_filter_moments_boosts_young_variance():
     rng = np.random.default_rng(1)
     noisy = jnp.asarray(rng.random((H, W, 1)).astype(np.float32))
     sig = jnp.concatenate([jnp.repeat(noisy, 3, -1), jnp.zeros((H, W, 1))], -1)
-    young = jnp.concatenate(
-        [jnp.zeros((H, W, 2)), jnp.zeros((H, W, 1)), jnp.ones((H, W, 1))], -1)
+    luma = noisy[..., 0]
+    # m2 = m1 → per-pixel var m1 - m1² > 0 for 0 < m1 < 1
+    young = jnp.stack([luma, luma, jnp.zeros_like(luma),
+                       jnp.ones_like(luma)], -1)
     old = young.at[..., 3].set(10.0)
     _, m_young = svgf.filter_moments(sig, young, normal, mp, PHI)
     _, m_old = svgf.filter_moments(sig, old, normal, mp, PHI)

@@ -79,7 +79,7 @@ def test_any_hit_occlusion():
     data = scene_mod.cube_scene().build()
     tracer = trace.SceneTracer.build(data)
     # ray from above the cube straight down: occluded before the floor
-    o = jnp.array([[0.0, 5.0, 0.0], [10.0, 5.0, 10.0]])
+    o = jnp.array([[0.0, 5.0, 0.0], [5.0, 5.0, 5.0]])
     d = jnp.array([[0.0, -1.0, 0.0], [0.0, -1.0, 0.0]])
     vis = tracer.occluded(data, o, d, 100.0)
     assert float(vis[0]) == 0.0  # hits cube/floor

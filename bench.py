@@ -56,16 +56,21 @@ def main():
     cam = OrbitCamera(width=width, height=height, distance=30.0, pitch=0.5,
                       yaw=0.8, focal_point=(0, 2.0, 0))
 
-    # warmup / compile (2 variants: cold + history)
+    import numpy as np
+
+    # warmup / compile (2 variants: cold + history). NOTE: frames chain
+    # through the carried FrameState, so executions serialize on-device;
+    # a host readback of the last frame is the only reliable fence on
+    # this backend (block_until_ready returns early through the tunnel).
     out = renderer.render(cam.step(taa_enabled=True))
     out = renderer.render(cam.step(taa_enabled=True))
-    jax.block_until_ready(out)
+    _ = np.asarray(out[0, 0])
 
     t0 = time.perf_counter()
     for _ in range(frames):
         cam.orbit(0.01, 0.0)
         out = renderer.render(cam.step(taa_enabled=True))
-    jax.block_until_ready(out)
+    _ = np.asarray(out[0, 0])
     dt = time.perf_counter() - t0
     fps = frames / dt
 

@@ -42,25 +42,54 @@ class FrameContext:
 # Geometry: raster + deferred G-buffer (DepthPrepass + GBufferPass)
 # ---------------------------------------------------------------------------
 
+def _use_pallas(requested: str) -> bool:
+    if requested in ("jnp", "pallas"):
+        return requested == "pallas"
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def make_gbuffer_pass(settings):
     """GBufferPass (GBufferPass.cpp:13-139): full MRT G-buffer.
 
     Instance frustum culling replaces the reference's octree traversal
     with a dense vectorized AABB test (see scene/scene.py docstring).
+    Raster backend: binned Pallas tile kernel on TPU, jnp reference scan
+    elsewhere (settings.raster_backend overrides).
     """
+    pallas_raster = _use_pallas(settings.raster_backend)
 
     def fn(reg, ctx: FrameContext):
         sc, cam = ctx.scene, ctx.cam
-        planes = maths.frustum_from_viewproj(cam.proj @ cam.view)
+        proj = jnp.asarray(cam.proj)
+        view = jnp.asarray(cam.view)
+        planes = maths.frustum_from_viewproj(proj @ view)
         culled = maths.aabb_outside_frustum(
             sc.instances.aabb_min, sc.instances.aabb_max, planes)
         tri_mask = ~culled[sc.triangles.instance]
         jitter_on = bool(settings.flags & RenderFlags.TAA) or \
             bool(settings.flags & RenderFlags.SVGF)
-        vis = raster_ops.rasterize_scene(
-            sc.vertices.world_position, sc.triangles.i0, sc.triangles.i1,
-            sc.triangles.i2, cam, settings.width, settings.height,
-            jitter_enabled=jitter_on, tri_mask=tri_mask)
+        if pallas_raster:
+            from ..ops import raster_pallas
+
+            jit2 = jnp.asarray(cam.jitter) if jitter_on else None
+            clip = raster_ops.transform_to_clip(
+                sc.vertices.world_position, proj @ view, jit2)
+            tris = raster_ops.clip_triangles(
+                clip, sc.triangles.i0, sc.triangles.i1, sc.triangles.i2,
+                settings.width, settings.height, tri_mask)
+            vis = raster_pallas.rasterize_binned(
+                tris, settings.width, settings.height,
+                tile_h=settings.tile_h, tile_w=settings.tile_w)
+        else:
+            vis = raster_ops.rasterize_scene(
+                sc.vertices.world_position, sc.triangles.i0, sc.triangles.i1,
+                sc.triangles.i2, cam, settings.width, settings.height,
+                jitter_enabled=jitter_on, tri_mask=tri_mask)
         gb = gbuffer_ops.build_gbuffer(vis, sc, cam)
         return {
             "_GBuffer": gb,

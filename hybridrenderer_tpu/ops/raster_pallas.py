@@ -1,0 +1,378 @@
+"""Binned tile rasterizer — the Pallas perf path.
+
+Replaces the O(T·H·W) jnp reference resolve (ops/raster.py) with a
+two-phase design shaped for the TPU memory system:
+
+1. **Pack + bin (jnp)** — every post-clip candidate becomes a 24-float
+   record: the three edge-function coefficient triples pre-scaled by
+   1/(w·area) (each evaluated form is simultaneously the coverage test
+   and the unnormalized perspective-correct weight u_i), per-vertex
+   clip-space z (Σ z_clip_i · u_i = z_ndc directly), the original-triangle
+   barycentric columns, and the record's x-extent in tile units.
+   Candidates are split into three classes by screen-tile span:
+     A. span ≤ max_span      → exact (tile, record) entries
+     B. tall/wide triangles  → per-tile-ROW entries (every tile in the
+                               row evaluates them, masked by x-extent)
+     C. > max_rows rows      → tiny global list all tiles walk
+   Each class is sorted/compacted (one argsort for A, one for B) into a
+   contiguous *record-blocked, transposed* stream ``(blocks, 24, 128)`` —
+   records ride the 128-lane dimension so DMAs and reductions stay
+   tiling-aligned. A/B streams are truncated to static caps after sorting
+   (dead slots sort to the end), bounding the gather volume.
+
+2. **Raster kernel (Pallas)** — grid over 8×128-pixel screen tiles; each
+   program double-buffer-DMAs its record blocks and evaluates each edge
+   form for 128 records × 1024 pixels as one (P, 3) × (3, 128) MXU
+   matmul; reversed-Z depth max-resolves along the lane (record)
+   dimension with an argmax one-hot — no gathers anywhere.
+
+Output contract matches ops/raster.rasterize: a VisibilityBuffer of
+(tri_id, perspective-correct original barycentrics, reversed-Z depth).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster import AREA_EPS, ClippedTriangles, VisibilityBuffer, _edge_coeffs
+
+RECORD_ROWS = 24   # padded row count of a record block
+BLOCK = 128        # records per block (lane dimension)
+
+# row indices inside a record block (coefficient triples start at 8-aligned
+# offsets so (3, 128) sublane slices stay aligned)
+_R_F0 = 0    # rows 0-2: edge0 coeffs (a, b, c)
+_R_Z = 3     # rows 3-5: clip-space z per vertex
+_R_TRI = 6   # row 6: triangle id (f32-exact < 2^24)
+_R_TX0 = 7   # row 7: first covered tile column (f32)
+_R_F1 = 8    # rows 8-10: edge1 coeffs
+_R_B1 = 11   # rows 11-13: original bary column 1 per vertex
+_R_TX1 = 14  # row 14: last covered tile column (f32)
+_R_F2 = 16   # rows 16-18: edge2 coeffs
+_R_B2 = 19   # rows 19-21: original bary column 2 per vertex
+
+
+def pack_candidates(tris: ClippedTriangles):
+    """ClippedTriangles → (T2, 24) records (row layout above) + bboxes."""
+    p0, p1, p2 = tris.sxy[:, 0], tris.sxy[:, 1], tris.sxy[:, 2]
+    a0, b0, g0 = _edge_coeffs(p1, p2)
+    a1, b1, g1 = _edge_coeffs(p2, p0)
+    a2, b2, g2 = _edge_coeffs(p0, p1)
+    area2 = g0 + a0 * p0[:, 0] + b0 * p0[:, 1]
+    sgn = jnp.where(area2 < 0, -1.0, 1.0)
+    area = jnp.abs(area2)
+    valid = tris.valid & (area > AREA_EPS)
+    inv_area = sgn / jnp.maximum(area, AREA_EPS)
+
+    iw = tris.inv_w  # (T2, 3)
+
+    def form(a, b, g, scale):
+        return jnp.stack([a * scale, b * scale, g * scale], axis=-1)
+
+    f0 = form(a0, b0, g0, inv_area * iw[:, 0])
+    f1 = form(a1, b1, g1, inv_area * iw[:, 1])
+    f2 = form(a2, b2, g2, inv_area * iw[:, 2])
+    z_clip = tris.z / jnp.maximum(iw, 1e-30)  # z_ndc · w
+    B = tris.bary  # (T2, 3, 3)
+
+    # invalid → constant negative edge: never covers
+    f0 = jnp.where((~valid)[:, None], jnp.array([0.0, 0.0, -1.0]), f0)
+
+    T2 = tris.tri_id.shape[0]
+    rec = jnp.zeros((T2, RECORD_ROWS), jnp.float32)
+    rec = rec.at[:, _R_F0:_R_F0 + 3].set(f0)
+    rec = rec.at[:, _R_Z:_R_Z + 3].set(z_clip)
+    rec = rec.at[:, _R_TRI].set(tris.tri_id.astype(jnp.float32))
+    rec = rec.at[:, _R_F1:_R_F1 + 3].set(f1)
+    rec = rec.at[:, _R_B1:_R_B1 + 3].set(B[:, :, 1])
+    rec = rec.at[:, _R_F2:_R_F2 + 3].set(f2)
+    rec = rec.at[:, _R_B2:_R_B2 + 3].set(B[:, :, 2])
+
+    xs = tris.sxy[..., 0]
+    ys = tris.sxy[..., 1]
+    bbox = jnp.stack([xs.min(1), xs.max(1), ys.min(1), ys.max(1)], axis=-1)
+    return rec, bbox, valid
+
+
+def _to_blocks(flat):
+    """(E, 24) → (E/128, 24, 128) record-blocked transposed layout."""
+    return flat.reshape(-1, BLOCK, RECORD_ROWS).transpose(0, 2, 1)
+
+
+def _sorted_stream(packed, entry_key, entry_cand, n_segments, cap):
+    """Sort entries by key, truncate to ``cap``, gather records, and
+    return (blocked stream, starts, counts) over ``n_segments`` keys."""
+    order = jnp.argsort(entry_key)
+    sorted_key = entry_key[order]
+    kix = jnp.arange(n_segments + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(sorted_key, kix).astype(jnp.int32)
+    starts = jnp.minimum(bounds[:-1], cap)
+    counts = jnp.minimum(bounds[1:], cap) - starts
+
+    # Dead entries (key == n_segments) sort past every real segment's
+    # [start, start+count) and padded blocks are only touched by the
+    # kernel's over-fetch lanes (masked) — no extra kill needed.
+    idx = entry_cand[order[:cap]]
+    stream = packed[idx]
+    pad = (-stream.shape[0]) % BLOCK + BLOCK
+    stream = jnp.pad(stream, ((0, pad), (0, 0)))
+    return _to_blocks(stream), starts, counts
+
+
+def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
+                   max_span: int = 8, max_rows: int = 16,
+                   cap_a: int = 262144, cap_b: int = 32768,
+                   overflow_cap: int = 1024):
+    """Three-class binning; see module docstring."""
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    ntiles = ntx * nty
+
+    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(jnp.floor(bbox[:, 1] / tile_w).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor(bbox[:, 2] / tile_h).astype(jnp.int32), 0, nty - 1)
+    ty1 = jnp.clip(jnp.floor(bbox[:, 3] / tile_h).astype(jnp.int32), 0, nty - 1)
+    onscreen = valid & (bbox[:, 1] >= 0) & (bbox[:, 0] < width) & \
+        (bbox[:, 3] >= 0) & (bbox[:, 2] < height)
+
+    # stash tile-column extent in the record (kernel masks class-B/C evals)
+    packed = packed.at[:, _R_TX0].set(tx0.astype(jnp.float32))
+    packed = packed.at[:, _R_TX1].set(tx1.astype(jnp.float32))
+
+    span_w = tx1 - tx0 + 1
+    span_h = ty1 - ty0 + 1
+    span = span_w * span_h
+    cls_a = onscreen & (span <= max_span)
+    cls_b = onscreen & (span > max_span) & (span_h <= max_rows)
+    cls_c = onscreen & (span_h > max_rows)
+
+    # --- class A: exact tile entries ---
+    k = jnp.arange(max_span, dtype=jnp.int32)[None, :]
+    kx = tx0[:, None] + k % jnp.maximum(span_w, 1)[:, None]
+    ky = ty0[:, None] + k // jnp.maximum(span_w, 1)[:, None]
+    in_span = (k < span[:, None]) & cls_a[:, None]
+    tile_id = jnp.where(in_span, ky * ntx + kx, ntiles)
+    T2 = packed.shape[0]
+    cand_a = jnp.broadcast_to(
+        jnp.arange(T2, dtype=jnp.int32)[:, None], tile_id.shape)
+    stream_a, starts_a, counts_a = _sorted_stream(
+        packed, tile_id.reshape(-1), cand_a.reshape(-1), ntiles, cap_a)
+
+    # --- class B: per-row entries ---
+    kr = jnp.arange(max_rows, dtype=jnp.int32)[None, :]
+    row = ty0[:, None] + kr
+    in_row = (kr < span_h[:, None]) & cls_b[:, None]
+    row_id = jnp.where(in_row, row, nty)
+    cand_b = jnp.broadcast_to(
+        jnp.arange(T2, dtype=jnp.int32)[:, None], row_id.shape)
+    stream_b, starts_b, counts_b = _sorted_stream(
+        packed, row_id.reshape(-1), cand_b.reshape(-1), nty, cap_b)
+
+    # --- class C: global list (huge triangles; rare) ---
+    ov_rank = jnp.cumsum(cls_c.astype(jnp.int32)) - 1
+    ov_slot = jnp.where(cls_c, jnp.minimum(ov_rank, overflow_cap - 1),
+                        overflow_cap)
+    overflow = jnp.zeros((overflow_cap + BLOCK, RECORD_ROWS), jnp.float32)
+    overflow = overflow.at[ov_slot].set(packed, mode="drop")
+    n_overflow = jnp.minimum(jnp.sum(cls_c.astype(jnp.int32)), overflow_cap)
+
+    return dict(
+        stream_a=stream_a, starts_a=starts_a, counts_a=counts_a,
+        stream_b=stream_b, starts_b=starts_b, counts_b=counts_b,
+        overflow=_to_blocks(overflow[:overflow_cap]), n_overflow=n_overflow,
+    )
+
+
+def _raster_kernel(ntx, tile_h, tile_w,
+                   # scalar prefetch
+                   starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
+                   novf_ref,
+                   # inputs
+                   stream_a_hbm, stream_b_hbm, overflow_ref,
+                   # outputs
+                   z_ref, tri_ref, b1_ref, b2_ref,
+                   # scratch
+                   rec_ref, sem_ref):
+    t = pl.program_id(0)
+    ty = t // ntx
+    tx = t % ntx
+    P = tile_h * tile_w
+
+    # pixel matrix (P, 3): columns = px, py, 1 at pixel centers, built
+    # directly in (P, 1) layout (Mosaic cannot relayout-reshape (8,128))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (idx % tile_w).astype(jnp.float32) + (tx * tile_w) + 0.5
+    py = (idx // tile_w).astype(jnp.float32) + (ty * tile_h) + 0.5
+    pix = jnp.concatenate([px, py, jnp.ones_like(px)], axis=1)  # (P, 3)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    txf = jnp.float32(tx)
+
+    def eval_block(rec, lo, hi, carry):
+        """rec: (24, BLOCK); lanes alive when lo <= lane < hi and the
+        record's tile-column extent covers this tile."""
+        z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry
+        alive = (lane >= lo) & (lane < hi) \
+            & (rec[_R_TX0:_R_TX0 + 1, :] <= txf) \
+            & (rec[_R_TX1:_R_TX1 + 1, :] >= txf)
+
+        def forms(r0):  # (P, 3) @ (3, BLOCK) on the MXU
+            return jax.lax.dot_general(
+                pix, rec[r0:r0 + 3, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        F0 = forms(_R_F0)
+        F1 = forms(_R_F1)
+        F2 = forms(_R_F2)
+        Z = (rec[_R_Z:_R_Z + 1, :] * F0 + rec[_R_Z + 1:_R_Z + 2, :] * F1
+             + rec[_R_Z + 2:_R_Z + 3, :] * F2)
+        S = F0 + F1 + F2
+        cover = (F0 >= 0.0) & (F1 >= 0.0) & (F2 >= 0.0) & alive \
+            & (Z >= 0.0) & (Z <= 1.0)
+        zc = jnp.where(cover, Z, -1.0)
+
+        win_z = jnp.max(zc, axis=1, keepdims=True)      # (P, 1)
+        win = jnp.argmax(zc, axis=1)                    # (P,)
+        onehot = jnp.where((lane == win[:, None]) & cover, 1.0, 0.0)
+
+        def sel(M):  # winner's value along lanes
+            return jnp.sum(M * onehot, axis=1, keepdims=True)
+
+        N1 = (rec[_R_B1:_R_B1 + 1, :] * F0
+              + rec[_R_B1 + 1:_R_B1 + 2, :] * F1
+              + rec[_R_B1 + 2:_R_B1 + 3, :] * F2)
+        N2 = (rec[_R_B2:_R_B2 + 1, :] * F0
+              + rec[_R_B2 + 1:_R_B2 + 2, :] * F1
+              + rec[_R_B2 + 2:_R_B2 + 3, :] * F2)
+        tri_row = jnp.broadcast_to(rec[_R_TRI:_R_TRI + 1, :], zc.shape)
+
+        take = win_z > z_acc
+        z_acc = jnp.where(take, win_z, z_acc)
+        tri_acc = jnp.where(take, sel(tri_row), tri_acc)
+        n1_acc = jnp.where(take, sel(N1), n1_acc)
+        n2_acc = jnp.where(take, sel(N2), n2_acc)
+        s_acc = jnp.where(take, sel(S), s_acc)
+        return z_acc, tri_acc, n1_acc, n2_acc, s_acc
+
+    zeros = jnp.zeros((P, 1), jnp.float32)
+    carry = (zeros, zeros - 1.0, zeros, zeros, jnp.ones((P, 1), jnp.float32))
+
+    def run_stream(hbm, start, count, carry):
+        """Walk [start, start+count) of a blocked stream, block-aligned
+        double-buffered DMA."""
+        blk0 = start // BLOCK
+        end = start + count
+        n_blocks = pl.cdiv(end, BLOCK) - blk0
+
+        def dma(slot, b):
+            return pltpu.make_async_copy(
+                hbm.at[blk0 + b], rec_ref.at[slot], sem_ref.at[slot])
+
+        @pl.when(n_blocks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def blk_body(b, c):
+            slot = b % 2
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                dma((b + 1) % 2, b + 1).start()
+
+            dma(slot, b).wait()
+            base = (blk0 + b) * BLOCK
+            return eval_block(rec_ref[slot], start - base, end - base, c)
+
+        return jax.lax.fori_loop(0, n_blocks, blk_body, carry)
+
+    carry = run_stream(stream_a_hbm, starts_a_ref[t], counts_a_ref[t], carry)
+    carry = run_stream(stream_b_hbm, starts_b_ref[ty], counts_b_ref[ty], carry)
+
+    n_ovf = novf_ref[0]
+    n_ovf_blocks = pl.cdiv(n_ovf, BLOCK)
+
+    def ovf_body(b, c):
+        return eval_block(overflow_ref[b], 0, n_ovf - b * BLOCK, c)
+
+    carry = jax.lax.fori_loop(0, n_ovf_blocks, ovf_body, carry)
+
+    z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry
+    miss = tri_acc < 0.0
+    s_safe = jnp.where(jnp.abs(s_acc) < 1e-20, 1e-20, s_acc)
+    z_ref[...] = jnp.where(miss, 0.0, z_acc)
+    tri_ref[...] = jnp.where(miss, -1.0, tri_acc).astype(jnp.int32)
+    b1_ref[...] = jnp.where(miss, 0.0, n1_acc / s_safe)
+    b2_ref[...] = jnp.where(miss, 0.0, n2_acc / s_safe)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "tile_h", "tile_w",
+                                    "interpret"))
+def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False):
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    ntiles = ntx * nty
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # stream A (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # stream B (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # class-C list
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_h * tile_w, 1), lambda t, *_: (t, 0)),
+            pl.BlockSpec((tile_h * tile_w, 1), lambda t, *_: (t, 0)),
+            pl.BlockSpec((tile_h * tile_w, 1), lambda t, *_: (t, 0)),
+            pl.BlockSpec((tile_h * tile_w, 1), lambda t, *_: (t, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, RECORD_ROWS, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    P = tile_h * tile_w
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.int32),
+        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
+    ]
+    kernel = functools.partial(_raster_kernel, ntx, tile_h, tile_w)
+    z, tri, b1, b2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(bins["starts_a"], bins["counts_a"], bins["starts_b"], bins["counts_b"],
+      bins["n_overflow"][None],
+      bins["stream_a"], bins["stream_b"], bins["overflow"])
+
+    def unflatten(x):
+        img = x.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
+        return img.reshape(nty * tile_h, ntx * tile_w)[:height, :width]
+
+    return VisibilityBuffer(
+        tri_id=unflatten(tri),
+        bary1=unflatten(b1),
+        bary2=unflatten(b2),
+        depth=unflatten(z),
+    )
+
+
+def rasterize_binned(tris: ClippedTriangles, width: int, height: int,
+                     tile_h: int = 8, tile_w: int = 128,
+                     max_span: int = 8, max_rows: int = 16,
+                     interpret: bool = False, **bin_kw) -> VisibilityBuffer:
+    """Full binned pipeline: pack → 3-class bin → Pallas tile raster."""
+    packed, bbox, valid = pack_candidates(tris)
+    bins = bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
+                          max_span=max_span, max_rows=max_rows, **bin_kw)
+    return raster_tiles(bins, width, height, tile_h=tile_h, tile_w=tile_w,
+                        interpret=interpret)

@@ -192,6 +192,8 @@ class SceneTracer:
     bvh: BVH
     backend: str = dataclasses.field(metadata=dict(static=True),
                                      default="jnp")
+    ray_chunk: int = dataclasses.field(metadata=dict(static=True),
+                                       default=131072)
 
     @staticmethod
     def build(scene_data, settings=None) -> "SceneTracer":
@@ -229,8 +231,26 @@ class SceneTracer:
             return trace_pallas.intersect(
                 self.bvh, soup.v0, soup.v1, soup.v2, o, d, tmin, tmax,
                 any_hit=any_hit)
-        return intersect_bvh(self.bvh, soup.v0, soup.v1, soup.v2, o, d,
-                             tmin, tmax, any_hit=any_hit)
+        R = o.shape[0]
+        C = self.ray_chunk
+        if R <= C:
+            return intersect_bvh(self.bvh, soup.v0, soup.v1, soup.v2, o, d,
+                                 tmin, tmax, any_hit=any_hit)
+        # chunk rays so per-ray traversal stacks stay within HBM budget
+        pad = (-R) % C
+        tmax_full = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (R,))
+        oc = jnp.pad(o, ((0, pad), (0, 0))).reshape(-1, C, 3)
+        dc = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0).reshape(-1, C, 3)
+        tc = jnp.pad(tmax_full, (0, pad)).reshape(-1, C)
+
+        def one(args):
+            co, cd, ct = args
+            return intersect_bvh(self.bvh, soup.v0, soup.v1, soup.v2,
+                                 co, cd, tmin, ct, any_hit=any_hit)
+
+        t, tri, u, v = jax.lax.map(one, (oc, dc, tc))
+        flat = lambda x: x.reshape(-1)[:R]
+        return flat(t), flat(tri), flat(u), flat(v)
 
     # --- radiance (closesthit.rchit + miss.rmiss) -----------------------
     def trace_radiance(self, scene, origin, direction, ctx, depth: int = 0):

@@ -109,13 +109,15 @@ class Renderer:
 
     def benchmark(self, camera: OrbitCamera, frames: int = 32,
                   warmup: int = 4) -> dict:
-        """Steady-state FPS measurement."""
+        """Steady-state FPS. Frames serialize through the carried
+        FrameState; the host readback is the fence (block_until_ready is
+        unreliable through the axon tunnel)."""
         for _ in range(warmup):
             out = self.render(camera.step(taa_enabled=True))
-        jax.block_until_ready(out)
+        _ = np.asarray(out[0, 0])
         t0 = time.perf_counter()
         for _ in range(frames):
             out = self.render(camera.step(taa_enabled=True))
-        jax.block_until_ready(out)
+        _ = np.asarray(out[0, 0])
         dt = time.perf_counter() - t0
         return {"fps": frames / dt, "ms_per_frame": 1000.0 * dt / frames}

@@ -63,6 +63,32 @@ class CameraState:
             prev_jitter=prev_jitter,
         )
 
+    # Packed single-buffer form: each *separate* host→device transfer
+    # through the axon tunnel costs ~100s of ms mid-pipeline (measured:
+    # 17 fresh arrays/frame → 3.4 s/frame; 1 packed array → free), so
+    # the per-frame camera block crosses as ONE array.
+    PACKED_SIZE = 7 * 16 + 3 + 2 + 2  # 119
+
+    def pack(self) -> "np.ndarray":
+        return np.concatenate([
+            np.asarray(x, np.float32).ravel() for x in
+            (self.view, self.proj, self.view_inverse, self.proj_inverse,
+             self.view_proj_inverse, self.prev_view, self.prev_proj,
+             self.position, self.jitter, self.prev_jitter)])
+
+    @staticmethod
+    def unpack(v) -> "CameraState":
+        """Traced unpack of a packed camera vector (jnp or numpy)."""
+        parts = []
+        off = 0
+        for n, shape in ((16, (4, 4)),) * 7:
+            parts.append(v[off:off + 16].reshape(4, 4))
+            off += 16
+        pos = v[off:off + 3]
+        jit2 = v[off + 3:off + 5]
+        pjit = v[off + 5:off + 7]
+        return CameraState(*parts, pos, jit2, pjit)
+
 
 def _perspective_reversed_z_np(fov_y_deg, aspect, near, far):
     """Reversed-Z Vulkan-style projection (EditorCamera.cpp:20-39)."""

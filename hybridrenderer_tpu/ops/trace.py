@@ -190,6 +190,8 @@ class SceneTracer:
     per-call to share the frame function's traced scene."""
 
     bvh: BVH
+    internal_tiles: Any
+    leaf_tiles: Any
     backend: str = dataclasses.field(metadata=dict(static=True),
                                      default="jnp")
     ray_chunk: int = dataclasses.field(metadata=dict(static=True),
@@ -199,10 +201,14 @@ class SceneTracer:
     def build(scene_data, settings=None) -> "SceneTracer":
         soup = scene_data.triangles
         bvh = build_bvh(soup.v0, soup.v1, soup.v2)
-        backend = "jnp"
-        if settings is not None:
-            backend = _detect_backend(settings.trace_backend)
-        return SceneTracer(bvh=bvh, backend=backend)
+        requested = settings.trace_backend if settings is not None else "auto"
+        backend = _detect_backend(requested, soup.count)
+        from . import trace_pallas
+
+        itiles, ltiles = trace_pallas.build_packed(bvh, soup.v0, soup.v1,
+                                                   soup.v2)
+        return SceneTracer(bvh=bvh, internal_tiles=itiles, leaf_tiles=ltiles,
+                           backend=backend)
 
     # --- occlusion ------------------------------------------------------
     def occluded(self, scene, origin, direction, tmax):
@@ -228,9 +234,9 @@ class SceneTracer:
         if self.backend == "pallas":
             from . import trace_pallas
 
-            return trace_pallas.intersect(
-                self.bvh, soup.v0, soup.v1, soup.v2, o, d, tmin, tmax,
-                any_hit=any_hit)
+            return trace_pallas.intersect_packed(
+                self.internal_tiles, self.leaf_tiles, soup.count,
+                o, d, tmin, tmax, any_hit=any_hit)
         R = o.shape[0]
         C = self.ray_chunk
         if R <= C:
@@ -259,7 +265,7 @@ class SceneTracer:
         lead = origin.shape[:-1]
         o = origin.reshape(-1, 3)
         d = direction.reshape(-1, 3)
-        t, tri, u, v = self._intersect(scene, o, d, 0.01, 1e10, any_hit=False)
+        t, tri, u, v = self._intersect(scene, o, d, 0.01, 1e6, any_hit=False)
         hit = tri >= 0
 
         rgb_hit = self._shade_hit(scene, o, d, t, tri, u, v, ctx)
@@ -351,12 +357,15 @@ class SceneTracer:
         return direct + ambient + mp.emission
 
 
-def _detect_backend(requested: str) -> str:
-    if requested == "pallas":
-        return "pallas"
-    # auto: pallas on TPU once the kernel lands, jnp elsewhere
+def _detect_backend(requested: str, num_tris: int = 0) -> str:
+    if requested in ("pallas", "jnp"):
+        return requested
+    from . import trace_pallas
+
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         platform = "cpu"
-    return "jnp" if platform != "tpu" else "jnp"  # flips when pallas lands
+    if platform == "tpu" and trace_pallas.fits_vmem(num_tris):
+        return "pallas"
+    return "jnp"

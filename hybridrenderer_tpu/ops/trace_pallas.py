@@ -1,0 +1,339 @@
+"""Packet BVH traversal — the Pallas ray-tracing kernel.
+
+The ray-query replacement for TPU hardware reality: per-lane pointer
+chasing is hostile to the VPU, so rays are traced in *packets* of
+8×128 = 1024 lanes sharing one traversal stack (classic coherent packet
+traversal, mapped to TPU):
+
+  * the packet pops one node id at a time (scalar SMEM stack),
+  * the node's record — BOTH children's AABBs + child ids inlined — is
+    one dynamic (16, 128)-tile VMEM read; fields come out with a shared
+    lane-one-hot reduction (Mosaic supports reduce→scalar→index),
+  * both child boxes are slab-tested against all 1024 lanes in vector
+    ops; a child is pushed if ANY lane hits (near child popped first by
+    mean entry distance),
+  * leaf records embed their triangle (v0, e1, e2, id) — the leaf pop
+    runs one packet-wide Möller–Trumbore test, no separate triangle pool.
+
+Node/leaf records are packed 128-per-tile (field rows × node lanes), so
+the whole acceleration structure is two VMEM-resident arrays
+(64 B/internal + 64 B/leaf). Scenes beyond the VMEM budget fall back to
+the jnp traversal (ops/trace.py); the HBM-treelet path is future work.
+``any_hit`` packets terminate once every lane is occluded
+(gl_RayFlagsTerminateOnFirstHitEXT semantics).
+
+Contract matches ops/trace.intersect_bvh: (t, tri, u, v), tri = -1 miss.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bvh import BVH
+
+PACKET_ROWS = 8
+PACKET_COLS = 128
+PACKET = PACKET_ROWS * PACKET_COLS
+STACK_DEPTH = 96
+TRI_EPS = 1e-9
+CHUNK_STEPS = 64   # traversal steps per while-loop iteration
+
+# VMEM budget for the resident packed BVH (bytes): 64 B per internal node
+# + 64 B per leaf.
+VMEM_SCENE_BUDGET = 12 * 1024 * 1024
+
+# internal record field rows
+_I_LMIN = 0   # 0-2  left child aabb min
+_I_LMAX = 3   # 3-5  left child aabb max
+_I_RMIN = 6   # 6-8  right child aabb min
+_I_RMAX = 9   # 9-11 right child aabb max
+_I_LEFT = 12  # encoded left child id
+_I_RIGHT = 13  # encoded right child id
+# leaf record field rows: 0-2 v0, 3-5 e1, 6-8 e2, 9 tri id
+
+
+def fits_vmem(num_tris: int) -> bool:
+    return num_tris * 128 < VMEM_SCENE_BUDGET  # 64B/leaf + 64B/internal
+
+
+def _pack_rows(rows):
+    """(N, 16) field matrix → (ceil(N/128), 16, 128) tile layout."""
+    n = rows.shape[0]
+    pad = (-n) % 128
+    rows = jnp.pad(rows, ((0, max(pad, 0)), (0, 0)))
+    return rows.reshape(-1, 128, 16).transpose(0, 2, 1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def build_packed(bvh: BVH, tri_v0, tri_v1, tri_v2):
+    """BVH + triangles → (internal_tiles, leaf_tiles) packed arrays.
+
+    Child encoding: >= 0 → internal node id; < 0 → leaf id -(k+1).
+    """
+    T = tri_v0.shape[0]
+    n_internal = max(T - 1, 1)
+
+    def encode(child):
+        # bvh child node ids: internal < T-1, leaf = (T-1)+k
+        is_leaf = child >= (T - 1)
+        leaf_k = child - (T - 1)
+        return jnp.where(is_leaf, -(leaf_k + 1), child).astype(jnp.float32)
+
+    ii = jnp.arange(n_internal, dtype=jnp.int32)
+    lc = bvh.left[ii]
+    rc = bvh.right[ii]
+    lc_safe = jnp.clip(lc, 0, bvh.node_min.shape[0] - 1)
+    rc_safe = jnp.clip(rc, 0, bvh.node_min.shape[0] - 1)
+    rows_i = jnp.zeros((n_internal, 16), jnp.float32)
+    rows_i = rows_i.at[:, _I_LMIN:_I_LMIN + 3].set(bvh.node_min[lc_safe])
+    rows_i = rows_i.at[:, _I_LMAX:_I_LMAX + 3].set(bvh.node_max[lc_safe])
+    rows_i = rows_i.at[:, _I_RMIN:_I_RMIN + 3].set(bvh.node_min[rc_safe])
+    rows_i = rows_i.at[:, _I_RMAX:_I_RMAX + 3].set(bvh.node_max[rc_safe])
+    rows_i = rows_i.at[:, _I_LEFT].set(encode(lc))
+    rows_i = rows_i.at[:, _I_RIGHT].set(encode(rc))
+
+    # leaves in BVH order k → original triangle bvh.tri[(T-1)+k]
+    leaf_tri = bvh.tri[(T - 1) + jnp.arange(T, dtype=jnp.int32)] \
+        if T > 1 else bvh.tri[jnp.arange(1, dtype=jnp.int32)]
+    lt = jnp.clip(leaf_tri, 0, T - 1)
+    v0 = tri_v0[lt]
+    e1 = tri_v1[lt] - v0
+    e2 = tri_v2[lt] - v0
+    rows_l = jnp.zeros((T, 16), jnp.float32)
+    rows_l = rows_l.at[:, 0:3].set(v0)
+    rows_l = rows_l.at[:, 3:6].set(e1)
+    rows_l = rows_l.at[:, 6:9].set(e2)
+    rows_l = rows_l.at[:, 9].set(leaf_tri.astype(jnp.float32))
+    return _pack_rows(rows_i), _pack_rows(rows_l)
+
+
+def _traverse_kernel(any_hit: bool, single_tri: bool,
+                     # scalar prefetch
+                     tmin_ref,
+                     # inputs
+                     internal_ref, leaf_ref,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     tmax_ref,
+                     # outputs
+                     t_out, tri_out, u_out, v_out,
+                     # scratch
+                     stack_ref):
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    tmin = tmin_ref[0]
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0.0, -1e-12, 1e-12)
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12, tiny, d)
+
+    ix = safe_inv(dx)
+    iy = safe_inv(dy)
+    iz = safe_inv(dz)
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    # root: encoded single-leaf scene starts at leaf -1, else internal 0
+    stack_ref[0] = jnp.int32(-1 if single_tri else 0)
+    init = (
+        jnp.int32(1),
+        tmax_ref[...],
+        jnp.full((PACKET_ROWS, PACKET_COLS), -1, jnp.int32),
+        jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
+        jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
+    )
+
+    def cond(state):
+        sp, t, tri, _, _ = state
+        live = sp > 0
+        if any_hit:
+            live = live & jnp.logical_not(jnp.all(tri >= 0))
+        return live
+
+    def body(state):
+        sp, t_best, tri_best, u_best, v_best = state
+        active = sp > 0
+        enc = stack_ref[jnp.maximum(sp - 1, 0)]
+        sp = jnp.maximum(sp - 1, 0)
+        is_leaf = (enc < 0) & active
+
+        # ---------- leaf: packet Möller–Trumbore ----------
+        k = jnp.maximum(-enc - 1, 0)
+        ltile = leaf_ref[k >> 7]          # (16, 128)
+        loh = (lane_iota == (k & 127)).astype(jnp.float32)
+
+        def lf(r):
+            return jnp.sum(ltile[r:r + 1, :] * loh, axis=1, keepdims=True)
+
+        p0x, p0y, p0z = lf(0), lf(1), lf(2)
+        a1x, a1y, a1z = lf(3), lf(4), lf(5)
+        a2x, a2y, a2z = lf(6), lf(7), lf(8)
+        tri_id = jnp.sum(ltile[9:10, :] * loh).astype(jnp.int32)
+
+        pvx = dy * a2z - dz * a2y
+        pvy = dz * a2x - dx * a2z
+        pvz = dx * a2y - dy * a2x
+        det = a1x * pvx + a1y * pvy + a1z * pvz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, TRI_EPS, det)
+        tvx = ox - p0x
+        tvy = oy - p0y
+        tvz = oz - p0z
+        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * a1z - tvz * a1y
+        qvy = tvz * a1x - tvx * a1z
+        qvz = tvx * a1y - tvy * a1x
+        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        tt = (a2x * qvx + a2y * qvy + a2z * qvz) * inv_det
+        hit = (jnp.abs(det) >= TRI_EPS) & (uu >= 0.0) & (vv >= 0.0) \
+            & (uu + vv <= 1.0) & (tt >= tmin) & (tt <= t_best) & is_leaf
+        t_best = jnp.where(hit, tt, t_best)
+        tri_best = jnp.where(hit, tri_id, tri_best)
+        u_best = jnp.where(hit, uu, u_best)
+        v_best = jnp.where(hit, vv, v_best)
+
+        # ---------- internal: test both inlined child boxes ----------
+        i = jnp.maximum(enc, 0)
+        itile = internal_ref[i >> 7]      # (16, 128)
+        ioh = (lane_iota == (i & 127)).astype(jnp.float32)
+
+        def nf(r):
+            return jnp.sum(itile[r:r + 1, :] * ioh)
+
+        def nfv(r):
+            # (1,1) vector extraction: avoids a vector->scalar sync for
+            # values only used in vector arithmetic
+            return jnp.sum(itile[r:r + 1, :] * ioh, axis=1, keepdims=True)
+
+        def aabb(rmin, rmax):
+            t0x = (nfv(rmin) - ox) * ix
+            t1x = (nfv(rmax) - ox) * ix
+            t0y = (nfv(rmin + 1) - oy) * iy
+            t1y = (nfv(rmax + 1) - oy) * iy
+            t0z = (nfv(rmin + 2) - oz) * iz
+            t1z = (nfv(rmax + 2) - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            ok = (tn <= tf) & (tf >= tmin) & (tn <= t_best)
+            if any_hit:
+                ok = ok & (tri_best < 0)
+            return jnp.any(ok), jnp.sum(jnp.where(ok, tn, 0.0))
+
+        l_any, l_tn = aabb(_I_LMIN, _I_LMAX)
+        r_any, r_tn = aabb(_I_RMIN, _I_RMAX)
+        inner = jnp.logical_not(is_leaf) & active
+        l_any = l_any & inner
+        r_any = r_any & inner
+        lid = nf(_I_LEFT).astype(jnp.int32)
+        rid = nf(_I_RIGHT).astype(jnp.int32)
+
+        l_nearer = l_tn <= r_tn
+        first = jnp.where(l_nearer, rid, lid)    # pushed first (far)
+        first_ok = jnp.where(l_nearer, r_any, l_any)
+        second = jnp.where(l_nearer, lid, rid)   # pushed last (near)
+        second_ok = jnp.where(l_nearer, l_any, r_any)
+
+        @pl.when(first_ok)
+        def _():
+            stack_ref[sp] = first
+
+        sp1 = sp + first_ok.astype(jnp.int32)
+
+        @pl.when(second_ok)
+        def _():
+            stack_ref[sp1] = second
+
+        return (sp1 + second_ok.astype(jnp.int32),
+                t_best, tri_best, u_best, v_best)
+
+    # lax.while_loop has a pathological per-iteration cost on this
+    # backend (measured ~ms-scale vs ~free fori steps); amortize it by
+    # running CHUNK_STEPS masked steps per while iteration.
+    def chunk(state):
+        return jax.lax.fori_loop(0, CHUNK_STEPS, lambda _i, st: body(st),
+                                 state)
+
+    _, t, tri, u, v = jax.lax.while_loop(cond, chunk, init)
+    miss = tri < 0
+    t_out[...] = jnp.where(miss, jnp.inf, t)
+    tri_out[...] = tri
+    u_out[...] = u
+    v_out[...] = v
+
+
+@functools.partial(jax.jit,
+                    static_argnames=("any_hit", "interpret", "num_tris"))
+def intersect_packed(internal_tiles, leaf_tiles, num_tris, o, d, tmin, tmax,
+                     any_hit: bool = False, interpret: bool = False):
+    """Packet-traversal intersect over flat ray batch (R, 3) using the
+    pre-packed acceleration arrays from ``build_packed``."""
+    R = o.shape[0]
+    pad = (-R) % PACKET
+    n_packets = (R + pad) // PACKET
+
+    def plane(x, fill=0.0):
+        x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
+        return x.reshape(n_packets * PACKET_ROWS, PACKET_COLS, 3)
+
+    op = plane(o)
+    dp = plane(d, fill=1.0)
+    # huge tmax (1e10) poisons the traversal loop with inf-range
+    # arithmetic — measured 30x slowdown on v5e; the reference caps
+    # shadow rays at 1e4 anyway (common.glsl:127). Clamp hard.
+    tmax_full = jnp.broadcast_to(
+        jnp.minimum(jnp.asarray(tmax, jnp.float32), 1e6), (R,))
+    tmax_p = jnp.pad(tmax_full, (0, pad)).reshape(
+        n_packets * PACKET_ROWS, PACKET_COLS)
+
+    ray_spec = pl.BlockSpec((PACKET_ROWS, PACKET_COLS), lambda i, *_: (i, 0))
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_packets,),
+        in_specs=[vmem, vmem] + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+    )
+    shape2 = (n_packets * PACKET_ROWS, PACKET_COLS)
+    out_shape = [
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.int32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+    ]
+
+    kernel = functools.partial(_traverse_kernel, any_hit, num_tris == 1)
+    t, tri, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.full((1,), jnp.float32(tmin)),
+      internal_tiles, leaf_tiles,
+      op[..., 0], op[..., 1], op[..., 2],
+      dp[..., 0], dp[..., 1], dp[..., 2],
+      tmax_p)
+
+    flat = lambda x: x.reshape(-1)[:R]
+    return flat(t), flat(tri), flat(u), flat(v)
+
+
+def intersect(bvh: BVH, tri_v0, tri_v1, tri_v2, o, d, tmin, tmax,
+              any_hit: bool = False, interpret: bool = False):
+    """Convenience wrapper: pack on the fly (callers that trace repeatedly
+    should cache ``build_packed`` output — SceneTracer does)."""
+    internal_tiles, leaf_tiles = build_packed(bvh, tri_v0, tri_v1, tri_v2)
+    return intersect_packed(internal_tiles, leaf_tiles, tri_v0.shape[0],
+                            o, d, tmin, tmax, any_hit=any_hit,
+                            interpret=interpret)

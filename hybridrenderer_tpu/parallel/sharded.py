@@ -69,7 +69,21 @@ class ShardedRenderer:
         has_tracer = self.tracer is not None
         out_sharding = NamedSharding(mesh, P(axis))
 
-        def frame(scene, cam_state, params, state, tracer):
+        def frame(scene, host_packed, state, tracer):
+            from ..core.camera import CameraState
+            from ..graph.params import FrameParams
+
+            cam_state = CameraState.unpack(host_packed)
+            off = CameraState.PACKED_SIZE
+            params = FrameParams(
+                sun_direction=scene.sun.direction,
+                sun_color=scene.sun.color,
+                sun_intensity=scene.sun.intensity,
+                ambient_strength=scene.sun.ambient,
+                exposure=host_packed[off],
+                svgf_phi=host_packed[off + 1:off + 5],
+                frame_index=host_packed[off + 5].astype(jax.numpy.uint32),
+            )
             shadow_query = None
             trace_radiance = None
             if has_tracer:
@@ -86,19 +100,22 @@ class ShardedRenderer:
             out = jax.lax.with_sharding_constraint(out, out_sharding)
             return out, new_state
 
-        fn = jax.jit(frame, donate_argnums=(3,))
+        fn = jax.jit(frame, donate_argnums=(2,))
         self._fns[history_valid] = fn
         return fn
 
-    def render(self, cam_state, params=None):
-        from ..graph.params import FrameParams
+    def render(self, cam_state, exposure: float = 1.0,
+               svgf_phi=(4.0, 128.0, 0.02, 0.0)):
+        import numpy as np
 
-        if params is None:
-            params = FrameParams.create(self.scene,
-                                        frame_index=self.frame_count)
+        packed = np.concatenate([
+            cam_state.pack(),
+            np.asarray([exposure], np.float32),
+            np.asarray(svgf_phi, np.float32),
+            np.asarray([self.frame_count], np.float32),
+        ])
         fn = self._get_frame_fn(self.frame_count > 0)
         with self.mesh:
-            out, self.state = fn(self.scene, cam_state, params, self.state,
-                                 self.tracer)
+            out, self.state = fn(self.scene, packed, self.state, self.tracer)
         self.frame_count += 1
         return out

@@ -51,13 +51,19 @@ def profile_frame(renderer, cam_state, iters: int = 5) -> Dict[str, float]:
                 h = state.get(hname)
                 registry[r] = h if h is not None else registry.get(hname)
 
+        import numpy as _np
+
         jitted = jax.jit(lambda reg, c=ctx, fn=p.fn: fn(reg, c))
         out = jitted(registry)
-        jax.block_until_ready(out)
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, 'ravel')]
+        _ = _np.asarray(leaves[0].ravel()[0]) if leaves else None
         t0 = time.perf_counter()
         for _ in range(iters):
             out = jitted(registry)
-        jax.block_until_ready(out)
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, 'ravel')]
+        _ = _np.asarray(leaves[0].ravel()[0]) if leaves else None
         timings[p.name] = (time.perf_counter() - t0) / iters * 1000.0
         if out:
             registry.update(out)

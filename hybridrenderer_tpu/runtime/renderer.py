@@ -66,7 +66,22 @@ class Renderer:
         settings = self.settings
         has_tracer = self.tracer is not None
 
-        def frame(scene, cam_state, params, state, tracer):
+        def frame(scene, host_packed, state, tracer):
+            # single packed host buffer → camera + traced frame params
+            # (one transfer per frame; see CameraState.pack)
+            from ..core.camera import CameraState
+
+            cam_state = CameraState.unpack(host_packed)
+            off = CameraState.PACKED_SIZE
+            params = FrameParams(
+                sun_direction=scene.sun.direction,
+                sun_color=scene.sun.color,
+                sun_intensity=scene.sun.intensity,
+                ambient_strength=scene.sun.ambient,
+                exposure=host_packed[off],
+                svgf_phi=host_packed[off + 1:off + 5],
+                frame_index=host_packed[off + 5].astype(jax.numpy.uint32),
+            )
             shadow_query = None
             trace_radiance = None
             if has_tracer:
@@ -80,26 +95,34 @@ class Renderer:
                 state=state, history_valid=history_valid,
                 shadow_query=shadow_query, trace_radiance=trace_radiance)
             out, new_state, _ = path.run(ctx, state)
+            # canonicalize: strip weak types so both history variants
+            # produce byte-identical state signatures (a drifting weak
+            # type forces a silent 17s re-jit on the 3rd frame)
+            new_state = jax.tree_util.tree_map(
+                lambda x: x.astype(x.dtype), new_state)
             return out, new_state
 
-        fn = jax.jit(frame, donate_argnums=(3,))
+        fn = jax.jit(frame, donate_argnums=(2,))
         self._fns[key] = fn
         return fn
 
     # --- public API -----------------------------------------------------
-    def render(self, cam_state, params: Optional[FrameParams] = None):
+    def render(self, cam_state, exposure: float = 1.0,
+               svgf_phi=(4.0, 128.0, 0.02, 0.0)):
         """Render one frame; returns the device array (async)."""
-        if params is None:
-            params = FrameParams.create(self.scene,
-                                        frame_index=self.frame_count)
+        packed = np.concatenate([
+            cam_state.pack(),
+            np.asarray([exposure], np.float32),
+            np.asarray(svgf_phi, np.float32),
+            np.asarray([self.frame_count], np.float32),
+        ])
         fn = self._get_frame_fn(history_valid=self.frame_count > 0)
-        out, self.state = fn(self.scene, cam_state, params, self.state,
-                             self.tracer)
+        out, self.state = fn(self.scene, packed, self.state, self.tracer)
         self.frame_count += 1
         return out
 
-    def render_np(self, cam_state, params=None) -> np.ndarray:
-        return np.asarray(self.render(cam_state, params))
+    def render_np(self, cam_state, **kw) -> np.ndarray:
+        return np.asarray(self.render(cam_state, **kw))
 
     def reset_history(self):
         """Path switch / resize semantics (RenderPath.cpp:50-56): drop

@@ -22,7 +22,7 @@ def main():
     scene_name = os.environ.get("BENCH_SCENE", "stress")
     path_name = os.environ.get("BENCH_PATH", "hybrid")
     frames = int(os.environ.get("BENCH_FRAMES", "16"))
-    n_objects = int(os.environ.get("BENCH_OBJECTS", "400"))
+    n_objects = int(os.environ.get("BENCH_OBJECTS", "250"))
 
     import jax
 

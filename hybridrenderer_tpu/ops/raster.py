@@ -66,7 +66,9 @@ def transform_to_clip(world_pos, view_proj, jitter=None):
 
 # 8-entry permutation LUT indexed by the in-front bitmask m = in0|in1<<1|in2<<2.
 # Rotation puts "in" vertices first while preserving winding.
-_PERM = jnp.array(
+import numpy as _np
+
+_PERM = _np.array(
     [
         [0, 1, 2],  # 0: none in (degenerate)
         [0, 1, 2],  # 1: v0 in
@@ -77,8 +79,9 @@ _PERM = jnp.array(
         [1, 2, 0],  # 6: v1,v2 in (v0 out → last)
         [0, 1, 2],  # 7: all in
     ],
-    jnp.int32,
-)
+    _np.int32,
+)  # numpy on purpose: a module-level jnp.array would initialize the
+   # device backend at import time (breaks CPU-mesh forcing)
 
 
 def clip_triangles(clip_verts, i0, i1, i2, width, height,
@@ -97,7 +100,7 @@ def clip_triangles(clip_verts, i0, i1, i2, width, height,
          + 4 * infront[:, 2].astype(jnp.int32))
     n_in = jnp.sum(infront, axis=1)
 
-    perm = _PERM[m]  # (T, 3)
+    perm = jnp.asarray(_PERM)[m]  # (T, 3)
     u = jnp.take_along_axis(v, perm[..., None], axis=1)          # (T,3,4)
     ub = jnp.take_along_axis(seed_bary, perm[..., None], axis=1)  # (T,3,3)
 

@@ -276,6 +276,17 @@ class SVGFConfig:
     temporal_enabled: bool = True
     spatial_enabled: bool = True
     use_albedo_demod: bool = False
+    backend: str = "auto"   # "auto" | "jnp" | "pallas" spatial kernels
+
+
+def _spatial_pallas(config: SVGFConfig) -> bool:
+    """Pallas tile kernels for the spatial filters on TPU (the XLA
+    unrolled form exceeds executable size limits at 1080p)."""
+    if config.backend in ("jnp", "pallas"):
+        return config.backend == "pallas"
+    from . import stencil_pallas
+
+    return stencil_pallas.available()
 
 
 def denoise(cur_signal, albedo, gb_motion_plane, normal, object_id,
@@ -291,15 +302,24 @@ def denoise(cur_signal, albedo, gb_motion_plane, normal, object_id,
     new_hist_signal = history.signal
     new_hist_moments = history.moments
 
+    pallas_spatial = _spatial_pallas(config)
+    if pallas_spatial:
+        from . import stencil_pallas
+
     if config.temporal_enabled:
         signal, moments = temporal(
             cur_signal, albedo, gb_motion_plane, normal, object_id, history,
             prev_normal, prev_lin_depth, prev_object_id,
             config.use_albedo_demod, history_valid)
         new_hist_moments = moments
-        signal, moments = filter_moments(
-            signal, moments, normal, gb_motion_plane, svgf_phi)
-        moments = variance_blur(moments)
+        if pallas_spatial:
+            signal, moments = stencil_pallas.filter_moments(
+                signal, moments, normal, gb_motion_plane, svgf_phi)
+            moments = stencil_pallas.variance_blur(moments)
+        else:
+            signal, moments = filter_moments(
+                signal, moments, normal, gb_motion_plane, svgf_phi)
+            moments = variance_blur(moments)
 
     if config.spatial_enabled:
         if moments is None:
@@ -307,8 +327,13 @@ def denoise(cur_signal, albedo, gb_motion_plane, normal, object_id,
             moments = zero
             signal = cur_signal
         for i in range(config.atrous_iterations):
-            signal = atrous(signal, moments, normal, gb_motion_plane,
-                            1 << i, svgf_phi)
+            step = 1 << i
+            if pallas_spatial and 2 * step <= 8:
+                signal = stencil_pallas.atrous(
+                    signal, normal, gb_motion_plane, step, svgf_phi)
+            else:
+                signal = atrous(signal, moments, normal, gb_motion_plane,
+                                step, svgf_phi)
             if i == 0:
                 new_hist_signal = signal  # SVGFPass.cpp:207-214 SaveAsHistory
 

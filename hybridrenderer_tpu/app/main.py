@@ -110,7 +110,8 @@ def main(argv=None):
     for i in range(args.frames):
         if args.orbit:
             cam.orbit(args.orbit, 0.0)
-        img = renderer.render_np(cam.step(taa_enabled=taa_on))
+        img = renderer.render_np(cam.step(taa_enabled=taa_on),
+                                 exposure=args.exposure)
         if args.frames > 1:
             stem = args.out.rsplit(".", 1)[0]
             out_path = f"{stem}_{i:03d}.png"

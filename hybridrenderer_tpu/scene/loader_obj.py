@@ -79,8 +79,16 @@ def load_obj(path: str) -> Tuple[List[MeshData], List[Material], Dict[int, Dict[
     """Parse an OBJ into per-material meshes.
 
     Returns (meshes, materials, tex_paths_by_material_index). Texture
-    decoding/stacking happens in scene/loader.py.
+    decoding/stacking happens in scene/loader.py. Uses the native C++
+    tokenizer (scene/loader_native.py) when available; the pure-Python
+    path below is the fallback and the behavioural reference.
     """
+    from . import loader_native
+
+    if loader_native.available():
+        native = loader_native.parse_obj_native(path)
+        if native is not None:
+            return _assemble_from_native(path, native)
     positions: List = []
     texcoords: List = []
     normals: List = []
@@ -163,6 +171,54 @@ def load_obj(path: str) -> Tuple[List[MeshData], List[Material], Dict[int, Dict[
         meshes.append(MeshData(vp, vn, tangents, vt, indices,
                                material=mat_idx, name=mat_name or "obj"))
 
+    return meshes, materials, tex_paths
+
+
+def _assemble_from_native(path: str, native) -> Tuple[List[MeshData],
+                                                      List[Material],
+                                                      Dict[int, Dict[str, str]]]:
+    """Vectorized mesh assembly over the native parser's flat arrays."""
+    P, T, N, tri, tri_mat, mat_names, mtllib = native
+    base = os.path.dirname(path)
+    mtl_by_name = parse_mtl(os.path.join(base, mtllib)) if mtllib else {}
+
+    materials: List[Material] = []
+    tex_paths: Dict[int, Dict[str, str]] = {}
+    meshes: List[MeshData] = []
+    if len(tri) == 0:
+        return meshes, materials or [Material()], tex_paths
+
+    mat_ids = np.unique(tri_mat)
+    for mat_id in mat_ids:
+        name = mat_names[mat_id] if 0 <= mat_id < len(mat_names) else "default"
+        mat = mtl_by_name.get(name, Material(name=name))
+        out_idx = len(materials)
+        materials.append(mat)
+        tp = getattr(mat, "_tex_paths", {})
+        if tp:
+            tex_paths[out_idx] = {k: os.path.join(base, v)
+                                  for k, v in tp.items()}
+
+        corners = tri[tri_mat == mat_id].reshape(-1, 3)  # (3F, 3) v/vt/vn
+        uniq, inverse = np.unique(corners, axis=0, return_inverse=True)
+        vp = P[np.clip(uniq[:, 0], 0, len(P) - 1)]
+        vt = np.where(uniq[:, 1:2] >= 0,
+                      T[np.clip(uniq[:, 1], 0, max(len(T) - 1, 0))]
+                      if len(T) else np.zeros((len(uniq), 2), np.float32),
+                      0.0).astype(np.float32)
+        vn = np.where(uniq[:, 2:3] >= 0,
+                      N[np.clip(uniq[:, 2], 0, max(len(N) - 1, 0))]
+                      if len(N) else np.zeros((len(uniq), 3), np.float32),
+                      0.0).astype(np.float32)
+        indices = inverse.astype(np.int32)
+        if np.allclose(vn, 0.0):
+            vn = smooth_normals(vp, indices)
+        else:
+            lens = np.linalg.norm(vn, axis=-1, keepdims=True)
+            vn = vn / np.maximum(lens, 1e-8)
+        tangents = compute_tangents(vp, vn, vt, indices)
+        meshes.append(MeshData(vp, vn, tangents, vt, indices,
+                               material=out_idx, name=name))
     return meshes, materials, tex_paths
 
 

@@ -159,3 +159,33 @@ def test_texture_stack_build(tmp_path):
     # sRGB→linear applied: 255 red stays 1.0
     np.testing.assert_allclose(np.asarray(stack.data[0, 0, 0]),
                                [1.0, 0.0, 0.0, 1.0], atol=1e-3)
+
+
+def test_native_matches_python(tmp_path, monkeypatch):
+    """Native C++ parser and pure-Python parser produce the same mesh."""
+    from hybridrenderer_tpu.scene import loader_native
+
+    if not loader_native.available():
+        pytest.skip("native loader unavailable")
+    rng = np.random.default_rng(0)
+    verts = rng.random((60, 3))
+    lines = ["mtllib none.mtl"]
+    for v in verts:
+        lines.append(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}")
+    lines.append("usemtl matA")
+    for i in range(0, 57, 3):
+        lines.append(f"f {i+1} {i+2} {i+3}")
+    p = tmp_path / "big.obj"
+    p.write_text("\n".join(lines))
+
+    native_meshes, _, _ = loader_obj.load_obj(str(p))
+    monkeypatch.setattr(loader_native, "available", lambda: False)
+    py_meshes, _, _ = loader_obj.load_obj(str(p))
+
+    assert len(native_meshes) == len(py_meshes) == 1
+    a, b = native_meshes[0], py_meshes[0]
+    assert a.num_triangles == b.num_triangles
+    # same triangle soup (order may differ): compare sorted centroid sets
+    ca = np.sort(a.positions[a.indices.reshape(-1, 3)].mean(1), axis=0)
+    cb = np.sort(b.positions[b.indices.reshape(-1, 3)].mean(1), axis=0)
+    np.testing.assert_allclose(ca, cb, atol=1e-6)

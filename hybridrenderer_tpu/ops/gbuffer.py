@@ -71,46 +71,72 @@ def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
     b1, b2 = vis.bary1, vis.bary2
     b0 = 1.0 - b1 - b2
 
+    # Per-pixel gathers cost ~25ns per ROW on this hardware regardless of
+    # row width, so all per-source fields are packed into single rows and
+    # fetched with ONE gather each (tri row, three vertex rows, one
+    # instance row) instead of ~20 narrow gathers.
     soup = scene.triangles
-    inst_id = soup.instance[tri]                    # (H, W)
-    i0, i1, i2 = soup.i0[tri], soup.i1[tri], soup.i2[tri]
-
-    def interp(attr):
-        return (attr[i0] * b0[..., None] + attr[i1] * b1[..., None]
-                + attr[i2] * b2[..., None])
-
-    # world position from the baked world-space soup (exact, no depth
-    # reconstruction error)
-    world_pos = (soup.v0[tri] * b0[..., None] + soup.v1[tri] * b1[..., None]
-                 + soup.v2[tri] * b2[..., None])
-
     verts = scene.vertices
-    uv = (verts.uv[i0] * b0[..., None] + verts.uv[i1] * b1[..., None]
-          + verts.uv[i2] * b2[..., None])
-    local_n = interp(verts.normal)
-    local_t = (verts.tangent[i0] * b0[..., None] + verts.tangent[i1] * b1[..., None]
-               + verts.tangent[i2] * b2[..., None])
-    local_pos = interp(verts.position)
+    V = verts.position.shape[0]
+    vpack = jnp.concatenate([
+        verts.world_position,          # 0:3
+        verts.position,                # 3:6
+        verts.normal,                  # 6:9
+        verts.tangent,                 # 9:13
+        verts.uv,                      # 13:15
+        jnp.zeros((V, 1), jnp.float32),
+    ], axis=-1)                        # (V, 16)
+    T = soup.count
+    tpack = jnp.concatenate([
+        soup.instance[:, None].astype(jnp.float32),
+        soup.i0[:, None].astype(jnp.float32),
+        soup.i1[:, None].astype(jnp.float32),
+        soup.i2[:, None].astype(jnp.float32),
+    ], axis=-1)                        # (T, 4)
 
-    # normal transform per pixel (gbuffer.vert:27-29)
-    nmat = scene.instances.normal_transform[inst_id][..., :3, :3]  # (H,W,3,3)
+    trow = tpack[tri]                                  # one gather
+    inst_id = trow[..., 0].astype(jnp.int32)
+    i0 = trow[..., 1].astype(jnp.int32)
+    i1 = trow[..., 2].astype(jnp.int32)
+    i2 = trow[..., 3].astype(jnp.int32)
+    r0 = vpack[i0]                                     # three gathers
+    r1 = vpack[i1]
+    r2 = vpack[i2]
+    lerp = r0 * b0[..., None] + r1 * b1[..., None] + r2 * b2[..., None]
+
+    world_pos = lerp[..., 0:3]
+    local_pos = lerp[..., 3:6]
+    local_n = lerp[..., 6:9]
+    local_t = lerp[..., 9:13]
+    uv = lerp[..., 13:15]
+
+    # instance row: normal matrix (9) + prev transform (12) + material (1)
+    N = scene.instances.count
+    ipack = jnp.concatenate([
+        scene.instances.normal_transform[:, :3, :3].reshape(N, 9),
+        scene.instances.prev_transform[:, :3, :4].reshape(N, 12),
+        scene.instances.material[:, None].astype(jnp.float32),
+    ], axis=-1)                        # (N, 22)
+    irow = ipack[inst_id]                              # one gather
+    nmat = irow[..., 0:9].reshape(*inst_id.shape, 3, 3)
+    prev_tf34 = irow[..., 9:21].reshape(*inst_id.shape, 3, 4)
+    mat_id = irow[..., 21].astype(jnp.int32)
+
     world_n = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, local_n))
     world_t3 = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, local_t[..., :3]))
     world_t = jnp.concatenate([world_t3, local_t[..., 3:4]], axis=-1)
 
     # material point + normal mapping
-    mat_id = scene.instances.material[inst_id]
     mp = shade.get_material_point(scene.materials, mat_id, uv, scene.textures)
     shading_n = shade.apply_normal_map(
         scene.materials, mat_id, world_n, world_t, uv, scene.textures)
 
     # motion vectors (gbuffer.frag:56-63): unjittered cur/prev clip pos
-    vp = cam.proj @ cam.view
-    prev_vp = cam.prev_proj @ cam.prev_view
+    vp = jnp.asarray(cam.proj) @ jnp.asarray(cam.view)
+    prev_vp = jnp.asarray(cam.prev_proj) @ jnp.asarray(cam.prev_view)
     cur_clip = maths.transform_point_h(vp, world_pos)
-    prev_tf = scene.instances.prev_transform[inst_id]
-    prev_world = jnp.einsum("...ij,...j->...i", prev_tf[..., :3, :3], local_pos) \
-        + prev_tf[..., :3, 3]
+    prev_world = jnp.einsum("...ij,...j->...i", prev_tf34[..., :3, :3],
+                            local_pos) + prev_tf34[..., :3, 3]
     prev_clip = maths.transform_point_h(prev_vp, prev_world)
 
     def to_uv(clip):

@@ -108,33 +108,62 @@ class MaterialPoint:
     material_type: Any  # (...) i32
 
 
+def _pack_materials(materials):
+    """(M, 16) single-row material records — one gather per pixel instead
+    of ten (per-row gather cost dominates on this hardware)."""
+    M = materials.colour.shape[0]
+    return jnp.concatenate([
+        materials.colour,                                   # 0:3
+        materials.opacity[:, None],                         # 3
+        materials.emission,                                 # 4:7
+        materials.roughness[:, None],                       # 7
+        materials.metallic[:, None],                        # 8
+        materials.material_type[:, None].astype(jnp.float32),   # 9
+        materials.colour_texture[:, None].astype(jnp.float32),  # 10
+        materials.emission_texture[:, None].astype(jnp.float32),  # 11
+        materials.roughness_texture[:, None].astype(jnp.float32),  # 12
+        materials.normal_texture[:, None].astype(jnp.float32),     # 13
+        jnp.zeros((M, 2), jnp.float32),
+    ], axis=-1)
+
+
+def _has_textures(textures) -> bool:
+    """Static: the empty TextureStack placeholder is (1, 1, 1, 4)."""
+    return textures.data.shape[1] > 1 or textures.data.shape[2] > 1
+
+
 def get_material_point(materials, mat_id, uv, textures) -> MaterialPoint:
     """Fetch + texture-modulate material params at surface points.
 
     ``mat_id`` (...,) i32 rows of MaterialTable; applies the reference's
     squared-roughness floor (common.glsl:330-333).
     """
-    base_colour = materials.colour[mat_id]
-    base_opacity = materials.opacity[mat_id]
-    albedo_tex = tex_ops.sample_bilinear(
-        textures.data, textures.sizes, materials.colour_texture[mat_id], uv,
-        jnp.ones((4,), jnp.float32))
-    colour = base_colour * albedo_tex[..., :3]
-    opacity = base_opacity * albedo_tex[..., 3]
+    row = _pack_materials(materials)[mat_id]  # one gather
+    base_colour = row[..., 0:3]
+    base_opacity = row[..., 3]
+    emission = row[..., 4:7]
+    roughness = row[..., 7]
+    metallic = row[..., 8]
+    mat_type = row[..., 9].astype(jnp.int32)
 
-    emission = materials.emission[mat_id]
-    em_tex = tex_ops.sample_bilinear(
-        textures.data, textures.sizes, materials.emission_texture[mat_id], uv,
-        jnp.ones((4,), jnp.float32))
-    emission = emission * em_tex[..., :3]
-
-    roughness = materials.roughness[mat_id]
-    metallic = materials.metallic[mat_id]
-    mr_tex = tex_ops.sample_bilinear(
-        textures.data, textures.sizes, materials.roughness_texture[mat_id], uv,
-        jnp.ones((4,), jnp.float32))
-    roughness = roughness * mr_tex[..., 1]
-    metallic = metallic * mr_tex[..., 2]
+    if _has_textures(textures):
+        albedo_tex = tex_ops.sample_bilinear(
+            textures.data, textures.sizes, row[..., 10].astype(jnp.int32),
+            uv, jnp.ones((4,), jnp.float32))
+        colour = base_colour * albedo_tex[..., :3]
+        opacity = base_opacity * albedo_tex[..., 3]
+        em_tex = tex_ops.sample_bilinear(
+            textures.data, textures.sizes, row[..., 11].astype(jnp.int32),
+            uv, jnp.ones((4,), jnp.float32))
+        emission = emission * em_tex[..., :3]
+        mr_tex = tex_ops.sample_bilinear(
+            textures.data, textures.sizes, row[..., 12].astype(jnp.int32),
+            uv, jnp.ones((4,), jnp.float32))
+        roughness = roughness * mr_tex[..., 1]
+        metallic = metallic * mr_tex[..., 2]
+    else:
+        colour = base_colour
+        opacity = base_opacity
 
     r2 = roughness * roughness
     r2 = jnp.where(r2 < MIN_ROUGHNESS, 0.0, r2)
@@ -144,12 +173,14 @@ def get_material_point(materials, mat_id, uv, textures) -> MaterialPoint:
         roughness=r2,
         metallic=metallic,
         opacity=opacity,
-        material_type=materials.material_type[mat_id],
+        material_type=mat_type,
     )
 
 
 def apply_normal_map(materials, mat_id, shading_normal, tangent, uv, textures):
     """CalculateNormal (common.glsl:293-303): TBN-transformed normal map."""
+    if not _has_textures(textures):
+        return maths.normalize(shading_normal)
     nrm_tex_id = materials.normal_texture[mat_id]
     n = maths.normalize(shading_normal)
     t = maths.normalize(tangent[..., :3])

@@ -76,10 +76,22 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
                             axis=-1)
         return cur, moments
 
-    # manual validated 2×2 bilinear (temporal.comp:95-113)
+    # manual validated 2×2 bilinear (temporal.comp:95-113). All history
+    # planes are packed into one (H, W, 16) array so each tap is a single
+    # row gather (per-row gather cost dominates on this hardware).
     prev_pix = prev_uv * jnp.array([W, H], jnp.float32) - 0.5
     base = jnp.floor(prev_pix)
     f = prev_pix - base
+
+    hpack = jnp.concatenate([
+        history.signal,                            # 0:4
+        history.moments[..., :2],                  # 4:6
+        history.moments[..., 3:4],                 # 6
+        prev_normal,                               # 7:10
+        prev_lin_depth[..., None],                 # 10
+        prev_object_id[..., None].astype(jnp.float32),  # 11
+        jnp.zeros((H, W, 4), jnp.float32),
+    ], axis=-1).reshape(H * W, 16)
 
     hist_sig = jnp.zeros((H, W, 4), jnp.float32)
     hist_mom = jnp.zeros((H, W, 2), jnp.float32)
@@ -91,27 +103,27 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
         (1 - f[..., 0]) * f[..., 1], f[..., 0] * f[..., 1],
     ]
     offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    oid_f = object_id.astype(jnp.float32)
     for w8, (ox, oy) in zip(weights, offsets):
         px = base[..., 0] + ox
         py = base[..., 1] + oy
         inside = (px >= 0) & (px < W) & (py >= 0) & (py < H)
         xi = jnp.clip(px.astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(py.astype(jnp.int32), 0, H - 1)
+        row = hpack[yi * W + xi]                   # ONE gather per tap
 
         # is_valid_reprojection (temporal.comp:45-62)
-        pid = prev_object_id[yi, xi]
-        pn = prev_normal[yi, xi]
-        pz = prev_lin_depth[yi, xi]
+        pn = row[..., 7:10]
+        pz = row[..., 10]
         ok = inside
-        ok = ok & (pid == object_id)
+        ok = ok & (row[..., 11] == oid_f)
         ok = ok & (jnp.sum(pn * normal, axis=-1) >= 0.95)
         ok = ok & (jnp.abs(cur_depth - pz) / (cur_depth + 1e-6) <= 0.05)
 
         w_eff = jnp.where(ok, w8, 0.0)
-        hist_sig = hist_sig + w_eff[..., None] * history.signal[yi, xi]
-        hm = history.moments[yi, xi]
-        hist_mom = hist_mom + w_eff[..., None] * hm[..., :2]
-        hist_len = hist_len + w_eff * hm[..., 3]
+        hist_sig = hist_sig + w_eff[..., None] * row[..., 0:4]
+        hist_mom = hist_mom + w_eff[..., None] * row[..., 4:6]
+        hist_len = hist_len + w_eff * row[..., 6]
         weight_sum = weight_sum + w_eff
 
     valid = weight_sum > 0.01

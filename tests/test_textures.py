@@ -1,0 +1,69 @@
+"""End-to-end textured rendering: texture stack → sampled albedo."""
+import jax.numpy as jnp
+import numpy as np
+
+from hybridrenderer_tpu.core.camera import OrbitCamera
+from hybridrenderer_tpu.core.config import RenderSettings
+from hybridrenderer_tpu.core.types import DisplayMode, RenderFlags, RenderPathType
+from hybridrenderer_tpu.ops import texture as tex_ops
+from hybridrenderer_tpu.runtime.renderer import Renderer
+from hybridrenderer_tpu.scene import geometry
+from hybridrenderer_tpu.scene.scene import Scene
+from hybridrenderer_tpu.scene.schema import Material, TextureStack
+
+
+def _checker_stack(n=8):
+    img = np.indices((n, n)).sum(0) % 2
+    data = np.zeros((1, n, n, 4), np.float32)
+    data[0, ..., 0] = img          # red checker
+    data[0, ..., 1] = 1.0 - img    # green inverse
+    data[0, ..., 3] = 1.0
+    return TextureStack(data=jnp.asarray(data),
+                        sizes=jnp.asarray([[n, n]], np.int32))
+
+
+def test_bilinear_sampler_checker():
+    stack = _checker_stack(2)
+    uv = jnp.asarray([[0.25, 0.25], [0.75, 0.25], [0.25, 0.75]])
+    tid = jnp.zeros((3,), jnp.int32)
+    out = np.asarray(tex_ops.sample_nearest(stack.data, stack.sizes, tid, uv,
+                                            jnp.zeros(4)))
+    assert out[0, 0] == 0.0 and out[1, 0] == 1.0 and out[2, 0] == 1.0
+
+
+def test_sampler_default_when_no_texture():
+    stack = _checker_stack(2)
+    tid = jnp.full((2,), -1, jnp.int32)
+    uv = jnp.zeros((2, 2))
+    out = np.asarray(tex_ops.sample_bilinear(
+        stack.data, stack.sizes, tid, uv, jnp.asarray([9.0, 0, 0, 1])))
+    np.testing.assert_allclose(out[:, 0], 9.0)
+
+
+def test_textured_forward_render():
+    """A checkerboard colour texture must show up in the rendered frame."""
+    sc = Scene("tex")
+    m = sc.add_material(Material(name="checker", colour=(1, 1, 1),
+                                 roughness=0.8, colour_texture=0))
+    plane = geometry.plane(size=10.0, material=m, uv_scale=2.0)
+    sc.add_entity(sc.add_mesh(plane))
+    sc.textures = _checker_stack(8)
+    sc.set_sun((-0.3, -1.0, -0.2), intensity=3.0, ambient=0.3)
+    data = sc.build()
+
+    s = RenderSettings(width=96, height=96, path=RenderPathType.FORWARD,
+                       flags=RenderFlags.LIGHT, raster_backend="jnp",
+                       display_mode=DisplayMode.ALBEDO)
+    r = Renderer(s, data)
+    cam = OrbitCamera(width=96, height=96, distance=8.0, pitch=1.1,
+                      focal_point=(0, 0, 0))
+    img = r.render_np(cam.step())
+    # looking nearly straight down at the checker: both checker colors
+    # present with significant variation
+    center = img[20:76, 20:76]
+    assert center[..., 0].std() > 0.08, "checker pattern missing (red)"
+    assert center[..., 1].std() > 0.08, "checker pattern missing (green)"
+    # red and green anti-correlated (inverse checkers)
+    r_flat = center[..., 0].ravel()
+    g_flat = center[..., 1].ravel()
+    assert np.corrcoef(r_flat, g_flat)[0, 1] < -0.3

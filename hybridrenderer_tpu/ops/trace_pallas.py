@@ -111,7 +111,7 @@ def build_packed(bvh: BVH, tri_v0, tri_v1, tri_v2):
     return _pack_rows(rows_i), _pack_rows(rows_l)
 
 
-def _traverse_kernel(any_hit: bool, single_tri: bool,
+def _traverse_kernel(any_hit: bool, single_tri: bool, npk: int,
                      # scalar prefetch
                      tmin_ref,
                      # inputs
@@ -122,45 +122,59 @@ def _traverse_kernel(any_hit: bool, single_tri: bool,
                      t_out, tri_out, u_out, v_out,
                      # scratch
                      stack_ref):
-    ox = ox_ref[...]
-    oy = oy_ref[...]
-    oz = oz_ref[...]
-    dx = dx_ref[...]
-    dy = dy_ref[...]
-    dz = dz_ref[...]
+    """``npk`` independent packets traverse interleaved inside one
+    program: their per-step scalar chains (stack pops, node-tile reads,
+    reductions) are independent, so the compiler overlaps the latencies
+    that a single serial packet would expose."""
     tmin = tmin_ref[0]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def safe_inv(d):
         tiny = jnp.where(d < 0.0, -1e-12, 1e-12)
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12, tiny, d)
 
-    ix = safe_inv(dx)
-    iy = safe_inv(dy)
-    iz = safe_inv(dz)
+    rays = []
+    for pkt in range(npk):
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        ox = ox_ref[r0:r1, :]
+        oy = oy_ref[r0:r1, :]
+        oz = oz_ref[r0:r1, :]
+        dx = dx_ref[r0:r1, :]
+        dy = dy_ref[r0:r1, :]
+        dz = dz_ref[r0:r1, :]
+        rays.append((ox, oy, oz, dx, dy, dz,
+                     safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+        stack_ref[pkt, 0] = jnp.int32(-1 if single_tri else 0)
 
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    def pkt_init(pkt):
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        return (jnp.int32(1),
+                tmax_ref[r0:r1, :],
+                jnp.full((PACKET_ROWS, PACKET_COLS), -1, jnp.int32),
+                jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
+                jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32))
 
-    # root: encoded single-leaf scene starts at leaf -1, else internal 0
-    stack_ref[0] = jnp.int32(-1 if single_tri else 0)
-    init = (
-        jnp.int32(1),
-        tmax_ref[...],
-        jnp.full((PACKET_ROWS, PACKET_COLS), -1, jnp.int32),
-        jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
-        jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
-    )
+    init = tuple(x for pkt in range(npk) for x in pkt_init(pkt))
 
-    def cond(state):
-        sp, t, tri, _, _ = state
+    def pkt_live(state, pkt):
+        sp = state[5 * pkt]
+        tri = state[5 * pkt + 2]
         live = sp > 0
         if any_hit:
             live = live & jnp.logical_not(jnp.all(tri >= 0))
         return live
 
-    def body(state):
-        sp, t_best, tri_best, u_best, v_best = state
+    def cond(state):
+        live = pkt_live(state, 0)
+        for pkt in range(1, npk):
+            live = live | pkt_live(state, pkt)
+        return live
+
+    def step(pkt, sub):
+        sp, t_best, tri_best, u_best, v_best = sub
+        ox, oy, oz, dx, dy, dz, ix, iy, iz = rays[pkt]
         active = sp > 0
-        enc = stack_ref[jnp.maximum(sp - 1, 0)]
+        enc = stack_ref[pkt, jnp.maximum(sp - 1, 0)]
         sp = jnp.maximum(sp - 1, 0)
         is_leaf = (enc < 0) & active
 
@@ -207,8 +221,6 @@ def _traverse_kernel(any_hit: bool, single_tri: bool,
             return jnp.sum(itile[r:r + 1, :] * ioh)
 
         def nfv(r):
-            # (1,1) vector extraction: avoids a vector->scalar sync for
-            # values only used in vector arithmetic
             return jnp.sum(itile[r:r + 1, :] * ioh, axis=1, keepdims=True)
 
         def aabb(rmin, rmax):
@@ -245,45 +257,58 @@ def _traverse_kernel(any_hit: bool, single_tri: bool,
 
         @pl.when(first_ok)
         def _():
-            stack_ref[sp] = first
+            stack_ref[pkt, sp] = first
 
         sp1 = sp + first_ok.astype(jnp.int32)
 
         @pl.when(second_ok)
         def _():
-            stack_ref[sp1] = second
+            stack_ref[pkt, sp1] = second
 
         return (sp1 + second_ok.astype(jnp.int32),
                 t_best, tri_best, u_best, v_best)
 
+    def body(state):
+        out = []
+        for pkt in range(npk):
+            out.extend(step(pkt, state[5 * pkt:5 * pkt + 5]))
+        return tuple(out)
+
     # lax.while_loop has a pathological per-iteration cost on this
-    # backend (measured ~ms-scale vs ~free fori steps); amortize it by
-    # running CHUNK_STEPS masked steps per while iteration.
+    # backend; amortize with CHUNK_STEPS masked steps per iteration.
     def chunk(state):
         return jax.lax.fori_loop(0, CHUNK_STEPS, lambda _i, st: body(st),
                                  state)
 
-    _, t, tri, u, v = jax.lax.while_loop(cond, chunk, init)
-    miss = tri < 0
-    t_out[...] = jnp.where(miss, jnp.inf, t)
-    tri_out[...] = tri
-    u_out[...] = u
-    v_out[...] = v
+    state = jax.lax.while_loop(cond, chunk, init)
+    for pkt in range(npk):
+        _, t, tri, u, v = state[5 * pkt:5 * pkt + 5]
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        miss = tri < 0
+        t_out[r0:r1, :] = jnp.where(miss, jnp.inf, t)
+        tri_out[r0:r1, :] = tri
+        u_out[r0:r1, :] = u
+        v_out[r0:r1, :] = v
 
 
 @functools.partial(jax.jit,
-                    static_argnames=("any_hit", "interpret", "num_tris"))
+                    static_argnames=("any_hit", "interpret", "num_tris",
+                                     "packets_per_program"))
 def intersect_packed(internal_tiles, leaf_tiles, num_tris, o, d, tmin, tmax,
-                     any_hit: bool = False, interpret: bool = False):
+                     any_hit: bool = False, interpret: bool = False,
+                     packets_per_program: int = 1):
     """Packet-traversal intersect over flat ray batch (R, 3) using the
     pre-packed acceleration arrays from ``build_packed``."""
+    npk = packets_per_program
     R = o.shape[0]
-    pad = (-R) % PACKET
-    n_packets = (R + pad) // PACKET
+    group = PACKET * npk
+    pad = (-R) % group
+    n_programs = (R + pad) // group
+    rows = n_programs * PACKET_ROWS * npk
 
     def plane(x, fill=0.0):
         x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
-        return x.reshape(n_packets * PACKET_ROWS, PACKET_COLS, 3)
+        return x.reshape(rows, PACKET_COLS, 3)
 
     op = plane(o)
     dp = plane(d, fill=1.0)
@@ -292,20 +317,20 @@ def intersect_packed(internal_tiles, leaf_tiles, num_tris, o, d, tmin, tmax,
     # shadow rays at 1e4 anyway (common.glsl:127). Clamp hard.
     tmax_full = jnp.broadcast_to(
         jnp.minimum(jnp.asarray(tmax, jnp.float32), 1e6), (R,))
-    tmax_p = jnp.pad(tmax_full, (0, pad)).reshape(
-        n_packets * PACKET_ROWS, PACKET_COLS)
+    tmax_p = jnp.pad(tmax_full, (0, pad)).reshape(rows, PACKET_COLS)
 
-    ray_spec = pl.BlockSpec((PACKET_ROWS, PACKET_COLS), lambda i, *_: (i, 0))
+    blk_rows = PACKET_ROWS * npk
+    ray_spec = pl.BlockSpec((blk_rows, PACKET_COLS), lambda i, *_: (i, 0))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_packets,),
+        grid=(n_programs,),
         in_specs=[vmem, vmem] + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((npk, STACK_DEPTH), jnp.int32)],
     )
-    shape2 = (n_packets * PACKET_ROWS, PACKET_COLS)
+    shape2 = (rows, PACKET_COLS)
     out_shape = [
         jax.ShapeDtypeStruct(shape2, jnp.float32),
         jax.ShapeDtypeStruct(shape2, jnp.int32),
@@ -313,7 +338,7 @@ def intersect_packed(internal_tiles, leaf_tiles, num_tris, o, d, tmin, tmax,
         jax.ShapeDtypeStruct(shape2, jnp.float32),
     ]
 
-    kernel = functools.partial(_traverse_kernel, any_hit, num_tris == 1)
+    kernel = functools.partial(_traverse_kernel, any_hit, num_tris == 1, npk)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

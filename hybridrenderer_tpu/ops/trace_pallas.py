@@ -175,98 +175,104 @@ def _traverse_kernel(any_hit: bool, single_tri: bool, npk: int,
         ox, oy, oz, dx, dy, dz, ix, iy, iz = rays[pkt]
         active = sp > 0
         enc = stack_ref[pkt, jnp.maximum(sp - 1, 0)]
-        sp = jnp.maximum(sp - 1, 0)
-        is_leaf = (enc < 0) & active
+        sp_pop = jnp.maximum(sp - 1, 0)
 
-        # ---------- leaf: packet Möller–Trumbore ----------
-        k = jnp.maximum(-enc - 1, 0)
-        ltile = leaf_ref[k >> 7]          # (16, 128)
-        loh = (lane_iota == (k & 127)).astype(jnp.float32)
+        def leaf_branch(st):
+            sp, t_best, tri_best, u_best, v_best = st
+            k = jnp.maximum(-enc - 1, 0)
+            ltile = leaf_ref[k >> 7]          # (16, 128)
+            loh = (lane_iota == (k & 127)).astype(jnp.float32)
 
-        def lf(r):
-            return jnp.sum(ltile[r:r + 1, :] * loh, axis=1, keepdims=True)
+            def lf(r):
+                return jnp.sum(ltile[r:r + 1, :] * loh, axis=1, keepdims=True)
 
-        p0x, p0y, p0z = lf(0), lf(1), lf(2)
-        a1x, a1y, a1z = lf(3), lf(4), lf(5)
-        a2x, a2y, a2z = lf(6), lf(7), lf(8)
-        tri_id = jnp.sum(ltile[9:10, :] * loh).astype(jnp.int32)
+            p0x, p0y, p0z = lf(0), lf(1), lf(2)
+            a1x, a1y, a1z = lf(3), lf(4), lf(5)
+            a2x, a2y, a2z = lf(6), lf(7), lf(8)
+            tri_id = jnp.sum(ltile[9:10, :] * loh).astype(jnp.int32)
 
-        pvx = dy * a2z - dz * a2y
-        pvy = dz * a2x - dx * a2z
-        pvz = dx * a2y - dy * a2x
-        det = a1x * pvx + a1y * pvy + a1z * pvz
-        inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, TRI_EPS, det)
-        tvx = ox - p0x
-        tvy = oy - p0y
-        tvz = oz - p0z
-        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * a1z - tvz * a1y
-        qvy = tvz * a1x - tvx * a1z
-        qvz = tvx * a1y - tvy * a1x
-        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-        tt = (a2x * qvx + a2y * qvy + a2z * qvz) * inv_det
-        hit = (jnp.abs(det) >= TRI_EPS) & (uu >= 0.0) & (vv >= 0.0) \
-            & (uu + vv <= 1.0) & (tt >= tmin) & (tt <= t_best) & is_leaf
-        t_best = jnp.where(hit, tt, t_best)
-        tri_best = jnp.where(hit, tri_id, tri_best)
-        u_best = jnp.where(hit, uu, u_best)
-        v_best = jnp.where(hit, vv, v_best)
+            pvx = dy * a2z - dz * a2y
+            pvy = dz * a2x - dx * a2z
+            pvz = dx * a2y - dy * a2x
+            det = a1x * pvx + a1y * pvy + a1z * pvz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, TRI_EPS, det)
+            tvx = ox - p0x
+            tvy = oy - p0y
+            tvz = oz - p0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * a1z - tvz * a1y
+            qvy = tvz * a1x - tvx * a1z
+            qvz = tvx * a1y - tvy * a1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (a2x * qvx + a2y * qvy + a2z * qvz) * inv_det
+            hit = (jnp.abs(det) >= TRI_EPS) & (uu >= 0.0) & (vv >= 0.0) \
+                & (uu + vv <= 1.0) & (tt >= tmin) & (tt <= t_best)
+            return (sp,
+                    jnp.where(hit, tt, t_best),
+                    jnp.where(hit, tri_id, tri_best),
+                    jnp.where(hit, uu, u_best),
+                    jnp.where(hit, vv, v_best))
 
-        # ---------- internal: test both inlined child boxes ----------
-        i = jnp.maximum(enc, 0)
-        itile = internal_ref[i >> 7]      # (16, 128)
-        ioh = (lane_iota == (i & 127)).astype(jnp.float32)
+        def internal_branch(st):
+            sp, t_best, tri_best, u_best, v_best = st
+            i = jnp.maximum(enc, 0)
+            itile = internal_ref[i >> 7]      # (16, 128)
+            ioh = (lane_iota == (i & 127)).astype(jnp.float32)
 
-        def nf(r):
-            return jnp.sum(itile[r:r + 1, :] * ioh)
+            def nf(r):
+                return jnp.sum(itile[r:r + 1, :] * ioh)
 
-        def nfv(r):
-            return jnp.sum(itile[r:r + 1, :] * ioh, axis=1, keepdims=True)
+            def nfv(r):
+                return jnp.sum(itile[r:r + 1, :] * ioh, axis=1, keepdims=True)
 
-        def aabb(rmin, rmax):
-            t0x = (nfv(rmin) - ox) * ix
-            t1x = (nfv(rmax) - ox) * ix
-            t0y = (nfv(rmin + 1) - oy) * iy
-            t1y = (nfv(rmax + 1) - oy) * iy
-            t0z = (nfv(rmin + 2) - oz) * iz
-            t1z = (nfv(rmax + 2) - oz) * iz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                         jnp.minimum(t0y, t1y)),
-                             jnp.minimum(t0z, t1z))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                         jnp.maximum(t0y, t1y)),
-                             jnp.maximum(t0z, t1z))
-            ok = (tn <= tf) & (tf >= tmin) & (tn <= t_best)
-            if any_hit:
-                ok = ok & (tri_best < 0)
-            return jnp.any(ok), jnp.sum(jnp.where(ok, tn, 0.0))
+            def aabb(rmin, rmax):
+                t0x = (nfv(rmin) - ox) * ix
+                t1x = (nfv(rmax) - ox) * ix
+                t0y = (nfv(rmin + 1) - oy) * iy
+                t1y = (nfv(rmax + 1) - oy) * iy
+                t0z = (nfv(rmin + 2) - oz) * iz
+                t1z = (nfv(rmax + 2) - oz) * iz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.minimum(t0z, t1z))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z))
+                ok = (tn <= tf) & (tf >= tmin) & (tn <= t_best)
+                if any_hit:
+                    ok = ok & (tri_best < 0)
+                return jnp.any(ok), jnp.sum(jnp.where(ok, tn, 0.0))
 
-        l_any, l_tn = aabb(_I_LMIN, _I_LMAX)
-        r_any, r_tn = aabb(_I_RMIN, _I_RMAX)
-        inner = jnp.logical_not(is_leaf) & active
-        l_any = l_any & inner
-        r_any = r_any & inner
-        lid = nf(_I_LEFT).astype(jnp.int32)
-        rid = nf(_I_RIGHT).astype(jnp.int32)
+            l_any, l_tn = aabb(_I_LMIN, _I_LMAX)
+            r_any, r_tn = aabb(_I_RMIN, _I_RMAX)
+            lid = nf(_I_LEFT).astype(jnp.int32)
+            rid = nf(_I_RIGHT).astype(jnp.int32)
 
-        l_nearer = l_tn <= r_tn
-        first = jnp.where(l_nearer, rid, lid)    # pushed first (far)
-        first_ok = jnp.where(l_nearer, r_any, l_any)
-        second = jnp.where(l_nearer, lid, rid)   # pushed last (near)
-        second_ok = jnp.where(l_nearer, l_any, r_any)
+            l_nearer = l_tn <= r_tn
+            first = jnp.where(l_nearer, rid, lid)    # pushed first (far)
+            first_ok = jnp.where(l_nearer, r_any, l_any)
+            second = jnp.where(l_nearer, lid, rid)   # pushed last (near)
+            second_ok = jnp.where(l_nearer, l_any, r_any)
 
-        @pl.when(first_ok)
-        def _():
-            stack_ref[pkt, sp] = first
+            @pl.when(first_ok)
+            def _():
+                stack_ref[pkt, sp] = first
 
-        sp1 = sp + first_ok.astype(jnp.int32)
+            sp1 = sp + first_ok.astype(jnp.int32)
 
-        @pl.when(second_ok)
-        def _():
-            stack_ref[pkt, sp1] = second
+            @pl.when(second_ok)
+            def _():
+                stack_ref[pkt, sp1] = second
 
-        return (sp1 + second_ok.astype(jnp.int32),
-                t_best, tri_best, u_best, v_best)
+            return (sp1 + second_ok.astype(jnp.int32),
+                    t_best, tri_best, u_best, v_best)
+
+        def active_branch(st):
+            return jax.lax.cond(enc < 0, leaf_branch, internal_branch, st)
+
+        return jax.lax.cond(
+            active, active_branch, lambda st: st,
+            (sp_pop, t_best, tri_best, u_best, v_best))
 
     def body(state):
         out = []

@@ -1,0 +1,319 @@
+"""Wide-BVH collapse: binary LBVH → 8-wide nodes + 4-triangle leaves.
+
+The packet traversal kernel's cost is per-*step* (pop, dynamic tile
+read, vector→scalar transfer chain), so traversal wants the shallowest
+tree with the fewest visited records: collapsing the Karras binary tree
+3 levels at a time gives 8-wide internal nodes (~3.3x fewer packet
+steps measured on the 65k-tri stress scene), and clustering ≤4
+triangles per leaf batches the Möller–Trumbore tests.
+
+This is the TLAS/BLAS-build analog of the reference's
+PREFER_FAST_TRACE acceleration structures (Scene.cpp:323-440,
+Model.cpp:114-186), re-targeted at TPU packet traversal instead of RT
+cores.
+
+Collapse rules (host-side vectorized numpy; runs once per scene build):
+  * ``small`` node: subtree holds ≤ LEAF_TRIS triangles → becomes one
+    leaf *cluster* (its triangles are a contiguous range of the
+    Morton-sorted leaf order, a property of the Karras radix tree).
+  * wide roots = non-small binary nodes at depth ≡ 0 (mod 3); the
+    children of a wide node are the cluster roots and wide roots whose
+    nearest mod-3 ancestor it is (≤ 8 by construction).
+  * children are ordered by their sorted-leaf range start, and both
+    the internal children and the leaf children of a node are allocated
+    contiguously, so a node stores only (ibase, imask, lbase, lmask) —
+    the traversal kernel reconstructs each child id with running-rank
+    arithmetic in scalar registers (no per-child field extraction).
+
+Record layout (all f32 tiles; entity s → tile s>>7, lane s&127):
+  * nodes: (Tn, 48, 128) — child c's AABB at rows 6c..6c+5
+    (min.xyz, max.xyz). Empty slots get inverted boxes. One dynamic
+    tile read per visit (Mosaic handles 48-sublane dynamic leading
+    indices).
+  * leaves: (Tl, 48, 128) — triangle t of the cluster at rows
+    12t..12t+9: v0, e1, e2, id. Missing triangles are degenerate
+    (all-zero ⇒ det==0 ⇒ miss) with id -1.
+  * meta: (2*Nw,) int32 SMEM-resident (scalar-prefetch):
+    [ibase*256 | imask, lbase*256 | lmask] per node.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+WIDTH = 8
+LEAF_TRIS = 4
+_LEVELS = 3  # collapse depth: 2^3 = WIDTH
+
+
+@dataclasses.dataclass
+class WideBVH:
+    """Host-built wide acceleration structure (fields are jnp-able)."""
+
+    nodes: Any    # (4, Tn, 16, 128) f32
+    leaves: Any   # (4, Tl, 16, 128) f32
+    meta: Any     # (Nw, 2) int32
+    num_wide: int
+    num_clusters: int
+
+    @property
+    def vmem_bytes(self) -> int:
+        return (np.prod(self.nodes.shape) + np.prod(self.leaves.shape)) * 4
+
+
+def _depths(parent: np.ndarray) -> np.ndarray:
+    d = np.zeros(parent.shape[0], np.int32)
+    for _ in range(96):
+        nd = np.where(parent >= 0, d[np.maximum(parent, 0)] + 1, 0)
+        if (nd == d).all():
+            return d
+        d = nd
+    raise ValueError("BVH deeper than 96 levels")
+
+
+def build_wide(bvh, tri_v0, tri_v1, tri_v2) -> WideBVH:
+    """Binary BVH (ops/bvh.BVH) + world triangles → WideBVH."""
+    nmin = np.asarray(bvh.node_min)
+    nmax = np.asarray(bvh.node_max)
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    tri = np.asarray(bvh.tri)
+    v0 = np.asarray(tri_v0)
+    v1 = np.asarray(tri_v1)
+    v2 = np.asarray(tri_v2)
+    T = int(bvh.num_tris)
+    T = max(T, 1)
+    N = nmin.shape[0]
+    n_int = max(T - 1, 1) if T > 1 else 0
+
+    # parents + depths + subtree ranges/counts
+    parent = np.full(N, -1, np.int32)
+    if T > 1:
+        ii = np.arange(T - 1)
+        parent[left[: T - 1]] = ii
+        parent[right[: T - 1]] = ii
+    depth = _depths(parent)
+
+    lo = np.zeros(N, np.int64)
+    hi = np.zeros(N, np.int64)
+    if T > 1:
+        lo[T - 1:] = np.arange(T)
+        hi[T - 1:] = np.arange(T)
+        lo[: T - 1] = -1
+        hi[: T - 1] = -1
+        for _ in range(96):
+            l_ok = lo[left[: T - 1]] >= 0
+            r_ok = lo[right[: T - 1]] >= 0
+            both = l_ok & r_ok
+            nlo = np.where(both, np.minimum(lo[left[: T - 1]],
+                                            lo[right[: T - 1]]), lo[: T - 1])
+            nhi = np.where(both, np.maximum(hi[left[: T - 1]],
+                                            hi[right[: T - 1]]), hi[: T - 1])
+            if (nlo == lo[: T - 1]).all() and (nhi == hi[: T - 1]).all():
+                break
+            lo[: T - 1] = nlo
+            hi[: T - 1] = nhi
+    cnt = (hi - lo + 1).astype(np.int64)
+
+    small = cnt <= LEAF_TRIS
+    if T == 1 or small[0]:
+        # whole scene is one cluster: single wide node, one leaf child
+        cluster_nodes = np.array([0], np.int64)
+        cluster_parent_w = np.array([0], np.int64)
+        cluster_lo = np.array([lo[0] if T > 1 else 0], np.int64)
+        wide_nodes = np.array([0], np.int64)
+        widx = {0: 0}
+        n_wide = 1
+        wparent = np.array([-1], np.int64)
+        wlo = np.array([0], np.int64)
+    else:
+        psmall = np.zeros(N, bool)
+        psmall[parent >= 0] = small[np.maximum(parent, 0)][parent >= 0]
+        cluster_root = small & ~psmall & (np.arange(N) != 0)
+        is_wide = (~small) & (depth % _LEVELS == 0)
+
+        # nearest mod-3 ancestor: k = ((depth-1) % 3) + 1 parent hops
+        def ancestor_k(nodes, k):
+            a1 = parent[nodes]
+            a2 = np.where(a1 >= 0, parent[np.maximum(a1, 0)], -1)
+            a3 = np.where(a2 >= 0, parent[np.maximum(a2, 0)], -1)
+            return np.select([k == 1, k == 2, k == 3], [a1, a2, a3], -1)
+
+        def enclosing(nodes):
+            k = ((depth[nodes] - 1) % _LEVELS) + 1
+            return ancestor_k(nodes, k)
+
+        wide_nodes = np.flatnonzero(is_wide)
+        cluster_nodes = np.flatnonzero(cluster_root)
+        w_enc = enclosing(wide_nodes)       # binary id of enclosing wide node
+        c_enc = enclosing(cluster_nodes)
+
+        # assign wide indices level by level so children are contiguous
+        bin2w = np.full(N, -1, np.int64)
+        bin2w[0] = 0
+        level = depth[wide_nodes] // _LEVELS
+        n_wide = len(wide_nodes)
+        for lv in range(1, int(level.max()) + 1 if n_wide > 1 else 1):
+            sel = level == lv
+            if not sel.any():
+                continue
+            nodes_lv = wide_nodes[sel]
+            pw = bin2w[w_enc[sel]]
+            assert (pw >= 0).all(), "parent wide level not yet assigned"
+            order = np.lexsort((lo[nodes_lv], pw))
+            base = (bin2w >= 0).sum()
+            bin2w[nodes_lv[order]] = base + np.arange(len(nodes_lv))
+        wparent = np.full(n_wide, -1, np.int64)
+        ww = bin2w[wide_nodes]
+        wparent[ww[depth[wide_nodes] > 0]] = bin2w[w_enc][depth[wide_nodes] > 0]
+        cluster_parent_w = bin2w[c_enc]
+        assert (cluster_parent_w >= 0).all()
+        # re-index arrays to wide order
+        inv = np.empty(n_wide, np.int64)
+        inv[ww] = np.arange(n_wide)
+        wide_nodes = wide_nodes[inv]          # wide idx → binary id
+        wlo = lo[wide_nodes]
+        cluster_lo = lo[cluster_nodes]
+        widx = None
+
+    # order leaf clusters by (parent wide idx, range start) → contiguous
+    corder = np.lexsort((cluster_lo, cluster_parent_w))
+    cluster_nodes = cluster_nodes[corder]
+    cluster_parent_w = cluster_parent_w[corder]
+    cluster_lo = cluster_lo[corder]
+    n_cluster = len(cluster_nodes)
+
+    # Wide index 0 is a synthetic SUPER-ROOT whose single internal child
+    # is the real root (all other indices shift by +1). The traversal
+    # kernel's compressed stack entries are (parent << 8 | pending-mask)
+    # and decode a child id at pop time — the bootstrap entry
+    # (0 << 8 | 1) then decodes to "visit the root".
+    n_total = n_wide + 1
+
+    # build per-wide-node child tables
+    meta = np.zeros((n_total, 2), np.int64)
+    Tn = (n_total + 127) // 128
+    node_rec = np.zeros((Tn, 48, 128), np.float32)
+    # inverted boxes for empty slots
+    for c in range(WIDTH):
+        node_rec[:, 6 * c:6 * c + 3, :] = 3e38
+        node_rec[:, 6 * c + 3:6 * c + 6, :] = -3e38
+
+    # gather children (internal + leaf) per parent, ordered by lo;
+    # row 0 = the super-root → root edge
+    child_parent = np.concatenate([
+        np.zeros(1, np.int64),
+        wparent[1:] + 1 if n_wide > 1 else np.empty(0, np.int64),
+        cluster_parent_w + 1,
+    ])
+    child_entity = np.concatenate([
+        np.ones(1, np.int64),
+        np.arange(1, n_wide) + 1 if n_wide > 1 else np.empty(0, np.int64),
+        np.arange(n_cluster),
+    ])
+    child_is_leaf = np.concatenate([
+        np.zeros(1, bool),
+        np.zeros(max(n_wide - 1, 0), bool),
+        np.ones(n_cluster, bool),
+    ])
+    child_lo = np.concatenate([
+        np.full(1, -1, np.int64),
+        wlo[1:] if n_wide > 1 else np.empty(0, np.int64),
+        cluster_lo,
+    ])
+    child_bin = np.concatenate([
+        wide_nodes[:1],
+        wide_nodes[1:] if n_wide > 1 else np.empty(0, np.int64),
+        cluster_nodes,
+    ])
+    order = np.lexsort((child_lo, child_parent))
+    child_parent = child_parent[order]
+    child_entity = child_entity[order]
+    child_is_leaf = child_is_leaf[order]
+    child_bin = child_bin[order]
+    # slot index within parent
+    first = np.ones(len(child_parent), bool)
+    first[1:] = child_parent[1:] != child_parent[:-1]
+    gidx = np.arange(len(child_parent))
+    start = np.maximum.accumulate(np.where(first, gidx, 0))
+    slot = gidx - start
+    assert (slot < WIDTH).all(), "wide node with > 8 children"
+
+    # masks + bases
+    meta0 = np.zeros(n_total, np.int64)
+    meta1 = np.zeros(n_total, np.int64)
+    np.add.at(meta0, child_parent[~child_is_leaf], 1 << slot[~child_is_leaf])
+    np.add.at(meta1, child_parent[child_is_leaf], 1 << slot[child_is_leaf])
+    ifirst = first_of_kind(child_parent, ~child_is_leaf)
+    lfirst = first_of_kind(child_parent, child_is_leaf)
+    meta0[child_parent[ifirst]] += 256 * child_entity[ifirst]
+    meta1[child_parent[lfirst]] += 256 * child_entity[lfirst]
+    meta[:, 0] = meta0
+    meta[:, 1] = meta1
+
+    # AABB records
+    pw = child_parent
+    tile = (pw // 128).astype(np.int64)
+    lane = (pw % 128).astype(np.int64)
+    base_row = slot * 6
+    bmin = nmin[child_bin]
+    bmax = nmax[child_bin]
+    for ax in range(3):
+        node_rec[tile, base_row + ax, lane] = bmin[:, ax]
+        node_rec[tile, base_row + 3 + ax, lane] = bmax[:, ax]
+
+    # leaf records; always ≥1 padded lane — the traversal kernel uses the
+    # last lane as the branchless dummy-leaf target (all ids -1 ⇒ miss)
+    Tl = n_cluster // 128 + 1
+    leaf_rec = np.zeros((Tl, 48, 128), np.float32)
+    for t in range(LEAF_TRIS):
+        leaf_rec[:, 12 * t + 9, :] = -1.0  # id rows: padding = miss
+    # sorted-leaf order → original tri ids
+    sorted_tri = tri[T - 1:] if T > 1 else tri[:1]
+    c_hi = hi[cluster_nodes] if T > 1 else np.array([0], np.int64)
+    c_lo = cluster_lo
+    for t in range(LEAF_TRIS):
+        sel = (c_lo + t) <= c_hi
+        src = sorted_tri[np.minimum(c_lo + t, c_hi)]
+        k = np.arange(n_cluster)
+        tk = k // 128
+        lk = k % 128
+        p0 = v0[src]
+        e1 = v1[src] - p0
+        e2 = v2[src] - p0
+        m = sel.astype(np.float32)
+        r = 12 * t
+        for ax in range(3):
+            leaf_rec[tk, r + 0 + ax, lk] = p0[:, ax] * m
+            leaf_rec[tk, r + 3 + ax, lk] = e1[:, ax] * m
+            leaf_rec[tk, r + 6 + ax, lk] = e2[:, ax] * m
+        leaf_rec[tk, r + 9, lk] = np.where(sel, src.astype(np.float32), -1.0)
+
+    assert (meta[:, 0] >> 8 < 2 ** 23).all() and (meta[:, 1] >> 8 < 2 ** 23).all()
+    return WideBVH(nodes=node_rec, leaves=leaf_rec,
+                   meta=meta.astype(np.int32), num_wide=int(n_total),
+                   num_clusters=int(n_cluster))
+
+
+def first_of_kind(parents: np.ndarray, kind: np.ndarray) -> np.ndarray:
+    """True at the first entry of each parent group restricted to `kind`
+    (parents must be group-sorted)."""
+    out = np.zeros(len(parents), bool)
+    seen = {}
+    idx = np.flatnonzero(kind)
+    p = parents[idx]
+    f = np.ones(len(p), bool)
+    f[1:] = p[1:] != p[:-1]
+    out[idx[f]] = True
+    return out
+
+
+def validate_wide(wide: WideBVH, v0, v1, v2, samples: int = 200) -> bool:
+    """Sanity: every triangle appears exactly once across leaf records."""
+    ids = np.stack([wide.leaves[:, 12 * t + 9, :] for t in range(LEAF_TRIS)])
+    ids = ids.reshape(-1)
+    ids = ids[ids >= 0].astype(np.int64)
+    T = np.asarray(v0).shape[0]
+    return len(ids) == T and len(np.unique(ids)) == T

@@ -192,6 +192,9 @@ class SceneTracer:
     bvh: BVH
     internal_tiles: Any
     leaf_tiles: Any
+    wide_nodes: Any = None
+    wide_leaves: Any = None
+    wide_meta: Any = None
     backend: str = dataclasses.field(metadata=dict(static=True),
                                      default="jnp")
     ray_chunk: int = dataclasses.field(metadata=dict(static=True),
@@ -207,7 +210,18 @@ class SceneTracer:
 
         itiles, ltiles = trace_pallas.build_packed(bvh, soup.v0, soup.v1,
                                                    soup.v2)
+        wn = wl = wm = None
+        if backend == "pallas-wide":
+            # host-side wide collapse (BLAS/TLAS build analog); runs once
+            # per scene change, outside jit
+            from . import bvh_wide
+
+            wide = bvh_wide.build_wide(bvh, soup.v0, soup.v1, soup.v2)
+            wn = jnp.asarray(wide.nodes)
+            wl = jnp.asarray(wide.leaves)
+            wm = jnp.asarray(wide.meta)
         return SceneTracer(bvh=bvh, internal_tiles=itiles, leaf_tiles=ltiles,
+                           wide_nodes=wn, wide_leaves=wl, wide_meta=wm,
                            backend=backend)
 
     # --- occlusion ------------------------------------------------------
@@ -231,6 +245,12 @@ class SceneTracer:
 
     def _intersect(self, scene, o, d, tmin, tmax, any_hit):
         soup = scene.triangles
+        if self.backend == "pallas-wide":
+            from . import trace_pallas
+
+            return trace_pallas.intersect_wide(
+                self.wide_nodes, self.wide_leaves, self.wide_meta,
+                o, d, tmin, tmax, any_hit=any_hit)
         if self.backend == "pallas":
             from . import trace_pallas
 
@@ -358,7 +378,7 @@ class SceneTracer:
 
 
 def _detect_backend(requested: str, num_tris: int = 0) -> str:
-    if requested in ("pallas", "jnp"):
+    if requested in ("pallas", "pallas-wide", "jnp"):
         return requested
     from . import trace_pallas
 
@@ -366,6 +386,6 @@ def _detect_backend(requested: str, num_tris: int = 0) -> str:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         platform = "cpu"
-    if platform == "tpu" and trace_pallas.fits_vmem(num_tris):
-        return "pallas"
+    if platform == "tpu" and num_tris > 0 and trace_pallas.fits_vmem(num_tris):
+        return "pallas-wide"
     return "jnp"

@@ -114,19 +114,36 @@ def build_packed(bvh: BVH, tri_v0, tri_v1, tri_v2):
 def _traverse_kernel(any_hit: bool, single_tri: bool, npk: int,
                      # scalar prefetch
                      tmin_ref,
-                     # inputs
-                     internal_ref, leaf_ref,
+                     # inputs (acceleration arrays stay in HBM)
+                     internal_hbm, leaf_hbm,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      tmax_ref,
                      # outputs
                      t_out, tri_out, u_out, v_out,
                      # scratch
-                     stack_ref):
+                     internal_ref, leaf_ref, copy_sems, stack_ref):
     """``npk`` independent packets traverse interleaved inside one
     program: their per-step scalar chains (stack pops, node-tile reads,
     reductions) are independent, so the compiler overlaps the latencies
-    that a single serial packet would expose."""
+    that a single serial packet would expose.
+
+    The acceleration arrays are HBM-resident inputs copied ONCE into
+    persistent VMEM scratch at grid program 0 (scratch survives across
+    sequential grid steps). Letting the Pallas pipeline stream them as
+    VMEM inputs instead re-DMAs the full structure every program —
+    measured ~100-150 us/packet of pure copy overhead for an 8.4 MB
+    BVH, 5-10x the actual traversal cost for coherent rays."""
     tmin = tmin_ref[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_bvh():
+        ic = pltpu.make_async_copy(internal_hbm, internal_ref, copy_sems.at[0])
+        lc = pltpu.make_async_copy(leaf_hbm, leaf_ref, copy_sems.at[1])
+        ic.start()
+        lc.start()
+        ic.wait()
+        lc.wait()
+
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def safe_inv(d):
@@ -327,14 +344,19 @@ def intersect_packed(internal_tiles, leaf_tiles, num_tris, o, d, tmin, tmax,
 
     blk_rows = PACKET_ROWS * npk
     ray_spec = pl.BlockSpec((blk_rows, PACKET_COLS), lambda i, *_: (i, 0))
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_programs,),
-        in_specs=[vmem, vmem] + [ray_spec] * 7,
+        in_specs=[hbm, hbm] + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
-        scratch_shapes=[pltpu.SMEM((npk, STACK_DEPTH), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM(internal_tiles.shape, jnp.float32),
+            pltpu.VMEM(leaf_tiles.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((npk, STACK_DEPTH), jnp.int32),
+        ],
     )
     shape2 = (rows, PACKET_COLS)
     out_shape = [
@@ -350,8 +372,322 @@ def intersect_packed(internal_tiles, leaf_tiles, num_tris, o, d, tmin, tmax,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        # sequential grid: program 0's BVH load must precede all others
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
     )(jnp.full((1,), jnp.float32(tmin)),
       internal_tiles, leaf_tiles,
+      op[..., 0], op[..., 1], op[..., 2],
+      dp[..., 0], dp[..., 1], dp[..., 2],
+      tmax_p)
+
+    flat = lambda x: x.reshape(-1)[:R]
+    return flat(t), flat(tri), flat(u), flat(v)
+
+
+WIDE_ISTACK_DEPTH = 64
+WIDE_LSTACK_DEPTH = 64
+WIDE_CHUNK_STEPS = 32
+WIDE_PACKETS_PER_PROGRAM = 4
+
+
+def _popcount8(x):
+    """Scalar popcount of an 8-bit value (SWAR, int32 scalar ops)."""
+    x = x - ((x >> 1) & 0x55)
+    x = (x & 0x33) + ((x >> 2) & 0x33)
+    return (x + (x >> 4)) & 0x0F
+
+
+def _wide_traverse_kernel(any_hit: bool, npk: int,
+                          # scalar prefetch
+                          tmin_ref, meta_ref,
+                          # inputs (HBM)
+                          nodes_hbm, leaves_hbm,
+                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tmax_ref,
+                          # outputs
+                          t_out, tri_out, u_out, v_out,
+                          # scratch
+                          nodes_ref, leaves_ref, copy_sems,
+                          istack_ref, lstack_ref):
+    """8-wide BVH packet traversal, fully branchless (layout:
+    ops/bvh_wide.py).
+
+    The step's serial chain (pop → dynamic tile read → vector test →
+    vector→scalar mask → push) has a ~400-500 ns latency floor on v5e,
+    so ``npk`` independent packets interleave in one program and their
+    chains overlap. Overlap REQUIRES a branch-free step — measured:
+    ``lax.cond`` or ``pl.when`` stack pushes serialize the interleave —
+    and minimal SMEM traffic, so:
+      * every step does one internal-node visit AND one leaf visit, fed
+        from two SMEM stacks of COMPRESSED entries
+        (parent << 8 | pending-children-bitmask): one push per visit
+        per stack, decoded at pop time with scalar popcount/ctz
+        arithmetic against the SMEM meta table. Stack depth is bounded
+        by the wide-tree depth (~16), so overflow is impossible at 64.
+      * exhausted stacks feed a dummy visit: node reads are masked to
+        hitmask 0 by scalar arithmetic; the dummy leaf is the padded
+        all-miss last lane.
+      * stack writes are unconditional (a no-op push writes below the
+        unchanged top or is overwritten); the vector→scalar boundary is
+        crossed once per step (the packed 8-bit hitmask).
+    """
+    tmin = tmin_ref[0]
+    n_meta = meta_ref.shape[0] // 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        nc = pltpu.make_async_copy(nodes_hbm, nodes_ref, copy_sems.at[0])
+        lc = pltpu.make_async_copy(leaves_hbm, leaves_ref, copy_sems.at[1])
+        nc.start()
+        lc.start()
+        nc.wait()
+        lc.wait()
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    max_node = nodes_ref.shape[0] * 128 - 1
+    dummy_leaf = jnp.int32(leaves_ref.shape[0] * 128 - 1)  # all ids -1
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0.0, -1e-12, 1e-12)
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12, tiny, d)
+
+    rays = []
+    for pkt in range(npk):
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        ox = ox_ref[r0:r1, :]
+        oy = oy_ref[r0:r1, :]
+        oz = oz_ref[r0:r1, :]
+        dx = dx_ref[r0:r1, :]
+        dy = dy_ref[r0:r1, :]
+        dz = dz_ref[r0:r1, :]
+        rays.append((ox, oy, oz, dx, dy, dz,
+                     safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+        # bootstrap: super-root entry decodes to "visit the real root"
+        istack_ref[pkt, 0] = jnp.int32(1)   # (0 << 8) | mask 1
+        lstack_ref[pkt, 0] = jnp.int32(0)
+
+    def pkt_init(pkt):
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        return (jnp.int32(1),                      # isp
+                jnp.int32(0),                      # lsp
+                tmax_ref[r0:r1, :],
+                jnp.full((PACKET_ROWS, PACKET_COLS), -1, jnp.int32),
+                jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
+                jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32))
+
+    init = (jnp.int32(0),) + tuple(
+        x for pkt in range(npk) for x in pkt_init(pkt))
+    NS = 6
+
+    def pkt_live(state, pkt):
+        isp = state[1 + NS * pkt]
+        lsp = state[1 + NS * pkt + 1]
+        tri = state[1 + NS * pkt + 3]
+        live = (isp > 0) | (lsp > 0)
+        if any_hit:
+            live = live & jnp.logical_not(jnp.all(tri >= 0))
+        return live
+
+    def cond(state):
+        live = pkt_live(state, 0)
+        for pkt in range(1, npk):
+            live = live | pkt_live(state, pkt)
+        # hard cap: a traversal bug must never wedge the chip lease
+        return live & (state[0] < 1 << 16)
+
+    def pop(stack_ref, pkt, sp, valid, meta_off):
+        """Decode the top compressed entry → child id; shrink/pop it."""
+        top = jnp.maximum(sp - 1, 0)
+        e = stack_ref[pkt, top]
+        par = e >> 8
+        bits = e & 255
+        low = bits & (-bits)
+        below = low - 1
+        m = meta_ref[2 * jnp.minimum(par, n_meta - 1) + meta_off]
+        child = (m >> 8) + _popcount8((m & 255) & below)
+        rem = bits & (bits - 1)
+        stack_ref[pkt, top] = (par << 8) | rem      # unconditional
+        sp_new = sp - valid * jnp.where(rem == 0, 1, 0)
+        return child, sp_new
+
+    def step(pkt, sub):
+        isp, lsp, t_best, tri_best, u_best, v_best = sub
+        ox, oy, oz, dx, dy, dz, ix, iy, iz = rays[pkt]
+
+        i_valid = jnp.where(isp > 0, 1, 0)
+        l_valid = jnp.where(lsp > 0, 1, 0)
+        child_i, isp = pop(istack_ref, pkt, isp, i_valid, 0)
+        child_l, lsp = pop(lstack_ref, pkt, lsp, l_valid, 1)
+        i = jnp.minimum(jnp.where(i_valid == 1, child_i, 0), max_node)
+        k = jnp.minimum(jnp.where(l_valid == 1, child_l, dummy_leaf),
+                        dummy_leaf)
+
+        # ---- leaf visit: 4 batched Möller–Trumbore, no transfers ----
+        kloh = (lane_iota == (k & 127)).astype(jnp.float32)
+        ltile = leaves_ref[k >> 7]              # (48, 128)
+
+        def lf(r):
+            return jnp.sum(ltile[r:r + 1, :] * kloh, axis=1, keepdims=True)
+
+        for t in range(4):
+            r = 12 * t
+            p0x, p0y, p0z = lf(r + 0), lf(r + 1), lf(r + 2)
+            a1x, a1y, a1z = lf(r + 3), lf(r + 4), lf(r + 5)
+            a2x, a2y, a2z = lf(r + 6), lf(r + 7), lf(r + 8)
+            tid = lf(r + 9)
+            pvx = dy * a2z - dz * a2y
+            pvy = dz * a2x - dx * a2z
+            pvz = dx * a2y - dy * a2x
+            det = a1x * pvx + a1y * pvy + a1z * pvz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, TRI_EPS, det)
+            tvx = ox - p0x
+            tvy = oy - p0y
+            tvz = oz - p0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * a1z - tvz * a1y
+            qvy = tvz * a1x - tvx * a1z
+            qvz = tvx * a1y - tvy * a1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (a2x * qvx + a2y * qvy + a2z * qvz) * inv_det
+            hit = (jnp.abs(det) >= TRI_EPS) & (uu >= 0.0) & (vv >= 0.0) \
+                & (uu + vv <= 1.0) & (tt >= tmin) & (tt <= t_best) \
+                & (tid >= 0.0)
+            t_best = jnp.where(hit, tt, t_best)
+            tri_best = jnp.where(hit, tid.astype(jnp.int32), tri_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
+
+        # ---- internal visit: 8 slab tests → one packed hitmask ----
+        iloh = (lane_iota == (i & 127)).astype(jnp.float32)
+        itile = nodes_ref[i >> 7]               # (48, 128)
+
+        def nfv(r):
+            return jnp.sum(itile[r:r + 1, :] * iloh, axis=1, keepdims=True)
+
+        tb = t_best
+        if any_hit:
+            tb = jnp.where(tri_best < 0, t_best, -jnp.inf)
+        hm_f = jnp.zeros((1, 1), jnp.float32)
+        for c in range(8):
+            r = 6 * c
+            t0x = (nfv(r + 0) - ox) * ix
+            t1x = (nfv(r + 3) - ox) * ix
+            t0y = (nfv(r + 1) - oy) * iy
+            t1y = (nfv(r + 4) - oy) * iy
+            t0z = (nfv(r + 2) - oz) * iz
+            t1z = (nfv(r + 5) - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            okc = (tn <= tf) & (tf >= tmin) & (tn <= tb)
+            af = jnp.max(okc.astype(jnp.float32), axis=(0, 1),
+                         keepdims=True)
+            hm_f = hm_f + af * float(1 << c)
+        hm = jnp.sum(hm_f).astype(jnp.int32)    # the one scalar transfer
+        hm = hm * i_valid                       # dummy visit pushes nothing
+
+        m0 = meta_ref[2 * i]
+        m1 = meta_ref[2 * i + 1]
+        hm_i = hm & (m0 & 255)
+        hm_l = hm & (m1 & 255)
+        # one compressed push per stack (no-ops land above top or are
+        # overwritten by the next push)
+        istack_ref[pkt, jnp.minimum(isp, WIDE_ISTACK_DEPTH - 1)] = \
+            (i << 8) | hm_i
+        isp = isp + jnp.where(hm_i != 0, 1, 0)
+        lstack_ref[pkt, jnp.minimum(lsp, WIDE_LSTACK_DEPTH - 1)] = \
+            (i << 8) | hm_l
+        lsp = lsp + jnp.where(hm_l != 0, 1, 0)
+        return (isp, lsp, t_best, tri_best, u_best, v_best)
+
+    def body(state):
+        out = [state[0] + 1]
+        for pkt in range(npk):
+            out.extend(step(pkt, state[1 + NS * pkt:1 + NS * pkt + NS]))
+        return tuple(out)
+
+    def chunk(state):
+        return jax.lax.fori_loop(0, WIDE_CHUNK_STEPS,
+                                 lambda _i, st: body(st), state)
+
+    state = jax.lax.while_loop(cond, chunk, init)
+    for pkt in range(npk):
+        _, _, t, tri, u, v = state[1 + NS * pkt:1 + NS * pkt + NS]
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        miss = tri < 0
+        t_out[r0:r1, :] = jnp.where(miss, jnp.inf, t)
+        tri_out[r0:r1, :] = tri
+        u_out[r0:r1, :] = u
+        v_out[r0:r1, :] = v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "interpret",
+                                    "packets_per_program"))
+def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
+                   any_hit: bool = False, interpret: bool = False,
+                   packets_per_program: int = WIDE_PACKETS_PER_PROGRAM):
+    """Wide-BVH packet traversal over a flat ray batch (R, 3).
+
+    ``nodes``/``leaves``/``meta`` come from bvh_wide.build_wide. Same
+    contract as intersect_packed: returns (t, tri, u, v), tri=-1 miss."""
+    npk = packets_per_program
+    R = o.shape[0]
+    group = PACKET * npk
+    pad = (-R) % group
+    n_programs = (R + pad) // group
+    rows = n_programs * PACKET_ROWS * npk
+
+    def plane(x, fill=0.0):
+        x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
+        return x.reshape(rows, PACKET_COLS, 3)
+
+    op = plane(o)
+    dp = plane(d, fill=1.0)
+    tmax_full = jnp.broadcast_to(
+        jnp.minimum(jnp.asarray(tmax, jnp.float32), 1e6), (R,))
+    tmax_p = jnp.pad(tmax_full, (0, pad)).reshape(rows, PACKET_COLS)
+
+    blk_rows = PACKET_ROWS * npk
+    ray_spec = pl.BlockSpec((blk_rows, PACKET_COLS), lambda i, *_: (i, 0))
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_programs,),
+        in_specs=[hbm, hbm] + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM(nodes.shape, jnp.float32),
+            pltpu.VMEM(leaves.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((npk, WIDE_ISTACK_DEPTH), jnp.int32),
+            pltpu.SMEM((npk, WIDE_LSTACK_DEPTH), jnp.int32),
+        ],
+    )
+    shape2 = (rows, PACKET_COLS)
+    out_shape = [
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.int32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+    ]
+
+    kernel = functools.partial(_wide_traverse_kernel, any_hit, npk)
+    t, tri, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(jnp.full((1,), jnp.float32(tmin)),
+      meta.reshape(-1),
+      nodes, leaves,
       op[..., 0], op[..., 1], op[..., 2],
       dp[..., 0], dp[..., 1], dp[..., 2],
       tmax_p)

@@ -136,7 +136,7 @@ def make_forward_pass(settings):
         if ctx.shadow_query is not None and (flags & RenderFlags.SHADOW):
             shadow = ctx.shadow_query(gb.world_pos, n,
                                       jnp.broadcast_to(l, gb.world_pos.shape),
-                                      1000.0)
+                                      1000.0, active=~bg)
         else:
             shadow = jnp.ones_like(gb.depth)
 

@@ -52,13 +52,14 @@ def make_rt_shadow_pass(settings):
             sun_dir = maths.normalize(-params.sun_direction)
             l = jnp.where(has_area[..., None], ldir,
                           jnp.broadcast_to(sun_dir, ldir.shape))
-            shadow = ctx.shadow_query(gb.world_pos, n, l, 1e10)
+            shadow = ctx.shadow_query(gb.world_pos, n, l, 1e10,
+                                      active=~bg)
 
         ao = jnp.ones((H, W), jnp.float32)
         if settings.flags & RenderFlags.AO:
             ao_dir, seed = sampling.cos_hemisphere_sample(seed, n)
             ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
-                                  settings.ao_radius)
+                                  settings.ao_radius, active=~bg)
 
         shadow = jnp.where(bg, 1.0, shadow)
         ao = jnp.where(bg, 1.0, ao)

@@ -77,10 +77,16 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
         return cur, moments
 
     # manual validated 2×2 bilinear (temporal.comp:95-113). All history
-    # planes are packed into one (H, W, 16) array so each tap is a single
-    # row gather (per-row gather cost dominates on this hardware).
+    # planes are packed into one (H, W, 12) array, then the 2×2 tap
+    # neighborhood is pre-packed into 48-float rows so the whole bilinear
+    # footprint is ONE row gather (per-row gather cost is flat ~25 ns on
+    # this hardware regardless of row width — 4 separate tap gathers cost
+    # 4x this kernel's total).
     prev_pix = prev_uv * jnp.array([W, H], jnp.float32) - 0.5
-    base = jnp.floor(prev_pix)
+    # clamp the footprint base to the last full 2×2 window and re-derive
+    # the fractions — identical bilinear for any on-screen sample point
+    base = jnp.clip(jnp.floor(prev_pix), 0.0,
+                    jnp.array([W - 2, H - 2], jnp.float32))
     f = prev_pix - base
 
     hpack = jnp.concatenate([
@@ -90,8 +96,12 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
         prev_normal,                               # 7:10
         prev_lin_depth[..., None],                 # 10
         prev_object_id[..., None].astype(jnp.float32),  # 11
-        jnp.zeros((H, W, 4), jnp.float32),
-    ], axis=-1).reshape(H * W, 16)
+    ], axis=-1)
+    right = jnp.concatenate([hpack[:, 1:], hpack[:, -1:]], axis=1)
+    down = jnp.concatenate([hpack[1:], hpack[-1:]], axis=0)
+    down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    hpack4 = jnp.concatenate([hpack, right, down, down_right],
+                             axis=-1).reshape(H * W, 48)
 
     hist_sig = jnp.zeros((H, W, 4), jnp.float32)
     hist_mom = jnp.zeros((H, W, 2), jnp.float32)
@@ -104,13 +114,20 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
     ]
     offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
     oid_f = object_id.astype(jnp.float32)
-    for w8, (ox, oy) in zip(weights, offsets):
-        px = base[..., 0] + ox
-        py = base[..., 1] + oy
-        inside = (px >= 0) & (px < W) & (py >= 0) & (py < H)
-        xi = jnp.clip(px.astype(jnp.int32), 0, W - 1)
-        yi = jnp.clip(py.astype(jnp.int32), 0, H - 1)
-        row = hpack[yi * W + xi]                   # ONE gather per tap
+
+    # one gather for the whole 2×2 footprint; requires the footprint
+    # fully on-screen (the shader's partially-clipped border bilinear is
+    # treated as invalid — a 1-px border difference when motion crosses
+    # the screen edge)
+    bx = base[..., 0].astype(jnp.int32)
+    by = base[..., 1].astype(jnp.int32)
+    footprint_ok = (prev_pix[..., 0] >= 0) & (prev_pix[..., 0] <= W - 1) \
+        & (prev_pix[..., 1] >= 0) & (prev_pix[..., 1] <= H - 1)
+    rows4 = hpack4[by * W + bx]                    # (H, W, 48)
+
+    for tap, (w8, (ox, oy)) in enumerate(zip(weights, offsets)):
+        inside = footprint_ok
+        row = rows4[..., 12 * tap:12 * tap + 12]
 
         # is_valid_reprojection (temporal.comp:45-62)
         pn = row[..., 7:10]

@@ -225,32 +225,42 @@ class SceneTracer:
                            backend=backend)
 
     # --- occlusion ------------------------------------------------------
-    def occluded(self, scene, origin, direction, tmax):
-        """flat-batch any-hit query → visibility (1.0 = unoccluded)."""
+    def occluded(self, scene, origin, direction, tmax, active=None):
+        """flat-batch any-hit query → visibility (1.0 = unoccluded).
+        ``active=False`` rays are skipped (result 0.0, callers mask)."""
         t, tri, _, _ = self._intersect(scene, origin, direction, 1e-3, tmax,
-                                       any_hit=True)
+                                       any_hit=True, active=active)
         return jnp.where(tri >= 0, 0.0, 1.0)
 
-    def shadow_query(self, scene, world_pos, normal, direction, tmax):
+    def shadow_query(self, scene, world_pos, normal, direction, tmax,
+                     active=None):
         """CalculateRayQueryShadow contract over (H, W) images: origins are
         offset along the normal (OffsetRay, common.glsl:155-167); tMax is
-        capped at 10000 with tmin 0.01 (common.glsl:127-129)."""
+        capped at 10000 with tmin 0.01 (common.glsl:127-129). ``active``
+        (H, W) masks rays out entirely (background pixels): they cost no
+        traversal steps and stop blocking packet early termination."""
         H, W = world_pos.shape[:2]
         origin = sampling.offset_ray(world_pos, normal).reshape(-1, 3)
         d = direction.reshape(-1, 3)
         tmax_c = jnp.minimum(jnp.asarray(tmax, jnp.float32), 10000.0)
-        t, tri, _, _ = self._intersect(scene, origin, d, 0.01, tmax_c,
-                                       any_hit=True)
+        t, tri, _, _ = self._intersect(
+            scene, origin, d, 0.01, tmax_c, any_hit=True,
+            active=None if active is None else active.reshape(-1))
         return jnp.where(tri >= 0, 0.0, 1.0).reshape(H, W)
 
-    def _intersect(self, scene, o, d, tmin, tmax, any_hit):
+    def _intersect(self, scene, o, d, tmin, tmax, any_hit, active=None):
         soup = scene.triangles
         if self.backend == "pallas-wide":
             from . import trace_pallas
 
             return trace_pallas.intersect_wide(
                 self.wide_nodes, self.wide_leaves, self.wide_meta,
-                o, d, tmin, tmax, any_hit=any_hit)
+                o, d, tmin, tmax, any_hit=any_hit, active=active)
+        if active is not None:
+            # fallback backends: inactive rays get tmax 0 (cheap no-op)
+            tmax = jnp.where(
+                active, jnp.broadcast_to(jnp.asarray(tmax, jnp.float32),
+                                         active.shape), 0.0)
         if self.backend == "pallas":
             from . import trace_pallas
 

@@ -385,6 +385,8 @@ def intersect_packed(internal_tiles, leaf_tiles, num_tris, o, d, tmin, tmax,
     return flat(t), flat(tri), flat(u), flat(v)
 
 
+INACTIVE_TRI = 1 << 29   # sentinel "hit" id for inactive lanes
+
 WIDE_ISTACK_DEPTH = 64
 WIDE_LSTACK_DEPTH = 64
 WIDE_CHUNK_STEPS = 32
@@ -469,10 +471,15 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
 
     def pkt_init(pkt):
         r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        tmax_rows = tmax_ref[r0:r1, :]
+        # tmax < 0 marks inactive lanes: pre-"hit" them so they never
+        # pull node visits and never block any-hit early termination
+        tri0 = jnp.where(tmax_rows < 0.0, jnp.int32(INACTIVE_TRI),
+                         jnp.int32(-1))
         return (jnp.int32(1),                      # isp
                 jnp.int32(0),                      # lsp
-                tmax_ref[r0:r1, :],
-                jnp.full((PACKET_ROWS, PACKET_COLS), -1, jnp.int32),
+                tmax_rows,
+                tri0,
                 jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
                 jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32))
 
@@ -630,7 +637,8 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
                                     "packets_per_program"))
 def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
                    any_hit: bool = False, interpret: bool = False,
-                   packets_per_program: int = WIDE_PACKETS_PER_PROGRAM):
+                   packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
+                   active=None):
     """Wide-BVH packet traversal over a flat ray batch (R, 3).
 
     ``nodes``/``leaves``/``meta`` come from bvh_wide.build_wide. Same
@@ -650,7 +658,12 @@ def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
     dp = plane(d, fill=1.0)
     tmax_full = jnp.broadcast_to(
         jnp.minimum(jnp.asarray(tmax, jnp.float32), 1e6), (R,))
-    tmax_p = jnp.pad(tmax_full, (0, pad)).reshape(rows, PACKET_COLS)
+    if active is not None:
+        # inactive rays carry tmax -1: their lanes never hit anything and
+        # count as already-done for any-hit early termination
+        tmax_full = jnp.where(active, tmax_full, -1.0)
+    tmax_p = jnp.pad(tmax_full, (0, pad),
+                     constant_values=-1.0).reshape(rows, PACKET_COLS)
 
     blk_rows = PACKET_ROWS * npk
     ray_spec = pl.BlockSpec((blk_rows, PACKET_COLS), lambda i, *_: (i, 0))

@@ -410,29 +410,27 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
                           # outputs
                           t_out, tri_out, u_out, v_out,
                           # scratch
-                          nodes_ref, leaves_ref, copy_sems,
-                          istack_ref, lstack_ref):
-    """8-wide BVH packet traversal, fully branchless (layout:
-    ops/bvh_wide.py).
+                          nodes_ref, leaves_ref, copy_sems):
+    """8-wide BVH packet traversal, branchless with REGISTER stacks
+    (layout: ops/bvh_wide.py).
 
-    The step's serial chain (pop → dynamic tile read → vector test →
-    vector→scalar mask → push) has a ~400-500 ns latency floor on v5e,
-    so ``npk`` independent packets interleave in one program and their
-    chains overlap. Overlap REQUIRES a branch-free step — measured:
-    ``lax.cond`` or ``pl.when`` stack pushes serialize the interleave —
-    and minimal SMEM traffic, so:
-      * every step does one internal-node visit AND one leaf visit, fed
-        from two SMEM stacks of COMPRESSED entries
-        (parent << 8 | pending-children-bitmask): one push per visit
-        per stack, decoded at pop time with scalar popcount/ctz
-        arithmetic against the SMEM meta table. Stack depth is bounded
-        by the wide-tree depth (~16), so overflow is impossible at 64.
-      * exhausted stacks feed a dummy visit: node reads are masked to
-        hitmask 0 by scalar arithmetic; the dummy leaf is the padded
-        all-miss last lane.
-      * stack writes are unconditional (a no-op push writes below the
-        unchanged top or is overwritten); the vector→scalar boundary is
-        crossed once per step (the packed 8-bit hitmask).
+    Why this shape (all measured on v5e, log in BENCH.md):
+      * the step's serial chain has a ~400-500 ns latency floor, so
+        ``npk`` independent packets interleave per program and overlap;
+      * overlap requires a branch-free step (lax.cond / pl.when
+        serialize) AND a store-free step: ANY SMEM store in the loop
+        body costs ~300 ns of serialization per step regardless of
+        count — so each stack lives in a loop-carried (1, 128) int32
+        vector register, lanes = slots; push/writeback are lane
+        one-hot selects and pops are lane one-hot reductions;
+      * stack entries are compressed (parent << 8 | pending-children
+        mask), one push per visit per stack; entries are decoded at pop
+        with scalar popcount arithmetic against the SMEM meta table
+        (scalar SMEM reads are free and pipeline fine);
+      * per step the vector→scalar boundary is crossed twice (the two
+        popped entries — needed as scalars for the dynamic tile reads
+        and meta lookups); the 8-child hitmask stays in the vector
+        domain and feeds the pushes directly.
     """
     tmin = tmin_ref[0]
     n_meta = meta_ref.shape[0] // 2
@@ -448,7 +446,7 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     max_node = nodes_ref.shape[0] * 128 - 1
-    dummy_leaf = jnp.int32(leaves_ref.shape[0] * 128 - 1)  # all ids -1
+    dummy_leaf = leaves_ref.shape[0] * 128 - 1   # padded lane: all ids -1
 
     def safe_inv(d):
         tiny = jnp.where(d < 0.0, -1e-12, 1e-12)
@@ -465,9 +463,6 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
         dz = dz_ref[r0:r1, :]
         rays.append((ox, oy, oz, dx, dy, dz,
                      safe_inv(dx), safe_inv(dy), safe_inv(dz)))
-        # bootstrap: super-root entry decodes to "visit the real root"
-        istack_ref[pkt, 0] = jnp.int32(1)   # (0 << 8) | mask 1
-        lstack_ref[pkt, 0] = jnp.int32(0)
 
     def pkt_init(pkt):
         r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
@@ -476,8 +471,12 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
         # pull node visits and never block any-hit early termination
         tri0 = jnp.where(tmax_rows < 0.0, jnp.int32(INACTIVE_TRI),
                          jnp.int32(-1))
-        return (jnp.int32(1),                      # isp
-                jnp.int32(0),                      # lsp
+        # bootstrap: super-root entry decodes to "visit the real root"
+        istack0 = jnp.where(lane_iota == 0, jnp.int32(1), jnp.int32(0))
+        return (jnp.full((1, 1), 1, jnp.int32),     # isp
+                jnp.full((1, 1), 0, jnp.int32),     # lsp
+                istack0,                            # (1,128) reg stack
+                jnp.zeros((1, 128), jnp.int32),     # leaf reg stack
                 tmax_rows,
                 tri0,
                 jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
@@ -485,13 +484,13 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
 
     init = (jnp.int32(0),) + tuple(
         x for pkt in range(npk) for x in pkt_init(pkt))
-    NS = 6
+    NS = 8
 
     def pkt_live(state, pkt):
         isp = state[1 + NS * pkt]
         lsp = state[1 + NS * pkt + 1]
-        tri = state[1 + NS * pkt + 3]
-        live = (isp > 0) | (lsp > 0)
+        tri = state[1 + NS * pkt + 5]
+        live = (jnp.max(isp) > 0) | (jnp.max(lsp) > 0)
         if any_hit:
             live = live & jnp.logical_not(jnp.all(tri >= 0))
         return live
@@ -503,10 +502,14 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
         # hard cap: a traversal bug must never wedge the chip lease
         return live & (state[0] < 1 << 16)
 
-    def pop(stack_ref, pkt, sp, valid, meta_off):
-        """Decode the top compressed entry → child id; shrink/pop it."""
+    def pop(stack, sp, meta_off):
+        """Decode top compressed entry → (child scalar, new stack reg,
+        new sp). Zero memory stores: the shrink-writeback is a lane
+        select, the entry crosses to scalar once."""
         top = jnp.maximum(sp - 1, 0)
-        e = stack_ref[pkt, top]
+        toh = lane_iota == top                      # (1,128) one-hot
+        e = jnp.sum(jnp.where(toh, stack, 0))       # vector→scalar
+        valid = jnp.sum(jnp.where(sp > 0, 1, 0))    # scalar 0/1
         par = e >> 8
         bits = e & 255
         low = bits & (-bits)
@@ -514,28 +517,30 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
         m = meta_ref[2 * jnp.minimum(par, n_meta - 1) + meta_off]
         child = (m >> 8) + _popcount8((m & 255) & below)
         rem = bits & (bits - 1)
-        stack_ref[pkt, top] = (par << 8) | rem      # unconditional
-        sp_new = sp - valid * jnp.where(rem == 0, 1, 0)
-        return child, sp_new
+        new_stack = jnp.where(toh, (par << 8) | rem, stack)
+        sp_new = sp - jnp.where((rem == 0) & (valid == 1), 1, 0)
+        return child, valid, new_stack, sp_new
 
     def step(pkt, sub):
-        isp, lsp, t_best, tri_best, u_best, v_best = sub
+        isp, lsp, istack, lstack, t_best, tri_best, u_best, v_best = sub
         ox, oy, oz, dx, dy, dz, ix, iy, iz = rays[pkt]
 
-        i_valid = jnp.where(isp > 0, 1, 0)
-        l_valid = jnp.where(lsp > 0, 1, 0)
-        child_i, isp = pop(istack_ref, pkt, isp, i_valid, 0)
-        child_l, lsp = pop(lstack_ref, pkt, lsp, l_valid, 1)
+        child_i, i_valid, istack, isp = pop(istack, isp, 0)
+        child_l, l_valid, lstack, lsp = pop(lstack, lsp, 1)
         i = jnp.minimum(jnp.where(i_valid == 1, child_i, 0), max_node)
-        k = jnp.minimum(jnp.where(l_valid == 1, child_l, dummy_leaf),
-                        dummy_leaf)
+        k = jnp.where(l_valid == 1, jnp.minimum(child_l, dummy_leaf),
+                      dummy_leaf)
 
         # ---- leaf visit: 4 batched Möller–Trumbore, no transfers ----
         kloh = (lane_iota == (k & 127)).astype(jnp.float32)
         ltile = leaves_ref[k >> 7]              # (48, 128)
+        # ONE batched lane-reduce extracts all 48 fields; per-field use
+        # is a static sublane slice (cheaper than 40 separate reduces —
+        # the kernel is VPU-throughput-bound)
+        lcol = jnp.sum(ltile * kloh, axis=1, keepdims=True)   # (48,1)
 
         def lf(r):
-            return jnp.sum(ltile[r:r + 1, :] * kloh, axis=1, keepdims=True)
+            return lcol[r:r + 1]
 
         for t in range(4):
             r = 12 * t
@@ -565,17 +570,18 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
             u_best = jnp.where(hit, uu, u_best)
             v_best = jnp.where(hit, vv, v_best)
 
-        # ---- internal visit: 8 slab tests → one packed hitmask ----
+        # ---- internal visit: 8 slab tests → packed hitmask (vector) ----
         iloh = (lane_iota == (i & 127)).astype(jnp.float32)
         itile = nodes_ref[i >> 7]               # (48, 128)
+        icol = jnp.sum(itile * iloh, axis=1, keepdims=True)   # (48,1)
 
         def nfv(r):
-            return jnp.sum(itile[r:r + 1, :] * iloh, axis=1, keepdims=True)
+            return icol[r:r + 1]
 
         tb = t_best
         if any_hit:
             tb = jnp.where(tri_best < 0, t_best, -jnp.inf)
-        hm_f = jnp.zeros((1, 1), jnp.float32)
+        hm = jnp.zeros((1, 1), jnp.int32)
         for c in range(8):
             r = 6 * c
             t0x = (nfv(r + 0) - ox) * ix
@@ -591,25 +597,24 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
                                          jnp.maximum(t0y, t1y)),
                              jnp.maximum(t0z, t1z))
             okc = (tn <= tf) & (tf >= tmin) & (tn <= tb)
-            af = jnp.max(okc.astype(jnp.float32), axis=(0, 1),
-                         keepdims=True)
-            hm_f = hm_f + af * float(1 << c)
-        hm = jnp.sum(hm_f).astype(jnp.int32)    # the one scalar transfer
-        hm = hm * i_valid                       # dummy visit pushes nothing
+            af = jnp.max(okc.astype(jnp.int32), axis=(0, 1), keepdims=True)
+            hm = hm | (af << c)
+        hm = hm * i_valid                   # dummy visit pushes nothing
 
-        m0 = meta_ref[2 * i]
+        m0 = meta_ref[2 * i]                # scalar reads: free
         m1 = meta_ref[2 * i + 1]
         hm_i = hm & (m0 & 255)
         hm_l = hm & (m1 & 255)
-        # one compressed push per stack (no-ops land above top or are
-        # overwritten by the next push)
-        istack_ref[pkt, jnp.minimum(isp, WIDE_ISTACK_DEPTH - 1)] = \
-            (i << 8) | hm_i
+        # one compressed register push per stack (a no-op push writes
+        # above the unchanged top and is overwritten later)
+        entry = hm | (i << 8)               # (1,1) vector
+        istack = jnp.where(lane_iota == isp, entry & ((m0 & 255) | -256),
+                           istack)
         isp = isp + jnp.where(hm_i != 0, 1, 0)
-        lstack_ref[pkt, jnp.minimum(lsp, WIDE_LSTACK_DEPTH - 1)] = \
-            (i << 8) | hm_l
+        lstack = jnp.where(lane_iota == lsp, entry & ((m1 & 255) | -256),
+                           lstack)
         lsp = lsp + jnp.where(hm_l != 0, 1, 0)
-        return (isp, lsp, t_best, tri_best, u_best, v_best)
+        return (isp, lsp, istack, lstack, t_best, tri_best, u_best, v_best)
 
     def body(state):
         out = [state[0] + 1]
@@ -623,7 +628,7 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
 
     state = jax.lax.while_loop(cond, chunk, init)
     for pkt in range(npk):
-        _, _, t, tri, u, v = state[1 + NS * pkt:1 + NS * pkt + NS]
+        t, tri, u, v = state[1 + NS * pkt + 4:1 + NS * pkt + NS]
         r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
         miss = tri < 0
         t_out[r0:r1, :] = jnp.where(miss, jnp.inf, t)
@@ -678,8 +683,6 @@ def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
             pltpu.VMEM(nodes.shape, jnp.float32),
             pltpu.VMEM(leaves.shape, jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((npk, WIDE_ISTACK_DEPTH), jnp.int32),
-            pltpu.SMEM((npk, WIDE_LSTACK_DEPTH), jnp.int32),
         ],
     )
     shape2 = (rows, PACKET_COLS)

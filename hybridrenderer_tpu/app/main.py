@@ -32,6 +32,8 @@ def build_scene(name: str, path: str = None):
         return scenes.cornell_scene()
     if name == "stress":
         return scenes.stress_scene()
+    if name == "cutout":
+        return scenes.cutout_scene()
     if name == "file":
         from ..scene.loader import load_scene_file
 
@@ -58,7 +60,7 @@ def default_camera(scene_name: str, width: int, height: int) -> OrbitCamera:
 def main(argv=None):
     ap = argparse.ArgumentParser(description="hybridrenderer_tpu sandbox")
     ap.add_argument("--scene", default="cube",
-                    choices=["cube", "cornell", "stress", "file"])
+                    choices=["cube", "cornell", "stress", "cutout", "file"])
     ap.add_argument("--file", default=None, help="OBJ/GLTF path for --scene file")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--width", type=int, default=None)

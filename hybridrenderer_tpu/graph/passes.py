@@ -73,23 +73,49 @@ def make_gbuffer_pass(settings):
         tri_mask = ~culled[sc.triangles.instance]
         jitter_on = bool(settings.flags & RenderFlags.TAA) or \
             bool(settings.flags & RenderFlags.SVGF)
-        if pallas_raster:
-            from ..ops import raster_pallas
 
-            jit2 = jnp.asarray(cam.jitter) if jitter_on else None
-            clip = raster_ops.transform_to_clip(
-                sc.vertices.world_position, proj @ view, jit2)
-            tris = raster_ops.clip_triangles(
-                clip, sc.triangles.i0, sc.triangles.i1, sc.triangles.i2,
-                settings.width, settings.height, tri_mask)
-            vis = raster_pallas.rasterize_binned(
-                tris, settings.width, settings.height,
-                tile_h=settings.tile_h, tile_w=settings.tile_w)
-        else:
-            vis = raster_ops.rasterize_scene(
+        def raster(mask):
+            if pallas_raster:
+                from ..ops import raster_pallas
+
+                jit2 = jnp.asarray(cam.jitter) if jitter_on else None
+                clip = raster_ops.transform_to_clip(
+                    sc.vertices.world_position, proj @ view, jit2)
+                tris = raster_ops.clip_triangles(
+                    clip, sc.triangles.i0, sc.triangles.i1, sc.triangles.i2,
+                    settings.width, settings.height, mask)
+                return raster_pallas.rasterize_binned(
+                    tris, settings.width, settings.height,
+                    tile_h=settings.tile_h, tile_w=settings.tile_w)
+            return raster_ops.rasterize_scene(
                 sc.vertices.world_position, sc.triangles.i0, sc.triangles.i1,
                 sc.triangles.i2, cam, settings.width, settings.height,
-                jitter_enabled=jitter_on, tri_mask=tri_mask)
+                jitter_enabled=jitter_on, tri_mask=mask)
+
+        if sc.has_alpha_test:
+            # gbuffer.frag:33 alpha-test discard, deferred formulation:
+            # raster opaque and cut-out triangles separately, evaluate
+            # the winning cut-out texel's alpha, keep it only where it
+            # passes the cutoff AND is closer (reversed-Z) than the
+            # opaque winner. One cut-out depth layer (a transparent
+            # texel in front of a second cut-out layer falls through to
+            # the opaque surface behind both).
+            mat_of_tri = sc.instances.material[sc.triangles.instance]
+            tri_cut = (sc.materials.alpha_mode[mat_of_tri] == 1) \
+                & (sc.materials.colour_texture[mat_of_tri] >= 0)
+            vis_op = raster(tri_mask & ~tri_cut)
+            vis_cut = raster(tri_mask & tri_cut)
+            alpha_ok = gbuffer_ops.cutout_alpha_pass(vis_cut, sc)
+            keep = (vis_cut.tri_id >= 0) & alpha_ok \
+                & (vis_cut.depth > vis_op.depth)
+            vis = raster_ops.VisibilityBuffer(
+                tri_id=jnp.where(keep, vis_cut.tri_id, vis_op.tri_id),
+                bary1=jnp.where(keep, vis_cut.bary1, vis_op.bary1),
+                bary2=jnp.where(keep, vis_cut.bary2, vis_op.bary2),
+                depth=jnp.where(keep, vis_cut.depth, vis_op.depth),
+            )
+        else:
+            vis = raster(tri_mask)
         gb = gbuffer_ops.build_gbuffer(vis, sc, cam)
         return {
             "_GBuffer": gb,

@@ -63,6 +63,27 @@ def screen_gradients(img):
     return dx, dy
 
 
+def cutout_alpha_pass(vis: VisibilityBuffer, scene):
+    """Alpha test of the cut-out raster layer's winning texels
+    (gbuffer.frag:33 `discard`, deferred): True where the pixel's
+    triangle samples alpha >= cutoff."""
+    from . import texture
+
+    soup = scene.triangles
+    tri = jnp.maximum(vis.tri_id, 0)
+    b1 = vis.bary1[..., None]
+    b2 = vis.bary2[..., None]
+    uvs = scene.vertices.uv
+    uv = uvs[soup.i0[tri]] * (1.0 - b1 - b2) + uvs[soup.i1[tri]] * b1 \
+        + uvs[soup.i2[tri]] * b2
+    mat = scene.instances.material[soup.instance[tri]]
+    rgba = texture.sample_bilinear(
+        scene.textures.data, scene.textures.sizes,
+        scene.materials.colour_texture[mat], uv,
+        jnp.ones((4,), jnp.float32))
+    return rgba[..., 3] >= scene.materials.alpha_cutoff[mat]
+
+
 def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
     """Visibility buffer + scene + camera → full G-buffer."""
     H, W = vis.depth.shape

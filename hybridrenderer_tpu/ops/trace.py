@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..core import maths
 from ..core.types import RenderFlags
-from . import sampling, shade, sky
+from . import sampling, shade, sky, texture
 from .bvh import BVH, build_bvh
 
 TRI_EPS = 1e-9
@@ -224,10 +224,65 @@ class SceneTracer:
                            wide_nodes=wn, wide_leaves=wl, wide_meta=wm,
                            backend=backend)
 
+    ALPHA_ROUNDS = 4   # transparency-continuation depth (cut-out layers)
+
+    def surface_alpha(self, scene, tri, u, v):
+        """(is_masked_material, alpha, cutoff) at a hit — the texture
+        fetch of the reference's any-hit loop (common.glsl:139-148)."""
+        soup = scene.triangles
+        safe = jnp.clip(tri, 0, soup.count - 1)
+        inst = jnp.clip(soup.instance[safe], 0,
+                        scene.instances.material.shape[0] - 1)
+        mat = scene.instances.material[inst]
+        tex = scene.materials.colour_texture[mat]
+        is_mask = (scene.materials.alpha_mode[mat] == 1) & (tex >= 0)
+        b1 = u[..., None]
+        b2 = v[..., None]
+        uvs = scene.vertices.uv
+        uv = uvs[soup.i0[safe]] * (1.0 - b1 - b2) \
+            + uvs[soup.i1[safe]] * b1 + uvs[soup.i2[safe]] * b2
+        rgba = texture.sample_bilinear(
+            scene.textures.data, scene.textures.sizes, tex, uv,
+            jnp.ones((4,), jnp.float32))
+        return is_mask, rgba[..., 3], scene.materials.alpha_cutoff[mat]
+
+    def _occluded_alpha(self, scene, origin, direction, tmin, tmax, active):
+        """Occlusion with transparent (cut-out) surface skipping.
+
+        The reference enumerates ray-query candidates and `continue`s
+        texels with alpha < cutoff (common.glsl:139-148, shadow.rahit).
+        TPU-native formulation: up to ALPHA_ROUNDS closest-hit rounds;
+        transparent hits advance the origin past the surface and
+        re-trace. (Closest-hit, not any-hit: advancing past an
+        arbitrary any-hit candidate could jump over a nearer opaque
+        surface.)"""
+        o = origin
+        occluded = jnp.zeros(origin.shape[0], bool)
+        live = jnp.ones(origin.shape[0], bool) if active is None else active
+        tmax_rem = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32),
+                                    (origin.shape[0],))
+        for _ in range(self.ALPHA_ROUNDS):
+            t, tri, u, v = self._intersect(scene, o, direction, tmin,
+                                           tmax_rem, any_hit=False,
+                                           active=live)
+            hit = live & (tri >= 0) & (tri < (1 << 29))
+            is_mask, alpha, cutoff = self.surface_alpha(scene, tri, u, v)
+            transparent = hit & is_mask & (alpha < cutoff)
+            occluded = occluded | (hit & ~transparent)
+            live = transparent
+            step = jnp.where(live, t + 1e-3, 0.0)
+            o = o + direction * step[..., None]
+            tmax_rem = jnp.maximum(tmax_rem - step, 0.0)
+        return occluded
+
     # --- occlusion ------------------------------------------------------
     def occluded(self, scene, origin, direction, tmax, active=None):
         """flat-batch any-hit query → visibility (1.0 = unoccluded).
         ``active=False`` rays are skipped (result 0.0, callers mask)."""
+        if scene.has_alpha_test:
+            occ = self._occluded_alpha(scene, origin, direction, 1e-3,
+                                       tmax, active)
+            return jnp.where(occ, 0.0, 1.0)
         t, tri, _, _ = self._intersect(scene, origin, direction, 1e-3, tmax,
                                        any_hit=True, active=active)
         return jnp.where(tri >= 0, 0.0, 1.0)
@@ -243,9 +298,12 @@ class SceneTracer:
         origin = sampling.offset_ray(world_pos, normal).reshape(-1, 3)
         d = direction.reshape(-1, 3)
         tmax_c = jnp.minimum(jnp.asarray(tmax, jnp.float32), 10000.0)
+        act = None if active is None else active.reshape(-1)
+        if scene.has_alpha_test:
+            occ = self._occluded_alpha(scene, origin, d, 0.01, tmax_c, act)
+            return jnp.where(occ, 0.0, 1.0).reshape(H, W)
         t, tri, _, _ = self._intersect(
-            scene, origin, d, 0.01, tmax_c, any_hit=True,
-            active=None if active is None else active.reshape(-1))
+            scene, origin, d, 0.01, tmax_c, any_hit=True, active=act)
         return jnp.where(tri >= 0, 0.0, 1.0).reshape(H, W)
 
     def _intersect(self, scene, o, d, tmin, tmax, any_hit, active=None):
@@ -297,6 +355,27 @@ class SceneTracer:
         d = direction.reshape(-1, 3)
         t, tri, u, v = self._intersect(scene, o, d, 0.01, 1e6, any_hit=False)
         hit = tri >= 0
+        if scene.has_alpha_test:
+            # skip transparent cut-out texels (closesthit never sees them
+            # in the reference because shadow.rahit ignores them)
+            o_adv = o
+            t_off = jnp.zeros_like(t)
+            for _ in range(self.ALPHA_ROUNDS - 1):
+                is_mask, alpha, cutoff = self.surface_alpha(
+                    scene, tri, u, v)
+                transparent = hit & is_mask & (alpha < cutoff)
+                step = jnp.where(transparent, t + 1e-3, 0.0)
+                o_adv = o_adv + d * step[..., None]
+                t_off = t_off + step
+                t2, tri2, u2, v2 = self._intersect(
+                    scene, o_adv, d, 0.01, 1e6, any_hit=False,
+                    active=transparent)
+                t = jnp.where(transparent, t2, t)
+                tri = jnp.where(transparent, tri2, tri)
+                u = jnp.where(transparent, u2, u)
+                v = jnp.where(transparent, v2, v)
+                hit = (tri >= 0) & (tri < (1 << 29))
+            t = t + t_off
 
         rgb_hit = self._shade_hit(scene, o, d, t, tri, u, v, ctx)
         rgb_miss = sky.sample_environment(

@@ -145,6 +145,9 @@ def load_gltf(path: str) -> Tuple[List[Tuple[MeshData, np.ndarray]],
             roughness=float(pbr.get("roughnessFactor", 1.0)),
             metallic=float(pbr.get("metallicFactor", 1.0)),
             emission=tuple(gm.get("emissiveFactor", [0, 0, 0])),
+            # MASK → alpha-tested cut-out (gbuffer.frag:33, shadow.rahit)
+            alpha_mode=1 if gm.get("alphaMode", "OPAQUE") == "MASK" else 0,
+            alpha_cutoff=float(gm.get("alphaCutoff", 0.5)),
         )
         idx = len(materials)
         materials.append(mat)

@@ -204,6 +204,9 @@ class Scene:
             sun=self.sun,
             sky_texture=jnp.int32(self.sky_texture),
             blue_noise=_generate_blue_noise(64, self._blue_noise_seed),
+            has_alpha_test=any(
+                m.alpha_mode == 1 and m.colour_texture >= 0
+                for m in self.materials),
         )
 
 
@@ -328,6 +331,42 @@ def cornell_scene() -> Scene:
     t2 = np.eye(4, dtype=np.float32); t2[:3, 3] = [1.2, 0.6, 0.8]
     sc.add_entity(sc.add_mesh(geometry.uv_sphere(0.6, material=metal)), t2)
     sc.set_sun((-0.3, -1.0, -0.2), intensity=0.0)  # interior: area light only
+    return sc
+
+
+def cutout_scene() -> Scene:
+    """Alpha-tested (cut-out) foliage-style quads over a ground plane —
+    exercises gbuffer discard (gbuffer.frag:33) + transparent any-hit
+    skipping (shadow.rahit, common.glsl:139-148)."""
+    sc = Scene("cutout")
+    ground = sc.add_material(Material(name="ground", colour=(0.6, 0.6, 0.6),
+                                      roughness=0.9))
+    leaf = sc.add_material(Material(name="leaf", colour=(0.25, 0.7, 0.25),
+                                    roughness=0.8, colour_texture=0,
+                                    alpha_mode=1, alpha_cutoff=0.5))
+    sc.add_entity(sc.add_mesh(geometry.plane(size=16.0, material=ground)))
+    for (cx, cz, ang) in ((-2.0, 0.0, 0.3), (1.5, 1.0, -0.6),
+                          (0.0, -2.0, 1.2)):
+        t = np.eye(4, dtype=np.float32)
+        c, s_ = np.cos(ang), np.sin(ang)
+        t[:3, :3] = np.array([[c, 0, s_], [0, 1, 0], [-s_, 0, 1 * c]],
+                             np.float32)
+        t[:3, 3] = [cx, 1.6, cz]
+        sc.add_entity(sc.add_mesh(
+            geometry.quad_facing((0, 0, 1), (0, 0, 0), 3.0, material=leaf)), t)
+    # alpha texture: soft radial blob mask with holes
+    n = 64
+    yy, xx = np.mgrid[0:n, 0:n] / (n - 1.0)
+    blobs = np.zeros((n, n), np.float32)
+    for (bx, by, r) in ((0.3, 0.3, 0.18), (0.7, 0.35, 0.15),
+                        (0.5, 0.7, 0.22), (0.25, 0.75, 0.12)):
+        blobs = np.maximum(
+            blobs, (np.hypot(xx - bx, yy - by) < r).astype(np.float32))
+    data = np.ones((1, n, n, 4), np.float32)
+    data[0, ..., 3] = blobs
+    sc.textures = TextureStack(data=jnp.asarray(data),
+                               sizes=jnp.asarray([[n, n]], np.int32))
+    sc.set_sun((-0.4, -1.0, -0.3), intensity=3.0, ambient=0.25)
     return sc
 
 

@@ -45,6 +45,8 @@ class MaterialTable:
     colour_texture: Any    # (M,) i32
     roughness_texture: Any # (M,) i32
     normal_texture: Any    # (M,) i32
+    alpha_mode: Any        # (M,) i32: 0 opaque, 1 alpha-mask (cut-out)
+    alpha_cutoff: Any      # (M,) f32
 
     @property
     def count(self) -> int:
@@ -68,6 +70,8 @@ class MaterialTable:
             emission_texture=f(lambda m: m.emission_texture, np.int32),
             colour_texture=f(lambda m: m.colour_texture, np.int32),
             roughness_texture=f(lambda m: m.roughness_texture, np.int32),
+            alpha_mode=f(lambda m: m.alpha_mode, np.int32),
+            alpha_cutoff=f(lambda m: m.alpha_cutoff),
             normal_texture=f(lambda m: m.normal_texture, np.int32),
         )
 
@@ -90,6 +94,10 @@ class Material:
     colour_texture: int = INVALID_ID
     roughness_texture: int = INVALID_ID
     normal_texture: int = INVALID_ID
+    # alpha-masked (cut-out) material: gbuffer.frag:33 discard +
+    # shadow.rahit / common.glsl:139-148 transparent any-hit skip
+    alpha_mode: int = 0
+    alpha_cutoff: float = 0.5
 
 
 @jax.tree_util.register_dataclass
@@ -245,6 +253,11 @@ class SceneData:
     sun: SunLight
     sky_texture: Any      # () i32, -1 = procedural sky
     blue_noise: Any       # (Hn, Wn, 4) f32
+    # static: scene contains alpha-masked materials (gates the cut-out
+    # raster phase and the transparency-continuation ray loop at trace
+    # time — zero cost for fully opaque scenes)
+    has_alpha_test: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
 
     @property
     def num_triangles(self) -> int:

@@ -40,6 +40,10 @@ class RenderSettings:
     # Ray tracing
     bvh_leaf_size: int = 4
     ao_radius: float = 10.0  # rt_shadow.rgen:96 traces AO rays to 10 units
+    # Interleaved AO sampling (one direction per 8×8 block pattern per
+    # frame + pattern-major packet relayout) — packet-coherent AO rays.
+    # False reproduces the reference's per-pixel draw (rt_shadow.rgen:85-96).
+    ao_interleaved: bool = True
 
     # Reflection roughness cutoff (reflection.rgen:55-63)
     reflection_roughness_cutoff: float = 0.6

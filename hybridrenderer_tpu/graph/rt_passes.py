@@ -57,9 +57,16 @@ def make_rt_shadow_pass(settings):
 
         ao = jnp.ones((H, W), jnp.float32)
         if settings.flags & RenderFlags.AO:
-            ao_dir, seed = sampling.cos_hemisphere_sample(seed, n)
-            ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
-                                  settings.ao_radius, active=~bg)
+            if settings.ao_interleaved:
+                ao_dir = sampling.interleaved_cos_hemisphere(
+                    params.frame_index, n)
+                ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
+                                      settings.ao_radius, active=~bg,
+                                      interleave=True)
+            else:
+                ao_dir, seed = sampling.cos_hemisphere_sample(seed, n)
+                ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
+                                      settings.ao_radius, active=~bg)
 
         shadow = jnp.where(bg, 1.0, shadow)
         ao = jnp.where(bg, 1.0, ao)

@@ -58,6 +58,41 @@ def sample_nearest(img, uv):
     return out[..., 0] if squeeze else out
 
 
+def to_pattern_major(img, block: int = 8, grid: int = 4):
+    """(H, W, ...) → (Hp·Wp, ...) flat, grouped by interleave pattern.
+
+    Pixels are tiled into ``block``² blocks; a block's pattern id is
+    (blockY % grid, blockX % grid). The output orders all pixels of
+    pattern 0 first, then pattern 1, … — so fixed-size ray packets drawn
+    from consecutive rows see a single pattern (one shared AO direction,
+    see ops/sampling.interleaved_cos_hemisphere). Pure reshape/transpose:
+    XLA lowers it to a strided copy, no gather. Images are edge-padded up
+    to a multiple of block·grid; returns (flat, (Hp, Wp)).
+    """
+    tile = block * grid
+    H, W = img.shape[:2]
+    Hp = -(-H // tile) * tile
+    Wp = -(-W // tile) * tile
+    pad = [(0, Hp - H), (0, Wp - W)] + [(0, 0)] * (img.ndim - 2)
+    p = jnp.pad(img, pad, mode="edge")
+    rest = p.shape[2:]
+    p = p.reshape(Hp // tile, grid, block, Wp // tile, grid, block, *rest)
+    p = p.transpose(1, 4, 0, 2, 3, 5, *range(6, 6 + len(rest)))
+    return p.reshape((Hp * Wp,) + rest), (Hp, Wp)
+
+
+def from_pattern_major(flat, height: int, width: int, block: int = 8,
+                       grid: int = 4):
+    """Inverse of :func:`to_pattern_major`; crops the padding back off."""
+    tile = block * grid
+    Hp = -(-height // tile) * tile
+    Wp = -(-width // tile) * tile
+    rest = flat.shape[1:]
+    p = flat.reshape(grid, grid, Hp // tile, block, Wp // tile, block, *rest)
+    p = p.transpose(2, 0, 3, 4, 1, 5, *range(6, 6 + len(rest)))
+    return p.reshape((Hp, Wp) + rest)[:height, :width]
+
+
 def pixel_uv_grid(height: int, width: int):
     """(H, W, 2) uv at pixel centers — the shaders' ``(ipos+0.5)/size``."""
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width

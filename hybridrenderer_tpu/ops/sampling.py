@@ -48,14 +48,9 @@ def random_float(seed):
     return seed.astype(jnp.float32) / 4294967296.0, seed
 
 
-def cos_hemisphere_sample(seed, normal):
-    """Cosine-weighted hemisphere direction (common.glsl:75-84).
-
-    Returns (direction, new_seed); consumes two RandomFloat draws in the
-    reference's order.
-    """
-    r1, seed = random_float(seed)
-    r2, seed = random_float(seed)
+def _cosine_dir(r1, r2, normal):
+    """Cosine-weighted direction about ``normal`` from uniforms (r1, r2)
+    — the frame construction of common.glsl:75-84."""
     r = jnp.sqrt(r1)
     phi = 2.0 * PI * r2
     helper = jnp.where(
@@ -70,7 +65,53 @@ def cos_hemisphere_sample(seed, normal):
         + bitangent * (r * jnp.sin(phi))[..., None]
         + normal * jnp.sqrt(jnp.maximum(1.0 - r1, 0.0))[..., None]
     )
-    return maths.normalize(d), seed
+    return maths.normalize(d)
+
+
+def cos_hemisphere_sample(seed, normal):
+    """Cosine-weighted hemisphere direction (common.glsl:75-84).
+
+    Returns (direction, new_seed); consumes two RandomFloat draws in the
+    reference's order.
+    """
+    r1, seed = random_float(seed)
+    r2, seed = random_float(seed)
+    return _cosine_dir(r1, r2, normal), seed
+
+
+def interleaved_cos_hemisphere(frame_index, normal, block: int = 8,
+                               grid: int = 4):
+    """Interleaved-pattern cosine hemisphere directions over an (H, W)
+    screen — the TPU-coherent AO sampler.
+
+    One (r1, r2) uniform pair is drawn per *pattern* per frame (pattern id
+    = (blockY % grid) * grid + blockX % grid over ``block``² pixel blocks,
+    GTAO-style interleaved sampling) and shared by every pixel of that
+    pattern, then aligned to each pixel's own normal frame. Combined with
+    the pattern-major ray relayout (ops/image.to_pattern_major) this makes
+    each traversal packet carry essentially ONE local direction — packet
+    traversal cost collapses from incoherent-AO to shadow-ray levels.
+    Temporal rotation: the per-pattern seeds re-hash every frame, and SVGF
+    temporal accumulation (history length ≤ 32) integrates the rotations,
+    so converged AO matches the per-pixel sampler in distribution
+    (variance is spatially structured per block instead of white).
+    Replaces the per-pixel draw of rt_shadow.rgen:85-96; disable with
+    RenderSettings.ao_interleaved=False for reference-pattern parity.
+    """
+    H, W = normal.shape[:2]
+    P = grid * grid
+    pat = jnp.arange(P, dtype=jnp.uint32)
+    seed = init_random_seed(pat + _U32(0x51AB7000), frame_index)
+    r1, seed = random_float(seed)
+    r2, seed = random_float(seed)
+
+    def expand(v):
+        tile = jnp.repeat(jnp.repeat(v.reshape(grid, grid), block, 0),
+                          block, 1)
+        reps = (-(-H // (grid * block)), -(-W // (grid * block)))
+        return jnp.tile(tile, reps)[:H, :W]
+
+    return _cosine_dir(expand(r1), expand(r2), normal)
 
 
 def square_to_uniform_cone(u, cos_theta_max):

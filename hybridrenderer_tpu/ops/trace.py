@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core import maths
 from ..core.types import RenderFlags
+from . import image as img_ops
 from . import sampling, shade, sky, texture
 from .bvh import BVH, build_bvh
 
@@ -288,23 +289,39 @@ class SceneTracer:
         return jnp.where(tri >= 0, 0.0, 1.0)
 
     def shadow_query(self, scene, world_pos, normal, direction, tmax,
-                     active=None):
+                     active=None, interleave: bool = False):
         """CalculateRayQueryShadow contract over (H, W) images: origins are
         offset along the normal (OffsetRay, common.glsl:155-167); tMax is
         capped at 10000 with tmin 0.01 (common.glsl:127-129). ``active``
         (H, W) masks rays out entirely (background pixels): they cost no
-        traversal steps and stop blocking packet early termination."""
+        traversal steps and stop blocking packet early termination.
+
+        ``interleave`` relayouts rays into pattern-major order before
+        packetization (ops/image.to_pattern_major) — pair it with
+        directions from sampling.interleaved_cos_hemisphere so each
+        packet shares one local direction."""
         H, W = world_pos.shape[:2]
-        origin = sampling.offset_ray(world_pos, normal).reshape(-1, 3)
-        d = direction.reshape(-1, 3)
+        origin_img = sampling.offset_ray(world_pos, normal)
         tmax_c = jnp.minimum(jnp.asarray(tmax, jnp.float32), 10000.0)
-        act = None if active is None else active.reshape(-1)
+        if interleave:
+            origin, _ = img_ops.to_pattern_major(origin_img)
+            d, _ = img_ops.to_pattern_major(direction)
+            act_img = jnp.ones((H, W), bool) if active is None else active
+            act, _ = img_ops.to_pattern_major(act_img)
+        else:
+            origin = origin_img.reshape(-1, 3)
+            d = direction.reshape(-1, 3)
+            act = None if active is None else active.reshape(-1)
         if scene.has_alpha_test:
             occ = self._occluded_alpha(scene, origin, d, 0.01, tmax_c, act)
-            return jnp.where(occ, 0.0, 1.0).reshape(H, W)
-        t, tri, _, _ = self._intersect(
-            scene, origin, d, 0.01, tmax_c, any_hit=True, active=act)
-        return jnp.where(tri >= 0, 0.0, 1.0).reshape(H, W)
+            vis = jnp.where(occ, 0.0, 1.0)
+        else:
+            t, tri, _, _ = self._intersect(
+                scene, origin, d, 0.01, tmax_c, any_hit=True, active=act)
+            vis = jnp.where(tri >= 0, 0.0, 1.0)
+        if interleave:
+            return img_ops.from_pattern_major(vis, H, W)
+        return vis.reshape(H, W)
 
     def _intersect(self, scene, o, d, tmin, tmax, any_hit, active=None):
         soup = scene.triangles

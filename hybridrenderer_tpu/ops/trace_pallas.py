@@ -581,6 +581,9 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
         tb = t_best
         if any_hit:
             tb = jnp.where(tri_best < 0, t_best, -jnp.inf)
+        # one (8,128)→(1,1) reduce per child: measured FASTER than a
+        # bit-accumulate + single OR-log-tree of pltpu.rolls (rolls cost
+        # ~2x the hardware cross-lane reduce here)
         hm = jnp.zeros((1, 1), jnp.int32)
         for c in range(8):
             r = 6 * c

@@ -85,9 +85,9 @@ class Renderer:
             shadow_query = None
             trace_radiance = None
             if has_tracer:
-                def shadow_query(p, n, d, t, active=None):
+                def shadow_query(p, n, d, t, active=None, **kw):
                     return tracer.shadow_query(scene, p, n, d, t,
-                                               active=active)
+                                               active=active, **kw)
 
                 def trace_radiance(o, d, c, dep):
                     return tracer.trace_radiance(scene, o, d, c, dep)

@@ -62,7 +62,7 @@ def make_rt_shadow_pass(settings):
                     params.frame_index, n)
                 ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
                                       settings.ao_radius, active=~bg,
-                                      interleave=True)
+                                      layout="pattern")
             else:
                 ao_dir, seed = sampling.cos_hemisphere_sample(seed, n)
                 ao = ctx.shadow_query(gb.world_pos, n, ao_dir,

@@ -58,38 +58,75 @@ def sample_nearest(img, uv):
     return out[..., 0] if squeeze else out
 
 
-def to_pattern_major(img, block: int = 8, grid: int = 4):
+def to_pattern_major(img, block: int = 8, grid: int = 4, chunk: int = 4):
     """(H, W, ...) → (Hp·Wp, ...) flat, grouped by interleave pattern.
 
     Pixels are tiled into ``block``² blocks; a block's pattern id is
     (blockY % grid, blockX % grid). The output orders all pixels of
     pattern 0 first, then pattern 1, … — so fixed-size ray packets drawn
     from consecutive rows see a single pattern (one shared AO direction,
-    see ops/sampling.interleaved_cos_hemisphere). Pure reshape/transpose:
-    XLA lowers it to a strided copy, no gather. Images are edge-padded up
-    to a multiple of block·grid; returns (flat, (Hp, Wp)).
+    see ops/sampling.interleaved_cos_hemisphere). Within a pattern,
+    same-pattern blocks are ordered in ``chunk``ײ``chunk`` super-tiles so
+    one 1024-ray packet covers a compact (block·grid·chunk)² pixel region
+    instead of a screen-wide strip — packet traversal cost is the node
+    union over the packet's world footprint, so compactness matters as
+    much as the shared direction. Pure reshape/transpose: XLA lowers it
+    to a strided copy, no gather. Images are edge-padded up to a multiple
+    of block·grid·chunk; returns (flat, (Hp, Wp)).
     """
-    tile = block * grid
+    tile = block * grid * chunk
     H, W = img.shape[:2]
     Hp = -(-H // tile) * tile
     Wp = -(-W // tile) * tile
     pad = [(0, Hp - H), (0, Wp - W)] + [(0, 0)] * (img.ndim - 2)
     p = jnp.pad(img, pad, mode="edge")
     rest = p.shape[2:]
-    p = p.reshape(Hp // tile, grid, block, Wp // tile, grid, block, *rest)
-    p = p.transpose(1, 4, 0, 2, 3, 5, *range(6, 6 + len(rest)))
+    # axes: (Yc, cy, gy, by, Xc, cx, gx, bx)
+    p = p.reshape(Hp // tile, chunk, grid, block,
+                  Wp // tile, chunk, grid, block, *rest)
+    p = p.transpose(2, 6, 0, 4, 1, 3, 5, 7, *range(8, 8 + len(rest)))
     return p.reshape((Hp * Wp,) + rest), (Hp, Wp)
 
 
 def from_pattern_major(flat, height: int, width: int, block: int = 8,
-                       grid: int = 4):
+                       grid: int = 4, chunk: int = 4):
     """Inverse of :func:`to_pattern_major`; crops the padding back off."""
-    tile = block * grid
+    tile = block * grid * chunk
     Hp = -(-height // tile) * tile
     Wp = -(-width // tile) * tile
     rest = flat.shape[1:]
-    p = flat.reshape(grid, grid, Hp // tile, block, Wp // tile, block, *rest)
-    p = p.transpose(2, 0, 3, 4, 1, 5, *range(6, 6 + len(rest)))
+    p = flat.reshape(grid, grid, Hp // tile, Wp // tile, chunk, block,
+                     chunk, block, *rest)
+    p = p.transpose(2, 4, 0, 5, 3, 6, 1, 7, *range(8, 8 + len(rest)))
+    return p.reshape((Hp, Wp) + rest)[:height, :width]
+
+
+def to_tile_major(img, tile_h: int = 32, tile_w: int = 32):
+    """(H, W, ...) → (Hp·Wp, ...) flat in tile-major order: pixels of each
+    tile_h×tile_w tile are consecutive, tiles in row-major order. Used to
+    give ray packets a spatially compact origin footprint (a 1024-ray
+    packet = one 32×32 tile instead of a 1024×1 scanline strip). Pure
+    reshape/transpose; edge-pads to tile multiples. Returns (flat, (Hp, Wp)).
+    """
+    H, W = img.shape[:2]
+    Hp = -(-H // tile_h) * tile_h
+    Wp = -(-W // tile_w) * tile_w
+    pad = [(0, Hp - H), (0, Wp - W)] + [(0, 0)] * (img.ndim - 2)
+    p = jnp.pad(img, pad, mode="edge")
+    rest = p.shape[2:]
+    p = p.reshape(Hp // tile_h, tile_h, Wp // tile_w, tile_w, *rest)
+    p = p.transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
+    return p.reshape((Hp * Wp,) + rest), (Hp, Wp)
+
+
+def from_tile_major(flat, height: int, width: int, tile_h: int = 32,
+                    tile_w: int = 32):
+    """Inverse of :func:`to_tile_major`; crops the padding back off."""
+    Hp = -(-height // tile_h) * tile_h
+    Wp = -(-width // tile_w) * tile_w
+    rest = flat.shape[1:]
+    p = flat.reshape(Hp // tile_h, Wp // tile_w, tile_h, tile_w, *rest)
+    p = p.transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
     return p.reshape((Hp, Wp) + rest)[:height, :width]
 
 

@@ -289,25 +289,36 @@ class SceneTracer:
         return jnp.where(tri >= 0, 0.0, 1.0)
 
     def shadow_query(self, scene, world_pos, normal, direction, tmax,
-                     active=None, interleave: bool = False):
+                     active=None, layout: str = "tile"):
         """CalculateRayQueryShadow contract over (H, W) images: origins are
         offset along the normal (OffsetRay, common.glsl:155-167); tMax is
         capped at 10000 with tmin 0.01 (common.glsl:127-129). ``active``
         (H, W) masks rays out entirely (background pixels): they cost no
         traversal steps and stop blocking packet early termination.
 
-        ``interleave`` relayouts rays into pattern-major order before
-        packetization (ops/image.to_pattern_major) — pair it with
-        directions from sampling.interleaved_cos_hemisphere so each
-        packet shares one local direction."""
+        ``layout`` picks the ray→packet order (all pure relayouts):
+          "flat"    — raster scanline order (1024×1 strips per packet)
+          "tile"    — 32×32 pixel tiles per packet: compact origin
+                      footprint → smaller per-packet BVH node unions
+          "pattern" — interleave-pattern-major (to_pattern_major); pair
+                      with sampling.interleaved_cos_hemisphere so each
+                      packet also shares one local direction (AO)."""
         H, W = world_pos.shape[:2]
         origin_img = sampling.offset_ray(world_pos, normal)
         tmax_c = jnp.minimum(jnp.asarray(tmax, jnp.float32), 10000.0)
-        if interleave:
-            origin, _ = img_ops.to_pattern_major(origin_img)
-            d, _ = img_ops.to_pattern_major(direction)
+        if layout == "pattern":
+            fwd = img_ops.to_pattern_major
+            inv = img_ops.from_pattern_major
+        elif layout == "tile":
+            fwd = img_ops.to_tile_major
+            inv = img_ops.from_tile_major
+        else:
+            fwd = inv = None
+        if fwd is not None:
+            origin, _ = fwd(origin_img)
+            d, _ = fwd(direction)
             act_img = jnp.ones((H, W), bool) if active is None else active
-            act, _ = img_ops.to_pattern_major(act_img)
+            act, _ = fwd(act_img)
         else:
             origin = origin_img.reshape(-1, 3)
             d = direction.reshape(-1, 3)
@@ -319,8 +330,8 @@ class SceneTracer:
             t, tri, _, _ = self._intersect(
                 scene, origin, d, 0.01, tmax_c, any_hit=True, active=act)
             vis = jnp.where(tri >= 0, 0.0, 1.0)
-        if interleave:
-            return img_ops.from_pattern_major(vis, H, W)
+        if inv is not None:
+            return inv(vis, H, W)
         return vis.reshape(H, W)
 
     def _intersect(self, scene, o, d, tmin, tmax, any_hit, active=None):

@@ -18,7 +18,7 @@ def test_pattern_major_round_trip():
 
 
 def test_pattern_major_groups_patterns():
-    h = w = 64
+    h = w = 128  # multiple of block*grid*chunk: no edge padding
     ys = (np.arange(h) // 8) % 4
     xs = (np.arange(w) // 8) % 4
     pat = (ys[:, None] * 4 + xs[None, :]).astype(np.int32)
@@ -55,9 +55,31 @@ def test_interleaved_dirs_rotate_with_frame():
     assert np.abs(d0 - d1).max() > 1e-3
 
 
-def test_shadow_query_interleave_matches_direct():
+def test_tile_major_round_trip():
+    for (h, w) in [(32, 32), (64, 128), (33, 47), (100, 131)]:
+        rng = np.random.default_rng(h + w)
+        img = jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32))
+        flat, (hp, wp) = img_ops.to_tile_major(img)
+        assert flat.shape == (hp * wp, 3)
+        back = img_ops.from_tile_major(flat, h, w)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+
+
+def test_tile_major_packets_are_tiles():
+    h, w = 64, 96
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    flat_y, _ = img_ops.to_tile_major(jnp.asarray(ys))
+    flat_x, _ = img_ops.to_tile_major(jnp.asarray(xs))
+    fy = np.asarray(flat_y).reshape(-1, 1024)
+    fx = np.asarray(flat_x).reshape(-1, 1024)
+    # every 1024-ray packet spans exactly one 32x32 pixel tile
+    assert (fy.max(1) - fy.min(1) == 31).all()
+    assert (fx.max(1) - fx.min(1) == 31).all()
+
+
+def test_shadow_query_layouts_match_flat():
     """Relayouted traversal returns identical visibility (same rays, same
-    scene) as the flat path — the relayout is a pure permutation."""
+    scene) as the flat path — the relayouts are pure permutations."""
     from hybridrenderer_tpu.core.config import RenderSettings
     from hybridrenderer_tpu.ops.trace import SceneTracer
     from hybridrenderer_tpu.scene import scene as scenes
@@ -71,6 +93,7 @@ def test_shadow_query_interleave_matches_direct():
     nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
     nrm = jnp.asarray(nrm)
     d = sampling.interleaved_cos_hemisphere(jnp.uint32(4), nrm)
-    vis_flat = tracer.shadow_query(data, pos, nrm, d, 10.0)
-    vis_int = tracer.shadow_query(data, pos, nrm, d, 10.0, interleave=True)
-    np.testing.assert_array_equal(np.asarray(vis_flat), np.asarray(vis_int))
+    vis_flat = tracer.shadow_query(data, pos, nrm, d, 10.0, layout="flat")
+    for layout in ("pattern", "tile"):
+        vis = tracer.shadow_query(data, pos, nrm, d, 10.0, layout=layout)
+        np.testing.assert_array_equal(np.asarray(vis_flat), np.asarray(vis))

@@ -163,3 +163,53 @@ def test_taa_nan_history_safe():
     hist = jnp.full((H, W, 3), jnp.nan)
     out = taa.resolve(cur, hist, motion, depth, j, j, history_valid=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_temporal_block_gather_matches_pixel():
+    """Block-gather reprojection == per-pixel gather under smooth motion
+    (the footprint bases of a 2x2 block's pixels differ by <=1 px)."""
+    rng = np.random.default_rng(7)
+    normal, mp, oid = _flat_geom()
+    # smooth sub-pixel-varying motion field, a few px magnitude
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    mx = (2.5 + 0.3 * np.sin(xs / 9.0)) / W
+    my = (-1.5 + 0.4 * np.cos(ys / 7.0)) / H
+    mp = mp.at[..., 0].set(jnp.asarray(mx.astype(np.float32)))
+    mp = mp.at[..., 1].set(jnp.asarray(my.astype(np.float32)))
+    hist = svgf.SVGFSignalHistory(
+        signal=jnp.asarray(rng.random((H, W, 4)).astype(np.float32)),
+        moments=jnp.asarray(rng.random((H, W, 4)).astype(np.float32)))
+    sig = jnp.asarray(rng.random((H, W, 4)).astype(np.float32))
+    albedo = jnp.ones((H, W, 3))
+    args = (sig, albedo, mp, normal, oid, hist, normal, mp[..., 2], oid)
+    out_p, mom_p = svgf.temporal(*args, use_albedo_demod=False,
+                                 history_valid=True, gather="pixel")
+    out_b, mom_b = svgf.temporal(*args, use_albedo_demod=False,
+                                 history_valid=True, gather="block")
+    # block path stores its gather table in f16 (the reference's history
+    # precision): tolerance is f16 quantization, not exactness
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_p),
+                               rtol=4e-3, atol=4e-3)
+    np.testing.assert_allclose(np.asarray(mom_b), np.asarray(mom_p),
+                               rtol=4e-3, atol=4e-3)
+
+
+def test_temporal_block_gather_divergent_motion_falls_back():
+    """Pixels whose footprint base diverges >1 px from their block's
+    top-left pixel get history rejected (accum == current sample)."""
+    normal, mp, oid = _flat_geom()
+    # top-left pixel of each block still, others yanked 5 px sideways
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    div = ((ys % 2 == 1) | (xs % 2 == 1)).astype(np.float32) * (5.0 / W)
+    mp = mp.at[..., 0].set(jnp.asarray(div))
+    hist = svgf.SVGFSignalHistory(
+        signal=jnp.full((H, W, 4), 100.0),
+        moments=jnp.full((H, W, 4), 9.0))
+    sig = jnp.full((H, W, 4), 0.5)
+    out, moments = svgf.temporal(
+        sig, jnp.ones((H, W, 3)), mp, normal, oid, hist, normal,
+        mp[..., 2], oid, use_albedo_demod=False, history_valid=True,
+        gather="block")
+    out_np = np.asarray(out)
+    mask = (np.asarray(div) > 0) & (xs >= 8)  # away from border clamp
+    np.testing.assert_allclose(out_np[mask], 0.5, atol=1e-6)

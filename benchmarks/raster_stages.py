@@ -90,5 +90,67 @@ def main():
     timed("build_gbuffer", gbuf, vis.depth)
 
 
+def composition_stage():
+    """Append: composition+postprocess+sky over a fake registry."""
+    from hybridrenderer_tpu.core.config import RenderSettings
+    from hybridrenderer_tpu.core.types import RenderFlags, RenderPathType
+    from hybridrenderer_tpu.graph import passes as gpasses
+    from hybridrenderer_tpu.graph.params import FrameParams, FrameState, RS
+    from hybridrenderer_tpu.ops import sky as sky_ops
+    from hybridrenderer_tpu.ops.gbuffer import GBuffer
+
+    host = scenes.stress_scene(num_objects=250)
+    data = host.build()
+    cam = OrbitCamera(width=W, height=H, distance=30.0, pitch=0.5, yaw=0.8,
+                      focal_point=(0, 2.0, 0))
+    state = cam.step()
+    rng = np.random.default_rng(0)
+
+    def arr(*s):
+        return jnp.asarray(rng.random(s).astype(np.float32))
+
+    flags = (RenderFlags.LIGHT | RenderFlags.IBL | RenderFlags.EMISSIVE)
+    settings = RenderSettings(width=W, height=H, path=RenderPathType.HYBRID,
+                              flags=flags)
+    gb = GBuffer(
+        albedo=arr(H, W, 3), normal=arr(H, W, 3), material=arr(H, W, 4),
+        object_id=jnp.zeros((H, W), jnp.int32), motion=arr(H, W, 2) * 0.01,
+        linear_depth=arr(H, W) * 50 + 1, depth_grad=arr(H, W, 2),
+        emissive=arr(H, W, 3), depth=arr(H, W) * 0.5 + 0.2,
+        world_pos=arr(H, W, 3) * 20, uv=arr(H, W, 2))
+    params = FrameParams(
+        sun_direction=jnp.asarray([-0.5, -1.0, -0.3], jnp.float32),
+        sun_color=jnp.ones(3, jnp.float32),
+        sun_intensity=jnp.float32(1.0), ambient_strength=jnp.float32(0.1),
+        exposure=jnp.float32(1.0),
+        svgf_phi=jnp.asarray([4.0, 128.0, 0.02, 0.0]),
+        frame_index=jnp.uint32(3))
+    comp_fn = gpasses.make_composition_pass(
+        settings, "__none__", "__none__", "__none__", None)[0]
+    post_fn = gpasses.make_postprocess_pass(settings, RS.FINAL_COLOR)[0]
+    ctx = gpasses.FrameContext(
+        scene=data, cam=state, params=params, settings=settings,
+        state=FrameState.empty(), history_valid=True,
+        shadow_query=None, trace_radiance=None)
+
+    def comp(alb, *_):
+        g = GBuffer(**{**gb.__dict__, "albedo": alb})
+        reg = {"_GBuffer": g}
+        out = comp_fn(reg, ctx)
+        reg.update(out)
+        out2 = post_fn(reg, ctx)
+        return out2[RS.RENDER_OUTPUT]
+
+    timed("composition_post", comp, gb.albedo)
+
+    def sky_only(d, *_):
+        v = d
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return sky_ops.sample_environment(
+            v, data.sky_texture, data.textures, True)
+
+    timed("sky_sample_env", sky_only, arr(H, W, 3) - 0.5)
+
+
 if __name__ == "__main__":
-    main()
+    composition_stage()

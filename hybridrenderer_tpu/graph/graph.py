@@ -34,10 +34,19 @@ class PassDecl:
 class RenderGraph:
     """Pass stack + resource bookkeeping (RenderGraph.cpp analog)."""
 
-    def __init__(self, width: int, height: int):
+    def __init__(self, width: int, height: int,
+                 barrier_passes: bool = True):
         self.width, self.height = width, height
         self.passes: List[PassDecl] = []
         self._compiled = False
+        # Materialize each pass's outputs with jax.lax.optimization_barrier.
+        # Without it XLA fuse-duplicates expensive producers (G-buffer
+        # gather chains, ray-output relayouts) into every consuming pass:
+        # measured 114 ms/frame of recomputation at 1080p hybrid (SVGF
+        # in-frame cost 138 ms vs 27 ms isolated until barriered). This is
+        # the one job of the reference's vkCmdPipelineBarrier2 ladder
+        # (RenderGraph.cpp:220-273) that XLA does NOT subsume well.
+        self.barrier_passes = barrier_passes
 
     def reset(self):
         self.passes.clear()
@@ -86,6 +95,13 @@ class RenderGraph:
                         registry[r] = h
             out = p.fn(registry, ctx)
             if out:
+                if self.barrier_passes:
+                    import jax
+
+                    keys = list(out.keys())
+                    vals = jax.lax.optimization_barrier(
+                        tuple(out[k] for k in keys))
+                    out = dict(zip(keys, vals))
                 registry.update(out)
             for virt, hname in p.save_as_history.items():
                 new_history[hname] = registry[virt]

@@ -59,31 +59,25 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
 
     ``gather`` selects the history-fetch strategy:
       "pixel" — one packed-row gather per pixel (reference semantics;
-                2M rows at 1080p ≈ 115 ms on v5e: row gathers cost
-                ~25-55 ns *per row* regardless of row width)
-      "block" — one gather per 2×2 *output pixel block* of a 4×4-pixel
-                history window rooted at the block's top-left footprint
-                (4x fewer rows ≈ 13 ms); taps are recovered by a 16-tap
-                masked accumulation. Exact wherever the bilinear
-                footprint bases of the block's 4 pixels differ from the
-                top-left pixel's by ≤1 px (always true for smooth
-                motion); pixels whose base lands outside the window
-                have their history rejected — such >1px/px motion
-                discontinuities are disocclusion boundaries where the
-                ID/depth/normal validation rejects reprojection anyway.
-      "auto"  — "pixel" for now. Measured in-frame at 1080p: pixel
-                ~203 ms (row gathers cost ~26-55 ns PER ROW regardless
-                of row width), block ~259 ms (the 64-step XLA masked
-                accumulation materializes its accumulator chain through
-                HBM, which at this chip's ~50 GB/s eats the row-count
-                win). A Pallas windowed kernel is the real fix
-                (benchmarks/temporal_pieces.py for the numbers).
+                row gathers cost ~26-55 ns *per row* regardless of row
+                width: ~203 ms in-frame for 2M rows at 1080p; an XLA
+                2×2-block-gather variant measured WORSE, 259 ms — see
+                benchmarks/temporal_pieces.py)
+      "tile"  — windowed Pallas kernel (ops/temporal_pallas.py): one
+                history window per 32×128 tile + static candidate-roll
+                bilinear resolve. Exact wherever a pixel's footprint
+                base is within RANGE(=8) px of its tile's minimum
+                (smooth motion); outliers — motion discontinuities
+                where the ID/depth/normal validation rejects history
+                anyway — fall back to "no history".
+      "tile_interpret" — "tile" in Pallas interpret mode (CPU tests).
+      "auto"  — "tile" on TPU, else "pixel".
     """
     H, W = object_id.shape
     if gather == "auto":
-        gather = "pixel"
-    if gather == "block" and (H % 2 or W % 2):
-        gather = "pixel"
+        from . import temporal_pallas
+
+        gather = "tile" if temporal_pallas.available() else "pixel"
     uv = img_ops.pixel_uv_grid(H, W)
 
     motion = motion_plane[..., :2]
@@ -170,79 +164,13 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
             hist_len = hist_len + w_eff * row[..., 6]
             weight_sum = weight_sum + w_eff
     else:
-        # block gather: one 4×4-pixel window row per 2×2 output block.
-        # Window tap (ty, tx) holds hpack[rootY-1+ty, rootX-1+tx]; the
-        # table row for root (y, x) is built from 16 static shifts.
-        # Everything below sticks to rank-2/3 arrays with LARGE trailing
-        # dims: rank-4/5 shapes like (H/2, 2, W/2, 2) let XLA place a
-        # size-2 dim on the 128-lane axis and tile-pad 64x (measured: a
-        # compile-time OOM at 1080p). The 2x2 block pixels are handled as
-        # four strided *phases* at (H/2, W/2) instead.
-        #
-        # The window table is built in float16: this dev chip's effective
-        # HBM bandwidth is ~50 GB/s, so the f32 table's ~3 GB of
-        # construction traffic cost more than the gather it saved.
-        # f16 matches the reference's RGBA16F history precision
-        # (SVGF history images are 16-bit there too); object ids stay
-        # exact up to 2048 in f16. Accumulation runs in f32.
-        taps16 = [img_ops.shift(hpack, ty - 1, tx - 1).astype(jnp.float16)
-                  for ty in range(4) for tx in range(4)]
-        table = jnp.concatenate(taps16, axis=-1).reshape(H * W, 16 * 12)
+        # "tile": windowed Pallas reprojection (ops/temporal_pallas.py)
+        from . import temporal_pallas
 
-        rx = jnp.clip(bx[0::2, 0::2], 1, W - 3)  # window root = (r-1)
-        ry = jnp.clip(by[0::2, 0::2], 1, H - 3)
-        win = table[ry * W + rx]                 # (H/2, W/2, 192)
-
-        def phase(x, py, px):
-            return x[py::2, px::2]
-
-        acc_phases = []
-        for py in (0, 1):
-            for px in (0, 1):
-                dxp = phase(bx, py, px) - rx
-                dyp = phase(by, py, px) - ry
-                in_win = (dxp >= -1) & (dxp <= 1) & (dyp >= -1) & (dyp <= 1) \
-                    & phase(footprint_ok, py, px)
-                fxp = phase(f[..., 0], py, px)
-                fyp = phase(f[..., 1], py, px)
-                n_p = phase(normal, py, px)
-                z_p = phase(cur_depth, py, px)
-                oid_p = phase(oid_f, py, px)
-
-                sh = rx.shape
-                acc = jnp.zeros(sh + (8,), jnp.float32)  # sig4 mom2 hlen wsum
-                for ty in range(4):
-                    # bilinear y-weight of window row ty: the pixel's taps
-                    # sit at rows dyp+1 (weight 1-fy) and dyp+2 (weight fy)
-                    wy = jnp.where(dyp + 1 == ty, 1.0 - fyp, 0.0) \
-                        + jnp.where(dyp + 2 == ty, fyp, 0.0)
-                    for tx in range(4):
-                        wx = jnp.where(dxp + 1 == tx, 1.0 - fxp, 0.0) \
-                            + jnp.where(dxp + 2 == tx, fxp, 0.0)
-                        row = win[..., 12 * (4 * ty + tx):
-                                  12 * (4 * ty + tx) + 12].astype(jnp.float32)
-                        ok = in_win & validate(row, n_p, z_p, oid_p)
-                        w_eff = jnp.where(ok, wy * wx, 0.0)
-                        contrib = jnp.concatenate(
-                            [row[..., 0:7],
-                             jnp.ones(sh + (1,), jnp.float32)], axis=-1)
-                        acc = acc + w_eff[..., None] * contrib
-                acc_phases.append(acc)
-
-        def interleave(p00, p01, p10, p11):
-            """Four (H/2, W/2, C) phases → (H, W, C) via interior-dilation
-            pads (rank-3 ops only, no small-trailing-dim reshapes)."""
-            def dil(x, py, px):
-                cfg = [(py, 1 - py, 1), (px, 1 - px, 1), (0, 0, 0)]
-                return jax.lax.pad(x, jnp.float32(0), cfg)
-            return dil(p00, 0, 0) + dil(p01, 0, 1) \
-                + dil(p10, 1, 0) + dil(p11, 1, 1)
-
-        packed_acc = interleave(*acc_phases)     # (H, W, 8)
-        hist_sig = packed_acc[..., 0:4]
-        hist_mom = packed_acc[..., 4:6]
-        hist_len = packed_acc[..., 6]
-        weight_sum = packed_acc[..., 7]
+        hpack_pm = jnp.moveaxis(hpack, -1, 0)
+        hist_sig, hist_mom, hist_len, weight_sum = temporal_pallas.reproject(
+            hpack_pm, by, bx, f[..., 1], f[..., 0], footprint_ok,
+            normal, cur_depth, oid_f, interpret=(gather == "tile_interpret"))
 
     valid = weight_sum > 0.01
     ws = jnp.maximum(weight_sum, 1e-6)[..., None]

@@ -165,12 +165,12 @@ def test_taa_nan_history_safe():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_temporal_block_gather_matches_pixel():
-    """Block-gather reprojection == per-pixel gather under smooth motion
-    (the footprint bases of a 2x2 block's pixels differ by <=1 px)."""
+def test_temporal_tile_gather_matches_pixel():
+    """Windowed Pallas (tile) reprojection == per-pixel gather under
+    smooth motion (footprint bases within RANGE of each tile's min)."""
     rng = np.random.default_rng(7)
     normal, mp, oid = _flat_geom()
-    # smooth sub-pixel-varying motion field, a few px magnitude
+    # smooth few-px motion field
     ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     mx = (2.5 + 0.3 * np.sin(xs / 9.0)) / W
     my = (-1.5 + 0.4 * np.cos(ys / 7.0)) / H
@@ -184,23 +184,25 @@ def test_temporal_block_gather_matches_pixel():
     args = (sig, albedo, mp, normal, oid, hist, normal, mp[..., 2], oid)
     out_p, mom_p = svgf.temporal(*args, use_albedo_demod=False,
                                  history_valid=True, gather="pixel")
-    out_b, mom_b = svgf.temporal(*args, use_albedo_demod=False,
-                                 history_valid=True, gather="block")
-    # block path stores its gather table in f16 (the reference's history
+    out_t, mom_t = svgf.temporal(*args, use_albedo_demod=False,
+                                 history_valid=True,
+                                 gather="tile_interpret")
+    # tile path stores its windows in f16 (the reference's history
     # precision): tolerance is f16 quantization, not exactness
-    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_p),
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_p),
                                rtol=4e-3, atol=4e-3)
-    np.testing.assert_allclose(np.asarray(mom_b), np.asarray(mom_p),
+    np.testing.assert_allclose(np.asarray(mom_t), np.asarray(mom_p),
                                rtol=4e-3, atol=4e-3)
 
 
-def test_temporal_block_gather_divergent_motion_falls_back():
-    """Pixels whose footprint base diverges >1 px from their block's
-    top-left pixel get history rejected (accum == current sample)."""
+def test_temporal_tile_gather_divergent_motion_falls_back():
+    """Pixels whose footprint base strays >= RANGE px from their tile's
+    minimum get history rejected (accum == current sample)."""
+    from hybridrenderer_tpu.ops.temporal_pallas import RANGE
     normal, mp, oid = _flat_geom()
-    # top-left pixel of each block still, others yanked 5 px sideways
+    # half the pixels still, half yanked (RANGE+12) px sideways
     ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    div = ((ys % 2 == 1) | (xs % 2 == 1)).astype(np.float32) * (5.0 / W)
+    div = ((xs % 2 == 1).astype(np.float32)) * ((RANGE + 12.0) / W)
     mp = mp.at[..., 0].set(jnp.asarray(div))
     hist = svgf.SVGFSignalHistory(
         signal=jnp.full((H, W, 4), 100.0),
@@ -209,7 +211,8 @@ def test_temporal_block_gather_divergent_motion_falls_back():
     out, moments = svgf.temporal(
         sig, jnp.ones((H, W, 3)), mp, normal, oid, hist, normal,
         mp[..., 2], oid, use_albedo_demod=False, history_valid=True,
-        gather="block")
+        gather="tile_interpret")
     out_np = np.asarray(out)
-    mask = (np.asarray(div) > 0) & (xs >= 8)  # away from border clamp
+    # the yanked pixels' bases exceed the window range -> no history
+    mask = (np.asarray(div) > 0) & (xs + RANGE + 12 < W - 1)
     np.testing.assert_allclose(out_np[mask], 0.5, atol=1e-6)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..core import maths
@@ -116,6 +117,9 @@ def make_gbuffer_pass(settings):
             )
         else:
             vis = raster(tri_mask)
+        # materialize the visibility buffer: its unflatten transposes
+        # otherwise fuse-duplicate into every G-buffer gather chain
+        vis = jax.lax.optimization_barrier(vis)
         gb = gbuffer_ops.build_gbuffer(vis, sc, cam)
         return {
             "_GBuffer": gb,

@@ -389,7 +389,11 @@ INACTIVE_TRI = 1 << 29   # sentinel "hit" id for inactive lanes
 
 WIDE_ISTACK_DEPTH = 64
 WIDE_LSTACK_DEPTH = 64
-WIDE_CHUNK_STEPS = 32
+WIDE_CHUNK_STEPS = 16  # 16 beats 32/64 in-frame at 1080p (362 vs
+#                          378/408 ms shadow+AO rung): smaller chunks
+#                          overshoot less past packet termination, and
+#                          the while-loop's per-iteration overhead is
+#                          amortized enough at 16
 WIDE_PACKETS_PER_PROGRAM = 4
 
 

@@ -48,6 +48,12 @@ class RenderSettings:
     # Reflection roughness cutoff (reflection.rgen:55-63)
     reflection_roughness_cutoff: float = 0.6
 
+    # Blue-noise sample draws for 1-spp GI / per-pixel AO (the reference
+    # fetches a tiled blue-noise texture with a per-frame integer offset,
+    # raygen.rgen:29-31, common.glsl:86-92). False falls back to the TEA
+    # hash draws of rt_shadow.rgen:53.
+    use_blue_noise: bool = True
+
     def has(self, flag: RenderFlags) -> bool:
         return bool(self.flags & flag)
 

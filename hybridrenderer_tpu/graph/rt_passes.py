@@ -63,6 +63,12 @@ def make_rt_shadow_pass(settings):
                 ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
                                       settings.ao_radius, active=~bg,
                                       layout="pattern")
+            elif settings.use_blue_noise:
+                bn = sampling.blue_noise_uniforms(
+                    sc.textures.blue_noise, params.frame_index, H, W)
+                ao_dir = sampling.cos_hemisphere_from_uniforms(bn[..., 0], bn[..., 1], n)
+                ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
+                                      settings.ao_radius, active=~bg)
             else:
                 ao_dir, seed = sampling.cos_hemisphere_sample(seed, n)
                 ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
@@ -113,12 +119,19 @@ def make_rt_gi_pass(settings):
             return {RS.GI_RAW: zeros}
 
         params = ctx.params
-        ys = jnp.arange(H, dtype=jnp.uint32)[:, None]
-        xs = jnp.arange(W, dtype=jnp.uint32)[None, :]
-        seed = sampling.init_random_seed(ys * jnp.uint32(W) + xs,
-                                         params.frame_index)
         n = gb.normal
-        ray_dir, seed = sampling.cos_hemisphere_sample(seed, n)
+        if settings.use_blue_noise:
+            # blue-noise 1-spp draws (raygen.rgen:29-31 semantics); zw
+            # channels so the GI bounce decorrelates from the AO draw
+            bn = sampling.blue_noise_uniforms(
+                ctx.scene.textures.blue_noise, params.frame_index, H, W)
+            ray_dir = sampling.cos_hemisphere_from_uniforms(bn[..., 2], bn[..., 3], n)
+        else:
+            ys = jnp.arange(H, dtype=jnp.uint32)[:, None]
+            xs = jnp.arange(W, dtype=jnp.uint32)[None, :]
+            seed = sampling.init_random_seed(ys * jnp.uint32(W) + xs,
+                                             params.frame_index)
+            ray_dir, seed = sampling.cos_hemisphere_sample(seed, n)
         origin = sampling.offset_ray(gb.world_pos, n)
         radiance, _dist = ctx.trace_radiance(origin, ray_dir, ctx, 0)
         rgb = jnp.where(gb.background[..., None], 0.0, radiance)

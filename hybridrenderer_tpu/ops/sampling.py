@@ -68,6 +68,12 @@ def _cosine_dir(r1, r2, normal):
     return maths.normalize(d)
 
 
+def cos_hemisphere_from_uniforms(r1, r2, normal):
+    """Cosine-weighted direction from explicit uniforms (e.g. blue-noise
+    draws, common.glsl:75-84 with raygen.rgen's randSample)."""
+    return _cosine_dir(r1, r2, normal)
+
+
 def cos_hemisphere_sample(seed, normal):
     """Cosine-weighted hemisphere direction (common.glsl:75-84).
 
@@ -112,6 +118,22 @@ def interleaved_cos_hemisphere(frame_index, normal, block: int = 8,
         return jnp.tile(tile, reps)[:H, :W]
 
     return _cosine_dir(expand(r1), expand(r2), normal)
+
+
+def blue_noise_uniforms(blue_noise, frame_index, H: int, W: int):
+    """Per-pixel vec4 uniforms from the tiled blue-noise texture.
+
+    GetBlueNoise (common.glsl:86-92) fetched at
+    ``pixel + frame * (123, 456)`` — the per-frame temporal offset of
+    raygen.rgen:29-31. ``blue_noise``: (Hn, Wn, 4) f32 in [0, 1).
+    The table is tiny (64² × 16 B = 64 KB), far below the ~2 MB
+    small-table gather cliff, so this is a cheap XLA gather.
+    """
+    Hn, Wn = blue_noise.shape[:2]
+    fi = jnp.asarray(frame_index, jnp.int32)
+    ys = (jnp.arange(H, dtype=jnp.int32)[:, None] + fi * 456) % Hn
+    xs = (jnp.arange(W, dtype=jnp.int32)[None, :] + fi * 123) % Wn
+    return blue_noise[ys, xs]
 
 
 def square_to_uniform_cone(u, cos_theta_max):

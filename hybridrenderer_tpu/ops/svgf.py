@@ -66,10 +66,15 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
       "tile"  — windowed Pallas kernel (ops/temporal_pallas.py): one
                 history window per 32×128 tile + static candidate-roll
                 bilinear resolve. Exact wherever a pixel's footprint
-                base is within RANGE(=8) px of its tile's minimum
-                (smooth motion); outliers — motion discontinuities
-                where the ID/depth/normal validation rejects history
-                anyway — fall back to "no history".
+                base is within RANGE(=8) px of its tile's minimum.
+                Outliers fall back to "no history"; usually those are
+                motion discontinuities where the ID/depth/normal
+                validation rejects history anyway, but smooth
+                high-gradient motion (fast zoom/rotation: base offset
+                can vary >8 px across a 32×128 tile) also exceeds the
+                window and silently drops *valid* history — a quality
+                (not correctness) regression vs "pixel". Pass
+                gather="pixel" for fast-motion frames if that matters.
       "tile_interpret" — "tile" in Pallas interpret mode (CPU tests).
       "auto"  — "tile" on TPU, else "pixel".
     """
@@ -78,6 +83,8 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
         from . import temporal_pallas
 
         gather = "tile" if temporal_pallas.available() else "pixel"
+    if gather not in ("pixel", "tile", "tile_interpret"):
+        raise ValueError(f"unknown temporal gather strategy: {gather!r}")
     uv = img_ops.pixel_uv_grid(H, W)
 
     motion = motion_plane[..., :2]
@@ -335,7 +342,7 @@ class SVGFConfig:
     spatial_enabled: bool = True
     use_albedo_demod: bool = False
     backend: str = "auto"   # "auto" | "jnp" | "pallas" spatial kernels
-    temporal_gather: str = "auto"  # "auto" | "pixel" | "block"
+    temporal_gather: str = "auto"  # "auto" | "pixel" | "tile" | "tile_interpret"
 
 
 def _spatial_pallas(config: SVGFConfig) -> bool:

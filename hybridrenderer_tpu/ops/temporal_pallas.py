@@ -16,9 +16,14 @@ the same shape as the SVGF stencil kernels (stencil_pallas._tap), whose
 49-tap sweep costs 3 ms at 1080p.
 
 Pixels whose footprint base strays ≥ RANGE pixels from their tile's
-minimum (motion discontinuities: disocclusions, object boundaries —
-where ID/depth/normal validation rejects history anyway) fall back to
-"no history" exactly like an off-screen footprint.
+minimum fall back to "no history" exactly like an off-screen footprint.
+Usually those are motion discontinuities (disocclusions, object
+boundaries) where ID/depth/normal validation rejects history anyway —
+but smooth high-gradient motion (fast zoom/rotation whose base offset
+varies > RANGE px across one 32×128 tile) also exceeds the window and
+drops valid history: a quality regression vs the per-pixel gather, not
+a correctness break. Callers can force svgf gather="pixel" for such
+frames.
 
 hpack plane order: sig0..3, m1, m2, hlen, nx, ny, nz, z, oid.
 """
@@ -47,7 +52,7 @@ def _lane_tap(w, dx: int):
     return w[:, :, :TILE_W]
 
 
-def _kernel(ntx,
+def _kernel(
             # scalar prefetch
             y0_ref, x0_ref,
             # inputs
@@ -177,7 +182,7 @@ def reproject(hpack_pm, by, bx, fy, fx, ok, normal, z, oid,
                                 lambda t, *_: (t // ntx, t % ntx))] * 8,
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, ntx),
+        _kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)] * 8,
         interpret=interpret,

@@ -43,8 +43,18 @@ TRI_EPS = 1e-9
 CHUNK_STEPS = 64   # traversal steps per while-loop iteration
 
 # VMEM budget for the resident packed BVH (bytes): 64 B per internal node
-# + 64 B per leaf.
-VMEM_SCENE_BUDGET = 12 * 1024 * 1024
+# + 64 B per leaf. v5e has 128 MB of VMEM; the kernel's other consumers
+# (ray blocks, outputs, unrolled-body temporaries) need < 24 MB, so the
+# packed scene can take ~96 MB before we must fall back. The default
+# scoped-vmem budget is only 16 MB — intersect_* raise it explicitly via
+# CompilerParams(vmem_limit_bytes).
+VMEM_SCENE_BUDGET = 96 * 1024 * 1024
+
+
+def _vmem_limit(*arrs) -> int:
+    """Scoped-VMEM limit for a traversal call: resident scene + margin."""
+    scene = sum(int(a.size) * a.dtype.itemsize for a in arrs)
+    return min(scene + 24 * 1024 * 1024, 127 * 1024 * 1024)
 
 # internal record field rows
 _I_LMIN = 0   # 0-2  left child aabb min
@@ -374,7 +384,8 @@ def intersect_packed(internal_tiles, leaf_tiles, num_tris, o, d, tmin, tmax,
         interpret=interpret,
         # sequential grid: program 0's BVH load must precede all others
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem_limit(internal_tiles, leaf_tiles)),
     )(jnp.full((1,), jnp.float32(tmin)),
       internal_tiles, leaf_tiles,
       op[..., 0], op[..., 1], op[..., 2],
@@ -707,7 +718,8 @@ def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem_limit(nodes, leaves)),
     )(jnp.full((1,), jnp.float32(tmin)),
       meta.reshape(-1),
       nodes, leaves,

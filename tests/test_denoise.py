@@ -187,8 +187,8 @@ def test_temporal_tile_gather_matches_pixel():
     out_t, mom_t = svgf.temporal(*args, use_albedo_demod=False,
                                  history_valid=True,
                                  gather="tile_interpret")
-    # tile path stores its windows in f16 (the reference's history
-    # precision): tolerance is f16 quantization, not exactness
+    # tile path keeps windows in f32; tolerance covers float
+    # accumulation-order differences between the two gather strategies
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_p),
                                rtol=4e-3, atol=4e-3)
     np.testing.assert_allclose(np.asarray(mom_t), np.asarray(mom_p),

@@ -57,3 +57,21 @@ def test_offset_ray_moves_forward():
     d = (q - np.asarray(p)) * np.asarray(n)
     assert (d.sum(-1) > 0).all()            # offset along the normal
     assert np.abs(q - np.asarray(p)).max() < 0.01  # but tiny
+
+
+def test_blue_noise_uniforms_tiling():
+    """GetBlueNoise + per-frame offset (common.glsl:86-92, raygen.rgen:29-31):
+    values come from the tiled table, the whole table is visited, and the
+    per-frame offset shifts the pattern."""
+    rng = np.random.default_rng(3)
+    tex = jnp.asarray(rng.random((8, 8, 4)).astype(np.float32))
+    u0 = np.asarray(sampling.blue_noise_uniforms(tex, 0, 16, 16))
+    # frame 0: pure tiling
+    np.testing.assert_allclose(u0[:8, :8], np.asarray(tex))
+    np.testing.assert_allclose(u0[8:, 8:], np.asarray(tex))
+    # frame offset = (123, 456) px rolls the pattern, same value set
+    u1 = np.asarray(sampling.blue_noise_uniforms(tex, 1, 16, 16))
+    assert not np.allclose(u0, u1)
+    np.testing.assert_allclose(
+        u1[:8, :8], np.asarray(jnp.roll(tex, (-456 % 8, -123 % 8), (0, 1))))
+    assert u0.min() >= 0.0 and u0.max() < 1.0

@@ -77,7 +77,16 @@ def main(argv=None):
     ap.add_argument("--exposure", type=float, default=1.0)
     ap.add_argument("--mermaid", action="store_true",
                     help="print render graph as Mermaid and exit")
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX platform (the image's sitecustomize "
+                         "pins the TPU backend and ignores JAX_PLATFORMS; "
+                         "--device cpu is the reliable CPU switch)")
     args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     width = args.width or args.size
     height = args.height or args.size

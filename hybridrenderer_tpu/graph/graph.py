@@ -63,15 +63,32 @@ class RenderGraph:
     # --- compile: validate the DAG (XLA does the real work later) -------
     def compile(self, external: () = ()):  # noqa: B006
         available = set(external)
+        history_names = {h for p in self.passes
+                         for h in p.save_as_history.values()}
         for p in self.passes:
             for r in p.reads:
                 if r.startswith("History_"):
-                    continue  # satisfied by FrameState (or safe fallback)
+                    # satisfied by FrameState if some pass saves that
+                    # history, else by the ReadHistorySafe fallback to the
+                    # same-named current-frame resource — one of the two
+                    # must exist (RenderGraph.cpp:397-456)
+                    hname = r[len("History_"):]
+                    if hname not in history_names and hname not in available:
+                        raise ValueError(
+                            f"pass '{p.name}' reads '{r}' but no pass saves "
+                            f"history '{hname}' and no current-frame "
+                            f"fallback resource is available")
+                    continue
                 if r not in available:
                     raise ValueError(
                         f"pass '{p.name}' reads undeclared resource '{r}' "
                         f"(available: {sorted(available)})")
             available.update(p.writes)
+            for virt in p.save_as_history:
+                if virt not in available:
+                    raise ValueError(
+                        f"pass '{p.name}' saves '{virt}' as history but "
+                        f"never produces it")
         self._compiled = True
         return self
 
@@ -94,6 +111,21 @@ class RenderGraph:
                             h = registry.get(hname)
                         registry[r] = h
             out = p.fn(registry, ctx)
+            # write-set validation (the half the reference's tracked
+            # ResourceState caught at runtime): a pass must produce
+            # exactly what it declared — a misdeclared pass otherwise
+            # silently poisons downstream reads
+            produced = set(out.keys()) if out else set()
+            declared = set(p.writes)
+            if produced != declared:
+                missing = declared - produced
+                extra = produced - declared
+                raise ValueError(
+                    f"pass '{p.name}' write mismatch: "
+                    + (f"declared but not produced {sorted(missing)} "
+                       if missing else "")
+                    + (f"produced but undeclared {sorted(extra)}"
+                       if extra else ""))
             if out:
                 if self.barrier_passes:
                     import jax

@@ -2,11 +2,17 @@
 
 Headline metric: hybrid-path FPS (RT shadows + AO + SVGF) at 1080p on the
 Sponza-scale procedural stress scene — the BASELINE.json north star
-(target >= 60 FPS on v5p-8; vs_baseline = fps / 60). Resolution / scene /
-path are overridable via env for diagnostics:
+(target >= 60 FPS on v5p-8; vs_baseline = fps / 60). The ``extra`` field
+carries the bench-contract-v2 breakdown (BASELINE.md asks for per-pass
+ms + Mrays/s): a fused flag-bisect ladder run in the same process
+(benchmarks/bisect.py methodology — the per-pass profiler misattributes
+passes with closure-captured tracers, the bisect does not), plus the
+forward-path and full-graph (REFLECTION|GI) configs.
 
+Env overrides for diagnostics:
   BENCH_WIDTH/BENCH_HEIGHT, BENCH_SCENE (stress|cube|cornell),
-  BENCH_PATH (hybrid|forward), BENCH_FRAMES, BENCH_OBJECTS
+  BENCH_PATH (hybrid|forward), BENCH_FRAMES, BENCH_OBJECTS,
+  BENCH_BREAKDOWN=0 to skip the ladder (headline only).
 """
 from __future__ import annotations
 
@@ -16,6 +22,27 @@ import sys
 import time
 
 
+def _time_config(settings, data, cam_kw, frames):
+    """ms/frame for one static config; chained frames, one readback fence,
+    first post-compile execution discarded (CLAUDE.md methodology)."""
+    import numpy as np
+
+    from hybridrenderer_tpu.core.camera import OrbitCamera
+    from hybridrenderer_tpu.runtime.renderer import Renderer
+
+    r = Renderer.for_scene(settings, data)
+    cam = OrbitCamera(width=settings.width, height=settings.height, **cam_kw)
+    out = r.render(cam.step(taa_enabled=True))
+    out = r.render(cam.step(taa_enabled=True))
+    _ = np.asarray(out[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        cam.orbit(0.01, 0.0)
+        out = r.render(cam.step(taa_enabled=True))
+    _ = np.asarray(out[0, 0])
+    return 1000.0 * (time.perf_counter() - t0) / frames
+
+
 def main():
     width = int(os.environ.get("BENCH_WIDTH", "1920"))
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
@@ -23,13 +50,12 @@ def main():
     path_name = os.environ.get("BENCH_PATH", "hybrid")
     frames = int(os.environ.get("BENCH_FRAMES", "16"))
     n_objects = int(os.environ.get("BENCH_OBJECTS", "250"))
+    breakdown = os.environ.get("BENCH_BREAKDOWN", "1") != "0"
 
     import jax
 
-    from hybridrenderer_tpu.core.camera import OrbitCamera
     from hybridrenderer_tpu.core.config import RenderSettings
     from hybridrenderer_tpu.core.types import RenderFlags, RenderPathType
-    from hybridrenderer_tpu.runtime.renderer import Renderer
     from hybridrenderer_tpu.scene import scene as scenes
 
     if scene_name == "stress":
@@ -40,51 +66,72 @@ def main():
         host = scenes.cube_scene()
     data = host.build()
 
+    SV = (RenderFlags.SVGF | RenderFlags.SVGF_TEMPORAL
+          | RenderFlags.SVGF_SPATIAL)
+    BASE = RenderFlags.LIGHT | RenderFlags.IBL | RenderFlags.EMISSIVE
+    hybrid_flags = BASE | RenderFlags.SHADOW | RenderFlags.AO | SV
+    forward_flags = RenderFlags.LIGHT | RenderFlags.IBL | RenderFlags.TAA
+
     if path_name == "hybrid":
-        ptype = RenderPathType.HYBRID
-        flags = (RenderFlags.LIGHT | RenderFlags.SHADOW | RenderFlags.AO
-                 | RenderFlags.SVGF | RenderFlags.SVGF_TEMPORAL
-                 | RenderFlags.SVGF_SPATIAL | RenderFlags.IBL
-                 | RenderFlags.EMISSIVE)
+        ptype, flags = RenderPathType.HYBRID, hybrid_flags
     else:
-        ptype = RenderPathType.FORWARD
-        flags = RenderFlags.LIGHT | RenderFlags.IBL | RenderFlags.TAA
+        ptype, flags = RenderPathType.FORWARD, forward_flags
 
-    settings = RenderSettings(width=width, height=height, path=ptype,
-                              flags=flags)
-    renderer = Renderer.for_scene(settings, data)
-    cam = OrbitCamera(width=width, height=height, distance=30.0, pitch=0.5,
-                      yaw=0.8, focal_point=(0, 2.0, 0))
+    cam_kw = dict(distance=30.0, pitch=0.5, yaw=0.8, focal_point=(0, 2.0, 0))
 
-    import numpy as np
+    def settings_for(pt, fl):
+        return RenderSettings(width=width, height=height, path=pt, flags=fl)
 
-    # warmup / compile (2 variants: cold + history). NOTE: frames chain
-    # through the carried FrameState, so executions serialize on-device;
-    # a host readback of the last frame is the only reliable fence on
-    # this backend (block_until_ready returns early through the tunnel).
-    out = renderer.render(cam.step(taa_enabled=True))
-    out = renderer.render(cam.step(taa_enabled=True))
-    _ = np.asarray(out[0, 0])
+    headline_ms = _time_config(settings_for(ptype, flags), data, cam_kw,
+                               frames)
+    fps = 1000.0 / headline_ms
 
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        cam.orbit(0.01, 0.0)
-        out = renderer.render(cam.step(taa_enabled=True))
-    _ = np.asarray(out[0, 0])
-    dt = time.perf_counter() - t0
-    fps = frames / dt
+    extra = {
+        "ms_per_frame": round(headline_ms, 2),
+        "triangles": int(data.num_triangles),
+        "device": str(jax.devices()[0]),
+        "frames": frames,
+    }
+
+    if breakdown and path_name == "hybrid":
+        # fused flag-bisect: pass cost = delta between ladder rungs (the
+        # per-pass profiler misattributes RT passes; deltas do not)
+        ladder_frames = max(4, frames // 2)
+        rays = width * height / 1e6  # Mrays per 1-spp pass
+
+        def t(fl):
+            return _time_config(settings_for(RenderPathType.HYBRID, fl),
+                                data, cam_kw, ladder_frames)
+
+        raster_ms = t(BASE)
+        shadow_ms = t(BASE | RenderFlags.SHADOW) - raster_ms
+        ao_total = t(BASE | RenderFlags.SHADOW | RenderFlags.AO)
+        ao_ms = ao_total - raster_ms - shadow_ms
+        svgf_ms = headline_ms - ao_total
+        full_flags = (hybrid_flags | RenderFlags.REFLECTION | RenderFlags.GI)
+        full_ms = t(full_flags)
+        fwd_ms = _time_config(
+            settings_for(RenderPathType.FORWARD, forward_flags), data,
+            cam_kw, ladder_frames)
+        extra["breakdown"] = {
+            "raster_gbuffer_comp_ms": round(raster_ms, 1),
+            "shadow_rays_ms": round(shadow_ms, 1),
+            "ao_rays_ms": round(ao_ms, 1),
+            "svgf_ms": round(svgf_ms, 1),
+            "mrays_shadow_inframe": round(1000.0 * rays / shadow_ms, 1)
+            if shadow_ms > 0 else None,
+            "mrays_ao_inframe": round(1000.0 * rays / ao_ms, 1)
+            if ao_ms > 0 else None,
+            "full_graph_refl_gi_ms": round(full_ms, 1),
+            "forward_taa_ms": round(fwd_ms, 1),
+        }
 
     result = {
         "metric": f"fps_{width}x{height}_{scene_name}_{path_name}",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 4),
-        "extra": {
-            "ms_per_frame": round(1000.0 * dt / frames, 2),
-            "triangles": int(data.num_triangles),
-            "device": str(jax.devices()[0]),
-            "frames": frames,
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
     return 0

@@ -65,7 +65,7 @@ def make_rt_shadow_pass(settings):
                                       layout="pattern")
             elif settings.use_blue_noise:
                 bn = sampling.blue_noise_uniforms(
-                    sc.textures.blue_noise, params.frame_index, H, W)
+                    sc.blue_noise, params.frame_index, H, W)
                 ao_dir = sampling.cos_hemisphere_from_uniforms(bn[..., 0], bn[..., 1], n)
                 ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
                                       settings.ao_radius, active=~bg)
@@ -124,7 +124,7 @@ def make_rt_gi_pass(settings):
             # blue-noise 1-spp draws (raygen.rgen:29-31 semantics); zw
             # channels so the GI bounce decorrelates from the AO draw
             bn = sampling.blue_noise_uniforms(
-                ctx.scene.textures.blue_noise, params.frame_index, H, W)
+                ctx.scene.blue_noise, params.frame_index, H, W)
             ray_dir = sampling.cos_hemisphere_from_uniforms(bn[..., 2], bn[..., 3], n)
         else:
             ys = jnp.arange(H, dtype=jnp.uint32)[:, None]

@@ -13,11 +13,16 @@ __version__ = "0.1.0"
 # dominant startup cost (the reference pays an analogous cost in driver
 # SPIR-V→ISA compiles, amortized by its PipelineManager cache —
 # PipelineManager.cpp:89-103; ours persists across processes).
+# NOTE: must use jax.config.update, not JAX_* env vars — jax reads env
+# config at its own import, which may precede this package's.
 import os as _os
 
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       _os.path.expanduser("~/.cache/hybridrenderer_jax"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir",
+                   _os.path.expanduser("~/.cache/hybridrenderer_jax"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from .core.config import RenderSettings
 from .core.types import DisplayMode, MaterialType, RenderFlags, RenderPathType

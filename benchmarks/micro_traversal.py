@@ -29,12 +29,17 @@ N_STEPS = 2000
 N_TILES = 64          # fake BVH: 64 tiles = 8192 nodes
 
 
+K_CHAINS = 8   # independent interleaved chains (the kernel's npk analog):
+#                a single chain is latency-bound (~2 us/step measured) and
+#                hides the throughput differences between primitives
+
+
 def _mk_kernel(prim: str):
     def kernel(tiles_ref, flat_ref, o_ref, acc_ref):
         ox = o_ref[0:8, :]
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-        def body(k, carry):
+        def chain_step(carry):
             acc, idx = carry
             i = idx & (N_TILES * 128 - 1)
             out = acc
@@ -114,12 +119,22 @@ def _mk_kernel(prim: str):
                                       0))
                 e2 = jnp.sum(jnp.where(oh, e + lane_iota * 0, 0))
                 out = acc + (e2 & 1).astype(jnp.float32)
+            if prim == "nop":
+                out = acc + idx.astype(jnp.float32) * 1e-9
             return (out, idx + 1)
 
+        def body(k, state):
+            return tuple(x for c in range(K_CHAINS)
+                         for x in chain_step(state[2 * c:2 * c + 2]))
+
         acc0 = jnp.zeros((1, 1), jnp.float32)
-        acc, _ = jax.lax.fori_loop(0, N_STEPS, body,
-                                   (acc0, jnp.int32(0)))
-        acc_ref[...] = jnp.broadcast_to(jnp.sum(acc).reshape(1, 1), (8, 128))
+        init = tuple(x for c in range(K_CHAINS)
+                     for x in (acc0, jnp.int32(c * 37)))
+        import os
+        unroll = int(os.environ.get("UNROLL", "1"))
+        state = jax.lax.fori_loop(0, N_STEPS, body, init, unroll=unroll)
+        tot = sum(jnp.sum(state[2 * c]) for c in range(K_CHAINS))
+        acc_ref[...] = jnp.broadcast_to(tot.reshape(1, 1), (8, 128))
 
     return kernel
 
@@ -151,7 +166,7 @@ def run(prim: str) -> float:
 if __name__ == "__main__":
     import os
     prims = os.environ.get(
-        "PRIMS", "onehot48,scalar48,reduce8,reduce1,aabb8,mt4,vs2").split(",")
+        "PRIMS", "nop,onehot48,scalar48,reduce8,reduce1,aabb8,mt4,vs2").split(",")
     for p in prims:
         ns = run(p)
         print(json.dumps({"prim": p, "ns_per_step": round(ns, 1)}),

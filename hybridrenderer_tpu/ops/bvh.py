@@ -197,6 +197,55 @@ def build_bvh(v0, v1, v2, max_depth_iters: int = 64) -> BVH:
                left_full, right_full, tri, jnp.int32(T))
 
 
+@functools.partial(jax.jit, static_argnames=("max_depth_iters",))
+def refit_bvh(bvh: BVH, v0, v1, v2, max_depth_iters: int = 64) -> BVH:
+    """Frozen-topology AABB refit for dynamic scenes.
+
+    The reference rebuilds its TLAS when instances move
+    (Scene.cpp:323-440, UPDATE-vs-REBUILD is a driver choice under
+    PREFER_FAST_TRACE); TPU-native we keep the Karras topology (left/
+    right/tri untouched — still a valid BVH for any geometry, only
+    traversal efficiency degrades under large deformation) and re-run
+    the bottom-up AABB propagation on-device. All-jnp; pairs with
+    bvh_wide.refit_wide for the packed traversal arrays.
+    """
+    T = v0.shape[0]
+    if T <= 1:
+        tmin = jnp.minimum(jnp.minimum(v0, v1), v2).reshape(-1, 3)
+        tmax = jnp.maximum(jnp.maximum(v0, v1), v2).reshape(-1, 3)
+        pad = bvh.node_min.shape[0] - tmin.shape[0]
+        return dataclasses.replace(
+            bvh,
+            node_min=jnp.pad(tmin, ((0, pad), (0, 0))),
+            node_max=jnp.pad(tmax, ((0, pad), (0, 0))))
+
+    # leaf AABBs in the frozen sorted order
+    lt = bvh.tri[T - 1:]
+    sv0, sv1, sv2 = v0[lt], v1[lt], v2[lt]
+    leaf_min = jnp.minimum(jnp.minimum(sv0, sv1), sv2)
+    leaf_max = jnp.maximum(jnp.maximum(sv0, sv1), sv2)
+    node_min = jnp.concatenate([jnp.full((T - 1, 3), jnp.inf), leaf_min])
+    node_max = jnp.concatenate([jnp.full((T - 1, 3), -jnp.inf), leaf_max])
+
+    left = bvh.left[: T - 1]
+    right = bvh.right[: T - 1]
+
+    def prop(carry, _):
+        nmin, nmax = carry
+        new_min = nmin.at[: T - 1].set(
+            jnp.minimum(nmin[left], nmin[right]))
+        new_max = nmax.at[: T - 1].set(
+            jnp.maximum(nmax[left], nmax[right]))
+        return (new_min, new_max), None
+
+    iters = min(max_depth_iters, max(2, math.ceil(math.log2(T)) * 2 + 8))
+    (node_min, node_max), _ = jax.lax.scan(prop, (node_min, node_max),
+                                           None, length=iters)
+    return dataclasses.replace(bvh,
+                               node_min=node_min.astype(jnp.float32),
+                               node_max=node_max.astype(jnp.float32))
+
+
 def validate_bvh(bvh: BVH, v0, v1, v2) -> bool:
     """Host-side sanity check: every triangle is inside its leaf AABB and
     every node AABB contains its children (test utility)."""

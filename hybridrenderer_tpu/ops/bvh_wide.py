@@ -41,6 +41,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 WIDTH = 8
@@ -52,11 +54,17 @@ _LEVELS = 3  # collapse depth: 2^3 = WIDTH
 class WideBVH:
     """Host-built wide acceleration structure (fields are jnp-able)."""
 
-    nodes: Any    # (4, Tn, 16, 128) f32
-    leaves: Any   # (4, Tl, 16, 128) f32
+    nodes: Any    # (Tn, 48, 128) f32
+    leaves: Any   # (Tl, 48, 128) f32
     meta: Any     # (Nw, 2) int32
     num_wide: int
     num_clusters: int
+    # static refit maps (topology-frozen dynamic-scene support):
+    # slot_child_bin[s, c] = binary BVH node id of wide node s's child in
+    # slot c (-1 empty), padded to Tn*128 rows; cluster_tri[k, t] =
+    # original triangle id of cluster k's slot t (-1), padded to Tl*128.
+    slot_child_bin: Any = None   # (Tn*128, 8) i32
+    cluster_tri: Any = None      # (Tl*128, LEAF_TRIS) i32
 
     @property
     def vmem_bytes(self) -> int:
@@ -268,6 +276,7 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2) -> WideBVH:
     # last lane as the branchless dummy-leaf target (all ids -1 ⇒ miss)
     Tl = n_cluster // 128 + 1
     leaf_rec = np.zeros((Tl, 48, 128), np.float32)
+    cluster_tri = np.full((Tl * 128, LEAF_TRIS), -1, np.int32)
     for t in range(LEAF_TRIS):
         leaf_rec[:, 12 * t + 9, :] = -1.0  # id rows: padding = miss
     # sorted-leaf order → original tri ids
@@ -290,11 +299,65 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2) -> WideBVH:
             leaf_rec[tk, r + 3 + ax, lk] = e1[:, ax] * m
             leaf_rec[tk, r + 6 + ax, lk] = e2[:, ax] * m
         leaf_rec[tk, r + 9, lk] = np.where(sel, src.astype(np.float32), -1.0)
+        cluster_tri[:n_cluster, t] = np.where(sel, src, -1).astype(np.int32)
+
+    # refit map: per-slot binary child ids (covers internal AND cluster
+    # children — both carry a binary BVH node id whose refit AABB is the
+    # record value)
+    slot_child_bin = np.full((Tn * 128, WIDTH), -1, np.int64)
+    slot_child_bin[child_parent, slot] = child_bin
 
     assert (meta[:, 0] >> 8 < 2 ** 23).all() and (meta[:, 1] >> 8 < 2 ** 23).all()
     return WideBVH(nodes=node_rec, leaves=leaf_rec,
                    meta=meta.astype(np.int32), num_wide=int(n_total),
-                   num_clusters=int(n_cluster))
+                   num_clusters=int(n_cluster),
+                   slot_child_bin=slot_child_bin.astype(np.int32),
+                   cluster_tri=cluster_tri)
+
+
+@jax.jit
+def refit_wide(slot_child_bin, cluster_tri, node_min, node_max, v0, v1, v2):
+    """Device-side record refit for dynamic scenes: frozen wide topology
+    (meta/slot maps unchanged), new geometry → new (nodes, leaves) packed
+    arrays, numerically identical to a fresh build_wide over the same
+    binary AABBs. All gathers/reshapes — no host round-trip; the analog of
+    the reference's per-frame TLAS re-sync (Scene.cpp:148-189).
+
+    slot_child_bin/cluster_tri: the static maps from build_wide.
+    node_min/node_max: refit binary-BVH AABBs (ops/bvh.refit_bvh).
+    """
+    rows_n = slot_child_bin.shape[0]          # Tn * 128
+    rows_l = cluster_tri.shape[0]             # Tl * 128
+    Tn = rows_n // 128
+    Tl = rows_l // 128
+
+    cols = []
+    for s in range(WIDTH):
+        bid = slot_child_bin[:, s]
+        valid = (bid >= 0)[:, None]
+        safe = jnp.maximum(bid, 0)
+        bmin = jnp.where(valid, node_min[safe], 3e38)
+        bmax = jnp.where(valid, node_max[safe], -3e38)
+        cols.append(bmin)
+        cols.append(bmax)
+    nodes = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+    nodes = nodes.reshape(Tn, 128, 48).transpose(0, 2, 1)
+
+    lcols = []
+    for t in range(LEAF_TRIS):
+        tid = cluster_tri[:, t]
+        valid = tid >= 0
+        m = valid.astype(jnp.float32)[:, None]
+        safe = jnp.maximum(tid, 0)
+        p0 = v0[safe] * m
+        e1 = (v1[safe] - v0[safe]) * m
+        e2 = (v2[safe] - v0[safe]) * m
+        tidf = jnp.where(valid, tid.astype(jnp.float32), -1.0)
+        pad = jnp.zeros((rows_l, 2), jnp.float32)
+        lcols += [p0, e1, e2, tidf[:, None], pad]
+    leaves = jnp.concatenate(lcols, axis=1).astype(jnp.float32)
+    leaves = leaves.reshape(Tl, 128, 48).transpose(0, 2, 1)
+    return nodes, leaves
 
 
 def first_of_kind(parents: np.ndarray, kind: np.ndarray) -> np.ndarray:

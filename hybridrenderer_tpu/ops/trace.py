@@ -27,7 +27,7 @@ from ..core import maths
 from ..core.types import RenderFlags
 from . import image as img_ops
 from . import sampling, shade, sky, texture
-from .bvh import BVH, build_bvh
+from .bvh import BVH, build_bvh, refit_bvh
 
 TRI_EPS = 1e-9
 STACK_DEPTH = 64
@@ -196,6 +196,9 @@ class SceneTracer:
     wide_nodes: Any = None
     wide_leaves: Any = None
     wide_meta: Any = None
+    # static refit maps (bvh_wide) enabling on-device dynamic updates
+    slot_child_bin: Any = None
+    cluster_tri: Any = None
     backend: str = dataclasses.field(metadata=dict(static=True),
                                      default="jnp")
     ray_chunk: int = dataclasses.field(metadata=dict(static=True),
@@ -211,19 +214,43 @@ class SceneTracer:
 
         itiles, ltiles = trace_pallas.build_packed(bvh, soup.v0, soup.v1,
                                                    soup.v2)
-        wn = wl = wm = None
+        wn = wl = wm = scb = ct = None
         if backend == "pallas-wide":
             # host-side wide collapse (BLAS/TLAS build analog); runs once
-            # per scene change, outside jit
+            # per scene TOPOLOGY change, outside jit — transform-only
+            # updates go through refit() entirely on-device
             from . import bvh_wide
 
             wide = bvh_wide.build_wide(bvh, soup.v0, soup.v1, soup.v2)
             wn = jnp.asarray(wide.nodes)
             wl = jnp.asarray(wide.leaves)
             wm = jnp.asarray(wide.meta)
+            scb = jnp.asarray(wide.slot_child_bin)
+            ct = jnp.asarray(wide.cluster_tri)
         return SceneTracer(bvh=bvh, internal_tiles=itiles, leaf_tiles=ltiles,
                            wide_nodes=wn, wide_leaves=wl, wide_meta=wm,
+                           slot_child_bin=scb, cluster_tri=ct,
                            backend=backend)
+
+    def refit(self, scene_data) -> "SceneTracer":
+        """Topology-frozen acceleration-structure refit after a geometry
+        update (scene/dynamic.update_transforms) — the per-frame TLAS
+        re-sync analog (Scene.cpp:148-189). All-device, no host work."""
+        from . import bvh_wide, trace_pallas
+
+        soup = scene_data.triangles
+        new_bvh = refit_bvh(self.bvh, soup.v0, soup.v1, soup.v2)
+        itiles, ltiles = trace_pallas.build_packed(new_bvh, soup.v0,
+                                                   soup.v1, soup.v2)
+        wn, wl = self.wide_nodes, self.wide_leaves
+        if wn is not None:
+            wn, wl = bvh_wide.refit_wide(
+                self.slot_child_bin, self.cluster_tri,
+                new_bvh.node_min, new_bvh.node_max,
+                soup.v0, soup.v1, soup.v2)
+        return dataclasses.replace(self, bvh=new_bvh,
+                                   internal_tiles=itiles, leaf_tiles=ltiles,
+                                   wide_nodes=wn, wide_leaves=wl)
 
     ALPHA_ROUNDS = 4   # transparency-continuation depth (cut-out layers)
 

@@ -188,6 +188,11 @@ class Scene:
 
         lights = build_light_table(self, rows, pw, i0, i1, i2, t_inst)
 
+        # stash flatten internals for dynamic-update map building
+        # (scene/dynamic.build_maps) — host-only, not part of the pytree
+        self._built = dict(rows=rows, mesh_voffset=mesh_voffset,
+                           i0=i0, i1=i1, i2=i2, t_inst=t_inst)
+
         return SceneData(
             materials=MaterialTable.build(self.materials),
             instances=instances,

@@ -50,15 +50,29 @@ def _clip_history(history, box_min, box_max):
 
 
 def resolve(cur_color, history_color, motion, depth, jitter, prev_jitter,
-            history_valid: bool, enabled: bool = True):
+            history_valid: bool, enabled: bool = True,
+            gather: str = "auto"):
     """TAA resolve. ``motion`` is the G-buffer (H,W,2) uv motion; ``depth``
     reversed-Z; jitters in NDC units (jitterData convention: ×0.5 → uv).
 
     ``history_valid``/``enabled`` are static (the reference's
     TAA_HISTORY/TAA flag bits resolved at trace time).
+
+    ``gather`` picks the history-fetch strategy (same trade-off as SVGF
+    temporal, ops/svgf.temporal): "pixel" = per-pixel XLA bilinear
+    gather (~26-55 ns/row flat → ~100-200 ms at 1080p); "tile" = the
+    windowed Pallas sampler (ops/temporal_pallas.window_sample);
+    out-of-window pixels (fast motion) fall back to alpha=1, exactly
+    like off-screen footprints. "auto" = tile on TPU.
     """
     if not enabled:
         return cur_color
+    if gather == "auto":
+        from . import temporal_pallas
+
+        gather = "tile" if temporal_pallas.available() else "pixel"
+    if gather not in ("pixel", "tile", "tile_interpret"):
+        raise ValueError(f"unknown TAA gather strategy: {gather!r}")
 
     H, W = depth.shape
     uv = img_ops.pixel_uv_grid(H, W)
@@ -99,7 +113,28 @@ def resolve(cur_color, history_color, motion, depth, jitter, prev_jitter,
     box_max = mu + 1.5 * sigma
 
     # 4. sample + clip history
-    history = img_ops.sample_bilinear(history_color, prev_uv)
+    off = (
+        (prev_uv[..., 0] < 0.0) | (prev_uv[..., 0] > 1.0)
+        | (prev_uv[..., 1] < 0.0) | (prev_uv[..., 1] > 1.0)
+    )[..., None]
+    if gather == "pixel":
+        history = img_ops.sample_bilinear(history_color, prev_uv)
+    else:
+        from . import temporal_pallas
+
+        prev_pix = prev_uv * jnp.array([W, H], jnp.float32) - 0.5
+        base = jnp.clip(jnp.floor(prev_pix), 0.0,
+                        jnp.array([W - 2, H - 2], jnp.float32))
+        f = prev_pix - base
+        planes = jnp.moveaxis(history_color, -1, 0)
+        samples, wsum = temporal_pallas.window_sample(
+            planes, base[..., 1].astype(jnp.int32),
+            base[..., 0].astype(jnp.int32), f[..., 1], f[..., 0],
+            ~off[..., 0], interpret=(gather == "tile_interpret"))
+        history = jnp.moveaxis(samples, 0, -1) \
+            / jnp.maximum(wsum, 1e-6)[..., None]
+        # out-of-window (fast motion): no history, alpha forced to 1
+        off = off | (wsum < 0.999)[..., None]
     hist_ycocg = _clip_history(_rgb_to_ycocg(_tonemap(history)),
                                box_min, box_max)
 
@@ -107,10 +142,6 @@ def resolve(cur_color, history_color, motion, depth, jitter, prev_jitter,
     size = jnp.array([W, H], jnp.float32)
     motion_len = jnp.linalg.norm(best_motion * size, axis=-1)
     alpha = jnp.clip(0.1 + motion_len * 0.1, 0.1, 0.9)[..., None]
-    off = (
-        (prev_uv[..., 0] < 0.0) | (prev_uv[..., 0] > 1.0)
-        | (prev_uv[..., 1] < 0.0) | (prev_uv[..., 1] > 1.0)
-    )[..., None]
     alpha = jnp.where(off, 1.0, alpha)
     if not history_valid:
         alpha = jnp.ones_like(alpha)

@@ -198,6 +198,120 @@ def reproject(hpack_pm, by, bx, fy, fx, ok, normal, z, oid,
     return hist_sig, hist_mom, outs[6], outs[7]
 
 
+def _sample_kernel(P: int,
+                   # scalar prefetch
+                   y0_ref, x0_ref,
+                   # inputs
+                   win_ref, fields_ref,
+                   # outputs: P planes + wsum
+                   *out_refs):
+    """Validation-free variant of _kernel: plain windowed bilinear of P
+    planes (the TAA history fetch, taa.comp:95-103 sampling)."""
+    t = pl.program_id(0)
+    f = fields_ref[0]
+    by, bx, fy, fx = f[0], f[1], f[2], f[3]
+    ok = f[4] > 0.5
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) \
+        .astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) \
+        .astype(jnp.float32)
+    rdy = by - y0_ref[t].astype(jnp.float32) - iy
+    rdx = bx - x0_ref[t].astype(jnp.float32) - ix
+    in_range = (rdy >= 0) & (rdy < RANGE) & (rdx >= 0) & (rdx < RANGE) & ok
+
+    w32 = win_ref[0]
+    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(P + 1)]
+    for dy_c in range(RANGE + 1):
+        wy = jnp.where(rdy == dy_c, 1.0 - fy, 0.0) \
+            + jnp.where(rdy + 1.0 == dy_c, fy, 0.0)
+        wrow = pltpu.roll(w32, (-dy_c) % WIN_H, 1) if dy_c else w32
+        wrow = wrow[:, :TILE_H, :]
+        for dx_c in range(RANGE + 1):
+            wx = jnp.where(rdx == dx_c, 1.0 - fx, 0.0) \
+                + jnp.where(rdx + 1.0 == dx_c, fx, 0.0)
+            tap = _lane_tap(wrow, dx_c)
+            w_eff = jnp.where(in_range, wy * wx, 0.0)
+            for c in range(P):
+                accs[c] = accs[c] + w_eff * tap[c]
+            accs[P] = accs[P] + w_eff
+
+    for c in range(P + 1):
+        out_refs[c][...] = accs[c]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def window_sample(planes_pm, by, bx, fy, fx, ok, interpret: bool = False):
+    """Windowed per-pixel bilinear gather WITHOUT reprojection validation
+    — the generalized TAA history fetch.
+
+    planes_pm: (P, H, W) f32 plane-major. by/bx: footprint base (i32,
+    clamped to [0, dim-2]); fy/fx: bilinear fractions; ok: footprint
+    fully on-screen. Returns (samples (P, H, W), wsum (H, W)); wsum < 1
+    marks pixels whose footprint fell outside the tile window (treat as
+    no-history, same as off-screen).
+    """
+    P = planes_pm.shape[0]
+    H, W = by.shape
+    nty = -(-H // TILE_H)
+    ntx = -(-W // TILE_W)
+    nt = nty * ntx
+    Hp, Wp = nty * TILE_H, ntx * TILE_W
+
+    def pad2(x, fill):
+        return jnp.pad(x, ((0, Hp - H), (0, Wp - W)), constant_values=fill)
+
+    ys = jnp.arange(H, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    big = jnp.int32(1 << 20)
+    off_y = pad2(jnp.where(ok, by - ys, big), big)
+    off_x = pad2(jnp.where(ok, bx - xs, big), big)
+    m_y = off_y.reshape(nty, TILE_H, ntx, TILE_W).min((1, 3))
+    m_x = off_x.reshape(nty, TILE_H, ntx, TILE_W).min((1, 3))
+    trow = jnp.arange(nty, dtype=jnp.int32)[:, None] * TILE_H
+    tcol = jnp.arange(ntx, dtype=jnp.int32)[None, :] * TILE_W
+    y0 = jnp.clip(trow + m_y, -TILE_H, Hp).reshape(-1)
+    x0 = jnp.clip(tcol + m_x, -TILE_W, Wp).reshape(-1)
+
+    hq = jnp.pad(planes_pm,
+                 ((0, 0), (TILE_H, Hp + WIN_H - H), (TILE_W, Wp + WIN_W - W)),
+                 mode="edge")
+    windows = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(
+            hq, (0, y + TILE_H, x + TILE_W), (P, WIN_H, WIN_W))
+    )(y0, x0)
+
+    fields = jnp.stack([
+        pad2(by, big).astype(jnp.float32),
+        pad2(bx, big).astype(jnp.float32),
+        pad2(fy, 0.0), pad2(fx, 0.0),
+        pad2(ok, False).astype(jnp.float32),
+    ], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, P, WIN_H, WIN_W), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 5, TILE_H, TILE_W),
+                         lambda t, *_: (0, 0, t // ntx, t % ntx)),
+        ],
+        out_specs=[pl.BlockSpec((TILE_H, TILE_W),
+                                lambda t, *_: (t // ntx, t % ntx))] * (P + 1),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_sample_kernel, P),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)] * (P + 1),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(y0, x0, windows, fields[None])
+
+    outs = [o[:H, :W] for o in outs]
+    return jnp.stack(outs[:P], axis=0), outs[P]
+
+
 def available() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

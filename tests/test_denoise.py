@@ -216,3 +216,38 @@ def test_temporal_tile_gather_divergent_motion_falls_back():
     # the yanked pixels' bases exceed the window range -> no history
     mask = (np.asarray(div) > 0) & (xs + RANGE + 12 < W - 1)
     np.testing.assert_allclose(out_np[mask], 0.5, atol=1e-6)
+
+def test_taa_tile_gather_matches_pixel():
+    """TAA tile (windowed Pallas) history fetch == per-pixel bilinear for
+    smooth sub-window motion (taa.comp:95-103 reprojection)."""
+    rng = np.random.default_rng(11)
+    Ht, Wt = 64, 256
+    cur = jnp.asarray(rng.random((Ht, Wt, 3)).astype(np.float32))
+    hist = jnp.asarray(rng.random((Ht, Wt, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.random((Ht, Wt)).astype(np.float32))
+    motion = jnp.full((Ht, Wt, 2), 0.01)  # smooth uniform motion
+    j = jnp.zeros((2,))
+    out_p = taa.resolve(cur, hist, motion, depth, j, j, history_valid=True,
+                        gather="pixel")
+    out_t = taa.resolve(cur, hist, motion, depth, j, j, history_valid=True,
+                        gather="tile_interpret")
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_p),
+                               rtol=4e-3, atol=4e-3)
+
+
+def test_taa_tile_gather_fast_motion_fallback():
+    """Out-of-window motion drops history (alpha=1) instead of producing
+    garbage."""
+    rng = np.random.default_rng(12)
+    Ht, Wt = 64, 256
+    cur = jnp.asarray(rng.random((Ht, Wt, 3)).astype(np.float32))
+    hist = jnp.asarray(rng.random((Ht, Wt, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.random((Ht, Wt)).astype(np.float32))
+    # violently divergent motion: exceeds the RANGE window inside tiles
+    my = rng.uniform(-0.4, 0.4, (Ht, Wt)).astype(np.float32)
+    mx = rng.uniform(-0.4, 0.4, (Ht, Wt)).astype(np.float32)
+    motion = jnp.stack([jnp.asarray(mx), jnp.asarray(my)], -1)
+    j = jnp.zeros((2,))
+    out = taa.resolve(cur, hist, motion, depth, j, j, history_valid=True,
+                      gather="tile_interpret")
+    assert np.isfinite(np.asarray(out)).all()

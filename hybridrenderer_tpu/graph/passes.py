@@ -54,6 +54,46 @@ def _use_pallas(requested: str) -> bool:
         return False
 
 
+def make_depth_prepass(settings):
+    """DepthPrepass (DepthPrepass.cpp:16-77): depth-only raster for the
+    ray-traced path — the visibility-buffer raster WITHOUT the deferred
+    attribute-gather stage (the expensive half of the G-buffer). Like
+    the reference's prepass it draws position-only (no alpha test)."""
+    pallas_raster = _use_pallas(settings.raster_backend)
+
+    def fn(reg, ctx: FrameContext):
+        sc, cam = ctx.scene, ctx.cam
+        proj = jnp.asarray(cam.proj)
+        view = jnp.asarray(cam.view)
+        planes = maths.frustum_from_viewproj(proj @ view)
+        culled = maths.aabb_outside_frustum(
+            sc.instances.aabb_min, sc.instances.aabb_max, planes)
+        tri_mask = ~culled[sc.triangles.instance]
+        jitter_on = bool(settings.flags & RenderFlags.TAA)
+
+        if pallas_raster:
+            from ..ops import raster_pallas
+
+            jit2 = jnp.asarray(cam.jitter) if jitter_on else None
+            clip = raster_ops.transform_to_clip(
+                sc.vertices.world_position, proj @ view, jit2)
+            tris = raster_ops.clip_triangles(
+                clip, sc.triangles.i0, sc.triangles.i1, sc.triangles.i2,
+                settings.width, settings.height, tri_mask)
+            vis = raster_pallas.rasterize_binned(
+                tris, settings.width, settings.height,
+                tile_h=settings.tile_h, tile_w=settings.tile_w)
+        else:
+            vis = raster_ops.rasterize_scene(
+                sc.vertices.world_position, sc.triangles.i0,
+                sc.triangles.i1, sc.triangles.i2, cam, settings.width,
+                settings.height, jitter_enabled=jitter_on,
+                tri_mask=tri_mask)
+        return {RS.DEPTH: vis.depth}
+
+    return fn, (), (RS.DEPTH,), {}
+
+
 def make_gbuffer_pass(settings):
     """GBufferPass (GBufferPass.cpp:13-139): full MRT G-buffer.
 
@@ -227,21 +267,32 @@ def make_forward_pass(settings):
 # TAA (TAAPass, taa.comp)
 # ---------------------------------------------------------------------------
 
-def make_taa_pass(settings):
+def make_taa_pass(settings, use_gbuffer: bool = True):
+    """``use_gbuffer=False`` reads the named Motion/Depth resources
+    instead of the G-buffer struct (the ray-traced path: DepthPrepass
+    depth + RT-written motion, RayTracedRenderPath.cpp:21-38)."""
+
     def fn(reg, ctx: FrameContext):
-        gb = reg["_GBuffer"]
+        if use_gbuffer:
+            gb = reg["_GBuffer"]
+            motion, depth = gb.motion, gb.depth
+        else:
+            motion = reg[RS.MOTION][..., :2]
+            depth = reg[RS.DEPTH]
         history = reg.get("History_" + RS.TAA_OUTPUT)
         if history is None:
             history = reg[RS.FINAL_COLOR]
         out = taa_ops.resolve(
-            reg[RS.FINAL_COLOR], history, gb.motion, gb.depth,
+            reg[RS.FINAL_COLOR], history, motion, depth,
             ctx.cam.jitter, ctx.cam.prev_jitter,
             history_valid=ctx.history_valid,
             enabled=bool(settings.flags & RenderFlags.TAA))
         return {RS.TAA_OUTPUT: out}
 
-    return (fn, (RS.FINAL_COLOR, "History_" + RS.TAA_OUTPUT), (RS.TAA_OUTPUT,),
-            {RS.TAA_OUTPUT: RS.TAA_OUTPUT})
+    reads = (RS.FINAL_COLOR, "History_" + RS.TAA_OUTPUT) if use_gbuffer \
+        else (RS.FINAL_COLOR, RS.MOTION, RS.DEPTH,
+              "History_" + RS.TAA_OUTPUT)
+    return fn, reads, (RS.TAA_OUTPUT,), {RS.TAA_OUTPUT: RS.TAA_OUTPUT}
 
 
 # ---------------------------------------------------------------------------

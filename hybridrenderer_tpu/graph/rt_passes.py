@@ -142,11 +142,15 @@ def make_rt_gi_pass(settings):
 
 
 def make_primary_rt_pass(settings):
-    """RaytracePass (raytrace.rgen): primary camera rays → FinalColor."""
+    """RaytracePass (raytrace.rgen): primary camera rays → FinalColor +
+    Motion. Motion is camera-reprojection of the hit point
+    (raytrace.rgen:60-66 semantics; the reference's closest-hit also
+    folds in per-instance prevTransform, closesthit.rchit:118-127 —
+    object motion in the pure-RT path is not reconstructed here and
+    TAA sees camera motion only)."""
 
     def fn(reg, ctx):
-        gb = reg["_GBuffer"]
-        H, W = gb.depth.shape
+        H, W = settings.height, settings.width
         cam = ctx.cam
         uv = img_ops.pixel_uv_grid(H, W)
         ndc = jnp.concatenate(
@@ -157,12 +161,30 @@ def make_primary_rt_pass(settings):
         direction = maths.normalize(far_pt - cam.position)
         origin = jnp.broadcast_to(cam.position, direction.shape)
 
+        motion = jnp.zeros((H, W, 4), jnp.float32)
         if ctx.trace_radiance is None:
             rgb = sky.sample_environment(
                 direction, ctx.scene.sky_texture, ctx.scene.textures,
                 bool(settings.flags & RenderFlags.IBL))
         else:
-            rgb, _dist = ctx.trace_radiance(origin, direction, ctx, 0)
-        return {RS.FINAL_COLOR: rgb}
+            rgb, dist = ctx.trace_radiance(origin, direction, ctx, 0)
+            hit = jnp.isfinite(dist)
+            d_safe = jnp.where(hit, dist, 1.0)[..., None]
+            world = origin + direction * d_safe
+            wh = jnp.concatenate([world, jnp.ones((H, W, 1))], -1)
+            prev_vp = jnp.asarray(cam.prev_proj) @ jnp.asarray(cam.prev_view)
+            cur_vp = jnp.asarray(cam.proj) @ jnp.asarray(cam.view)
 
-    return fn, ("_GBuffer",), (RS.FINAL_COLOR,), {}
+            def to_uv(clip):
+                w = jnp.where(jnp.abs(clip[..., 3:4]) < 1e-12, 1e-12,
+                              clip[..., 3:4])
+                return (clip[..., :2] / w) * 0.5 + 0.5
+
+            mv = to_uv(wh @ cur_vp.T) - to_uv(wh @ prev_vp.T)
+            lin_z = jnp.where(hit, dist, 0.0)
+            motion = jnp.concatenate(
+                [jnp.where(hit[..., None], mv, 0.0), lin_z[..., None],
+                 jnp.zeros((H, W, 1))], -1)
+        return {RS.FINAL_COLOR: rgb, RS.MOTION: motion}
+
+    return fn, (), (RS.FINAL_COLOR, RS.MOTION), {}

@@ -406,6 +406,13 @@ WIDE_CHUNK_STEPS = 16  # 16 beats 32/64 in-frame at 1080p (362 vs
 #                          the while-loop's per-iteration overhead is
 #                          amortized enough at 16
 WIDE_PACKETS_PER_PROGRAM = 4
+# Unroll factor for the chunk fori_loop: per-ITERATION loop machinery
+# measured ~2.4 us regardless of body (micro_traversal nop at 8 chains
+# ~2.5 us/step ≈ the real kernel's per-step cost at npk=4) — unrolling
+# amortizes it across U steps. Env knob for experiments.
+import os as _os
+
+WIDE_CHUNK_UNROLL = int(_os.environ.get("WIDE_UNROLL", "4"))
 
 
 def _popcount8(x):
@@ -641,8 +648,17 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
         return tuple(out)
 
     def chunk(state):
-        return jax.lax.fori_loop(0, WIDE_CHUNK_STEPS,
-                                 lambda _i, st: body(st), state)
+        # manual partial unroll (Mosaic's fori lowering only supports
+        # unroll=1 or full): U body repeats per loop iteration amortize
+        # the ~2.4 us/iteration loop machinery
+        u = max(1, min(WIDE_CHUNK_UNROLL, WIDE_CHUNK_STEPS))
+
+        def step_u(_i, st):
+            for _ in range(u):
+                st = body(st)
+            return st
+
+        return jax.lax.fori_loop(0, WIDE_CHUNK_STEPS // u, step_u, state)
 
     state = jax.lax.while_loop(cond, chunk, init)
     for pkt in range(npk):

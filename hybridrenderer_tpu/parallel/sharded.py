@@ -43,7 +43,7 @@ class ShardedRenderer:
     single-chip Renderer but the jitted frame is GSPMD-sharded."""
 
     def __init__(self, settings, scene_data, mesh, axis: str = "y",
-                 tracer=None):
+                 tracer=None, shard_rays: bool = True):
         from ..paths.factory import create_render_path
 
         self.settings = settings
@@ -52,6 +52,13 @@ class ShardedRenderer:
         self.axis = axis
         self.path = create_render_path(settings)
         self.tracer = tracer
+        # Ray passes are communication-free under row sharding (BVH
+        # replicated), but GSPMD treats a pallas_call as an opaque custom
+        # call and would all-gather its inputs and replicate the launch.
+        # shard_map pins the traversal to each chip's own rows instead
+        # (the one manual sharding decision in the frame; everything
+        # else is GSPMD-annotated).
+        self.shard_rays = shard_rays and tracer is not None
         self.state = FrameState.empty()
         self.frame_count = 0
         self._fns = {}
@@ -60,6 +67,22 @@ class ShardedRenderer:
                 f"height {settings.height} not divisible by mesh size "
                 f"{mesh.devices.size}")
 
+    @classmethod
+    def for_scene(cls, settings, scene_data, mesh, **kw):
+        """Construct with RT hooks auto-attached (Renderer.for_scene
+        analog); the tracer's packed arrays are replicated per chip."""
+        from ..core.types import RenderFlags, RenderPathType
+
+        tracer = None
+        needs_rt = (settings.path == RenderPathType.RAYTRACED) or bool(
+            settings.flags & (RenderFlags.SHADOW | RenderFlags.AO
+                              | RenderFlags.REFLECTION | RenderFlags.GI))
+        if needs_rt:
+            from ..ops import trace as trace_ops
+
+            tracer = trace_ops.SceneTracer.build(scene_data, settings)
+        return cls(settings, scene_data, mesh, tracer=tracer, **kw)
+
     def _get_frame_fn(self, history_valid: bool):
         if history_valid in self._fns:
             return self._fns[history_valid]
@@ -67,6 +90,7 @@ class ShardedRenderer:
         path, settings = self.path, self.settings
         mesh, axis = self.mesh, self.axis
         has_tracer = self.tracer is not None
+        shard_rays = self.shard_rays
         out_sharding = NamedSharding(mesh, P(axis))
 
         def frame(scene, host_packed, state, tracer):
@@ -87,12 +111,49 @@ class ShardedRenderer:
             shadow_query = None
             trace_radiance = None
             if has_tracer:
-                def shadow_query(p, n, d, t, active=None, **kw):
-                    return tracer.shadow_query(scene, p, n, d, t,
-                                               active=active, **kw)
+                if shard_rays:
+                    from jax.experimental.shard_map import shard_map
 
-                def trace_radiance(o, d, c, dep):
-                    return tracer.trace_radiance(scene, o, d, c, dep)
+                    img = P(axis)
+
+                    def shadow_query(p, n, d, t, active=None, **kw):
+                        if active is None:
+                            active = jax.numpy.ones(p.shape[:2], bool)
+
+                        def local(sc_, tr_, p_, n_, d_, a_):
+                            return tr_.shadow_query(sc_, p_, n_, d_, t,
+                                                    active=a_, **kw)
+
+                        return shard_map(
+                            local, mesh=mesh,
+                            in_specs=(P(), P(), img, img, img, img),
+                            out_specs=img, check_rep=False,
+                        )(scene, tracer, p, n, d, active)
+
+                    def trace_radiance(o, d, c, dep):
+                        # minimal per-shard context: trace shading uses
+                        # only params (traced, passed through) + settings
+                        # (static) — never cam/state
+                        def local(sc_, tr_, params_, o_, d_):
+                            ctx_ = FrameContext(
+                                scene=sc_, cam=None, params=params_,
+                                settings=settings, state=None,
+                                history_valid=False)
+                            return tr_.trace_radiance(sc_, o_, d_, ctx_,
+                                                      dep)
+
+                        return shard_map(
+                            local, mesh=mesh,
+                            in_specs=(P(), P(), P(), img, img),
+                            out_specs=(img, img), check_rep=False,
+                        )(scene, tracer, c.params, o, d)
+                else:
+                    def shadow_query(p, n, d, t, active=None, **kw):
+                        return tracer.shadow_query(scene, p, n, d, t,
+                                                   active=active, **kw)
+
+                    def trace_radiance(o, d, c, dep):
+                        return tracer.trace_radiance(scene, o, d, c, dep)
             ctx = FrameContext(
                 scene=scene, cam=cam_state, params=params, settings=settings,
                 state=state, history_valid=history_valid,

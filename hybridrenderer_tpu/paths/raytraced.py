@@ -14,9 +14,11 @@ class RayTracedRenderPath(RenderPath):
         from ..graph import rt_passes  # lazy: needs ops/trace
 
         s = self.settings
-        self.add(graph, "GBufferRaster", passes.make_gbuffer_pass(s), "graphics")
+        self.add(graph, "DepthPrepass", passes.make_depth_prepass(s),
+                 "graphics")
         self.add(graph, "RaytracePass", rt_passes.make_primary_rt_pass(s),
                  "raytracing")
-        self.add(graph, "TAAPass", passes.make_taa_pass(s), "compute")
+        self.add(graph, "TAAPass", passes.make_taa_pass(s, use_gbuffer=False),
+                 "compute")
         self.add(graph, "PostProcessPass",
                  passes.make_postprocess_pass(s, RS.TAA_OUTPUT), "graphics")

@@ -189,3 +189,42 @@ def test_native_matches_python(tmp_path, monkeypatch):
     ca = np.sort(a.positions[a.indices.reshape(-1, 3)].mean(1), axis=0)
     cb = np.sort(b.positions[b.indices.reshape(-1, 3)].mean(1), axis=0)
     np.testing.assert_allclose(ca, cb, atol=1e-6)
+
+
+def test_async_load_with_inflight_rendering(tmp_path):
+    """LoadModelAsync analog (ResourceManager.cpp:440-475): rendering
+    continues on the current scene while a loader future is in flight;
+    the loaded scene swaps in when done."""
+    import numpy as np
+
+    from hybridrenderer_tpu.core.camera import OrbitCamera
+    from hybridrenderer_tpu.core.config import RenderSettings
+    from hybridrenderer_tpu.core.types import RenderFlags, RenderPathType
+    from hybridrenderer_tpu.runtime.renderer import Renderer
+    from hybridrenderer_tpu.scene import scene as scenes
+    from hybridrenderer_tpu.scene.loader import load_scene_async
+
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+
+    future = load_scene_async(str(obj))
+
+    data = scenes.cube_scene().build()
+    s = RenderSettings(width=48, height=48, path=RenderPathType.FORWARD,
+                       flags=RenderFlags.LIGHT)
+    r = Renderer.for_scene(s, data)
+    cam = OrbitCamera(width=48, height=48, distance=7.0, pitch=0.45,
+                      yaw=0.6, focal_point=(0, 0.7, 0))
+    frames = []
+    while not future.done():
+        frames.append(r.render_np(cam.step()))   # in-flight rendering
+        if len(frames) > 200:
+            break
+    loaded = future.result(timeout=60)
+    assert np.isfinite(frames[0]).all() if frames else True
+
+    new_data = loaded.build()
+    r2 = Renderer.for_scene(s, new_data)         # scene swap
+    img = r2.render_np(cam.step())
+    assert np.isfinite(img).all()
+    assert new_data.num_triangles == 1

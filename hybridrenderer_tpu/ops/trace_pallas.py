@@ -422,7 +422,8 @@ def _popcount8(x):
     return (x + (x >> 4)) & 0x0F
 
 
-def _wide_traverse_kernel(any_hit: bool, npk: int,
+def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
+                          chunk_unroll: int,
                           # scalar prefetch
                           tmin_ref, meta_ref,
                           # inputs (HBM)
@@ -651,14 +652,16 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
         # manual partial unroll (Mosaic's fori lowering only supports
         # unroll=1 or full): U body repeats per loop iteration amortize
         # the ~2.4 us/iteration loop machinery
-        u = max(1, min(WIDE_CHUNK_UNROLL, WIDE_CHUNK_STEPS))
+        u = max(1, min(chunk_unroll, chunk_steps))
 
         def step_u(_i, st):
             for _ in range(u):
                 st = body(st)
             return st
 
-        return jax.lax.fori_loop(0, WIDE_CHUNK_STEPS // u, step_u, state)
+        if chunk_steps // u <= 1:
+            return step_u(0, state)
+        return jax.lax.fori_loop(0, chunk_steps // u, step_u, state)
 
     state = jax.lax.while_loop(cond, chunk, init)
     for pkt in range(npk):
@@ -673,11 +676,13 @@ def _wide_traverse_kernel(any_hit: bool, npk: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "interpret",
-                                    "packets_per_program"))
+                                    "packets_per_program", "chunk_steps",
+                                    "chunk_unroll"))
 def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
                    any_hit: bool = False, interpret: bool = False,
                    packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
-                   active=None):
+                   active=None, chunk_steps: int = WIDE_CHUNK_STEPS,
+                   chunk_unroll: int = None):
     """Wide-BVH packet traversal over a flat ray batch (R, 3).
 
     ``nodes``/``leaves``/``meta`` come from bvh_wide.build_wide. Same
@@ -727,7 +732,10 @@ def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
         jax.ShapeDtypeStruct(shape2, jnp.float32),
     ]
 
-    kernel = functools.partial(_wide_traverse_kernel, any_hit, npk)
+    if chunk_unroll is None:
+        chunk_unroll = WIDE_CHUNK_UNROLL
+    kernel = functools.partial(_wide_traverse_kernel, any_hit, npk,
+                               chunk_steps, chunk_unroll)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -103,20 +103,62 @@ def _to_blocks(flat):
     return flat.reshape(-1, BLOCK, RECORD_ROWS).transpose(0, 2, 1)
 
 
-def _sorted_stream(packed, entry_key, entry_cand, n_segments, cap):
-    """Sort entries by key, truncate to ``cap``, gather records, and
-    return (blocked stream, starts, counts) over ``n_segments`` keys."""
-    order = jnp.argsort(entry_key)
-    sorted_key = entry_key[order]
-    kix = jnp.arange(n_segments + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(sorted_key, kix).astype(jnp.int32)
-    starts = jnp.minimum(bounds[:-1], cap)
-    counts = jnp.minimum(bounds[1:], cap) - starts
+def _bucket_order(keys, n_segments, cap, chunk: int = 8192):
+    """Counting-sort grouping WITHOUT a global sort: batched in-chunk
+    sorts + per-chunk histograms → exact global bucket positions.
 
-    # Dead entries (key == n_segments) sort past every real segment's
-    # [start, start+count) and padded blocks are only touched by the
-    # kernel's over-fetch lanes (masked) — no extra kill needed.
-    idx = entry_cand[order[:cap]]
+    Grouping-equivalent to ``argsort(keys)[:cap]`` (order *within* a
+    segment differs — irrelevant: the raster kernel's reversed-Z
+    max-resolve is order-independent). Cost: C chunks of G-entry batched
+    bitonic sorts (log²G comparator stages vs log²E for the global sort)
+    plus a (C, K) histogram — measured cheaper than the global argsort
+    for the ~10⁶-entry streams of 1080p binning.
+    """
+    E = keys.shape[0]
+    G = min(chunk, max(128, E))
+    pad = (-E) % G
+    kp = jnp.pad(keys, (0, pad), constant_values=n_segments)
+    C = kp.shape[0] // G
+    kc = kp.reshape(C, G)
+    ordc = jnp.argsort(kc, axis=1).astype(jnp.int32)
+    sk = jnp.take_along_axis(kc, ordc, axis=1)
+    kix = jnp.arange(n_segments + 2, dtype=jnp.int32)
+    bounds = jax.vmap(
+        lambda s: jnp.searchsorted(s, kix).astype(jnp.int32))(sk)  # (C, K+2)
+    counts = bounds[:, 1:] - bounds[:, :-1]                        # (C, K+1)
+    totals = counts.sum(0)
+    seg_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(totals)]).astype(jnp.int32)
+    chunk_base = (jnp.cumsum(counts, axis=0) - counts).astype(jnp.int32)
+    p = jnp.arange(G, dtype=jnp.int32)[None, :]
+    rank = p - jnp.take_along_axis(bounds, sk, axis=1)
+    gpos = seg_starts[sk] + jnp.take_along_axis(chunk_base, sk, axis=1) + rank
+    entry = jnp.arange(C, dtype=jnp.int32)[:, None] * G + ordc
+    order = jnp.zeros((cap,), jnp.int32)
+    order = order.at[gpos.reshape(-1)].set(entry.reshape(-1), mode="drop")
+    starts = jnp.minimum(seg_starts[:n_segments], cap)
+    cnts = jnp.minimum(seg_starts[1:n_segments + 1], cap) - starts
+    return order, starts, cnts
+
+
+def _sorted_stream(packed, entry_key, entry_cand, n_segments, cap,
+                   method: str = "argsort"):
+    """Group entries by key, truncate to ``cap``, gather records, and
+    return (blocked stream, starts, counts) over ``n_segments`` keys."""
+    if method == "chunked":
+        order_cap, starts, counts = _bucket_order(entry_key, n_segments, cap)
+        idx = entry_cand[order_cap]
+    else:
+        order = jnp.argsort(entry_key)
+        sorted_key = entry_key[order]
+        kix = jnp.arange(n_segments + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(sorted_key, kix).astype(jnp.int32)
+        starts = jnp.minimum(bounds[:-1], cap)
+        counts = jnp.minimum(bounds[1:], cap) - starts
+        # Dead entries (key == n_segments) sort past every real segment's
+        # [start, start+count) and padded blocks are only touched by the
+        # kernel's over-fetch lanes (masked) — no extra kill needed.
+        idx = entry_cand[order[:cap]]
     stream = packed[idx]
     pad = (-stream.shape[0]) % BLOCK + BLOCK
     stream = jnp.pad(stream, ((0, pad), (0, 0)))
@@ -126,8 +168,12 @@ def _sorted_stream(packed, entry_key, entry_cand, n_segments, cap):
 def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
                    max_span: int = 8, max_rows: int = 16,
                    cap_a: int = 262144, cap_b: int = 32768,
-                   overflow_cap: int = 1024):
+                   overflow_cap: int = 1024, sort_method: str = None):
     """Three-class binning; see module docstring."""
+    if sort_method is None:
+        import os
+
+        sort_method = os.environ.get("RASTER_BIN_SORT", "argsort")
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
@@ -160,7 +206,8 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     cand_a = jnp.broadcast_to(
         jnp.arange(T2, dtype=jnp.int32)[:, None], tile_id.shape)
     stream_a, starts_a, counts_a = _sorted_stream(
-        packed, tile_id.reshape(-1), cand_a.reshape(-1), ntiles, cap_a)
+        packed, tile_id.reshape(-1), cand_a.reshape(-1), ntiles, cap_a,
+        method=sort_method)
 
     # --- class B: per-row entries ---
     kr = jnp.arange(max_rows, dtype=jnp.int32)[None, :]
@@ -170,7 +217,8 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     cand_b = jnp.broadcast_to(
         jnp.arange(T2, dtype=jnp.int32)[:, None], row_id.shape)
     stream_b, starts_b, counts_b = _sorted_stream(
-        packed, row_id.reshape(-1), cand_b.reshape(-1), nty, cap_b)
+        packed, row_id.reshape(-1), cand_b.reshape(-1), nty, cap_b,
+        method=sort_method)
 
     # --- class C: global list (huge triangles; rare) ---
     ov_rank = jnp.cumsum(cls_c.astype(jnp.int32)) - 1

@@ -74,3 +74,63 @@ def test_binned_stress_scene():
     cov_ref = (tri_ref >= 0).mean()
     cov_bin = (tri_bin >= 0).mean()
     assert abs(cov_ref - cov_bin) < 0.005
+
+
+def test_bucket_order_groups_like_argsort():
+    """Chunked counting-sort grouping == argsort grouping: same
+    starts/counts, and each segment's slots hold exactly that segment's
+    entries (order within a segment is free)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hybridrenderer_tpu.ops.raster_pallas import _bucket_order
+
+    rng = np.random.default_rng(5)
+    K = 37
+    E = 3001
+    keys = rng.integers(0, K + 1, E).astype(np.int32)  # K == dead
+    cap = 2048
+    order, starts, counts = _bucket_order(jnp.asarray(keys), K, cap,
+                                          chunk=256)
+    order, starts, counts = map(np.asarray, (order, starts, counts))
+
+    ref = np.argsort(keys, kind="stable")
+    ref_sorted = keys[ref]
+    ref_bounds = np.searchsorted(ref_sorted, np.arange(K + 1))
+    ref_starts = np.minimum(ref_bounds[:-1], cap)
+    ref_counts = np.minimum(ref_bounds[1:], cap) - ref_starts
+    np.testing.assert_array_equal(starts, ref_starts)
+    np.testing.assert_array_equal(counts, ref_counts)
+    for k in range(K):
+        seg = order[starts[k]:starts[k] + counts[k]]
+        assert (keys[seg] == k).all(), f"segment {k} polluted"
+    # all entries of each (uncapped) segment appear exactly once
+    for k in range(K):
+        if ref_bounds[k + 1] <= cap:
+            expect = np.sort(np.flatnonzero(keys == k))
+            got = np.sort(order[starts[k]:starts[k] + counts[k]])
+            np.testing.assert_array_equal(got, expect)
+
+
+def test_binned_raster_chunked_sort_matches():
+    """rasterize_binned with the chunked binning sort == argsort path."""
+    import os
+
+    data = scene_mod.cube_scene().build()
+    cam = OrbitCamera(width=W, height=H, distance=6.0, pitch=0.5,
+                      focal_point=(0, 0.75, 0)).step()
+    clip = raster.transform_to_clip(
+        data.vertices.world_position,
+        jnp.asarray(cam.proj) @ jnp.asarray(cam.view))
+    tris = raster.clip_triangles(clip, data.triangles.i0, data.triangles.i1,
+                                 data.triangles.i2, W, H)
+    a = raster_pallas.rasterize_binned(tris, W, H, tile_h=8, tile_w=128,
+                                       interpret=True)
+    os.environ["RASTER_BIN_SORT"] = "chunked"
+    try:
+        b = raster_pallas.rasterize_binned(tris, W, H, tile_h=8, tile_w=128,
+                                           interpret=True)
+    finally:
+        os.environ.pop("RASTER_BIN_SORT")
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               atol=1e-6)

@@ -77,6 +77,12 @@ def main(argv=None):
     ap.add_argument("--exposure", type=float, default=1.0)
     ap.add_argument("--mermaid", action="store_true",
                     help="print render graph as Mermaid and exit")
+    ap.add_argument("--stats", action="store_true",
+                    help="print drawn/culled instance counts per frame "
+                         "(FrameStats analog)")
+    ap.add_argument("--switch-path", default=None, metavar="FRAME:PATH",
+                    help="switch render path mid-sequence, e.g. 4:hybrid "
+                         "(EditorLayer live path switching analog)")
     ap.add_argument("--device", default=None, choices=["cpu", "tpu"],
                     help="force the JAX platform (the image's sitecustomize "
                          "pins the TPU backend and ignores JAX_PLATFORMS; "
@@ -117,12 +123,21 @@ def main(argv=None):
     cam = default_camera(args.scene, width, height)
     taa_on = bool(flags & RenderFlags.TAA)
 
+    switch_at, switch_to = -1, None
+    if args.switch_path:
+        f, p = args.switch_path.split(":")
+        switch_at, switch_to = int(f), _PATHS[p]
+
     t0 = time.perf_counter()
     for i in range(args.frames):
+        if i == switch_at:
+            renderer.switch_path(switch_to)
         if args.orbit:
             cam.orbit(args.orbit, 0.0)
         img = renderer.render_np(cam.step(taa_enabled=taa_on),
                                  exposure=args.exposure)
+        if args.stats:
+            print(f"frame {i}: {renderer.frame_stats()}")
         if args.frames > 1:
             stem = args.out.rsplit(".", 1)[0]
             out_path = f"{stem}_{i:03d}.png"

@@ -161,8 +161,13 @@ def make_gbuffer_pass(settings):
         # otherwise fuse-duplicate into every G-buffer gather chain
         vis = jax.lax.optimization_barrier(vis)
         gb = gbuffer_ops.build_gbuffer(vis, sc, cam)
+        # FrameStats (Application.h:49-54 / GBufferPass.cpp:131-138):
+        # instance drawn/culled counts, cheap device-side reduction
+        drawn = jnp.sum((~culled).astype(jnp.int32))
+        stats = jnp.stack([drawn, culled.shape[0] - drawn])
         return {
             "_GBuffer": gb,
+            "_FrameStats": stats,
             RS.ALBEDO: gb.albedo,
             RS.NORMAL: gb.normal,
             RS.MATERIAL_PARAMS: gb.material,
@@ -174,8 +179,9 @@ def make_gbuffer_pass(settings):
         }
 
     reads = ()
-    writes = ("_GBuffer", RS.ALBEDO, RS.NORMAL, RS.MATERIAL_PARAMS,
-              RS.OBJECT_ID, RS.MOTION, RS.EMISSIVE, RS.DEPTH, RS.WORLD_POS)
+    writes = ("_GBuffer", "_FrameStats", RS.ALBEDO, RS.NORMAL,
+              RS.MATERIAL_PARAMS, RS.OBJECT_ID, RS.MOTION, RS.EMISSIVE,
+              RS.DEPTH, RS.WORLD_POS)
     history = {RS.NORMAL: RS.NORMAL, RS.OBJECT_ID: RS.OBJECT_ID,
                RS.MOTION: RS.MOTION, RS.DEPTH: RS.DEPTH}
     return fn, reads, writes, history

@@ -95,13 +95,16 @@ class Renderer:
                 scene=scene, cam=cam_state, params=params, settings=settings,
                 state=state, history_valid=history_valid,
                 shadow_query=shadow_query, trace_radiance=trace_radiance)
-            out, new_state, _ = path.run(ctx, state)
+            out, new_state, registry = path.run(ctx, state)
             # canonicalize: strip weak types so both history variants
             # produce byte-identical state signatures (a drifting weak
             # type forces a silent 17s re-jit on the 3rd frame)
             new_state = jax.tree_util.tree_map(
                 lambda x: x.astype(x.dtype), new_state)
-            return out, new_state
+            stats = registry.get("_FrameStats")
+            if stats is None:
+                stats = jax.numpy.zeros((2,), jax.numpy.int32)
+            return out, new_state, stats
 
         fn = jax.jit(frame, donate_argnums=(2,))
         self._fns[key] = fn
@@ -118,12 +121,40 @@ class Renderer:
             np.asarray([self.frame_count], np.float32),
         ])
         fn = self._get_frame_fn(history_valid=self.frame_count > 0)
-        out, self.state = fn(self.scene, packed, self.state, self.tracer)
+        out, self.state, self._stats = fn(self.scene, packed, self.state,
+                                          self.tracer)
         self.frame_count += 1
         return out
 
     def render_np(self, cam_state, **kw) -> np.ndarray:
         return np.asarray(self.render(cam_state, **kw))
+
+    def frame_stats(self) -> dict:
+        """Last frame's (drawn, culled) instance counts — the FrameStats
+        UI readout analog (Application.h:49-54, EditorLayer.cpp:516-518).
+        Forces a device sync; call after the frame you care about."""
+        s = np.asarray(getattr(self, "_stats", np.zeros(2, np.int32)))
+        return {"instances_drawn": int(s[0]), "instances_culled": int(s[1])}
+
+    def switch_path(self, path_type):
+        """Live render-path switch (Application::SwitchRenderPath,
+        Application.cpp:408-448): new pass stack, history dropped; scene,
+        tracer and the jit cache of other paths are kept."""
+        from ..core.types import RenderFlags, RenderPathType
+        from ..paths.factory import create_render_path
+
+        self.settings = self.settings.replace(path=path_type)
+        self.path = create_render_path(self.settings)
+        needs_rt = (path_type == RenderPathType.RAYTRACED) or bool(
+            self.settings.flags & (RenderFlags.SHADOW | RenderFlags.AO
+                                   | RenderFlags.REFLECTION | RenderFlags.GI))
+        if needs_rt and self.tracer is None:
+            from ..ops import trace as trace_ops
+
+            self.tracer = trace_ops.SceneTracer.build(self.scene,
+                                                      self.settings)
+        self._fns = {}
+        self.reset_history()
 
     def reset_history(self):
         """Path switch / resize semantics (RenderPath.cpp:50-56): drop

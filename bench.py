@@ -60,6 +60,8 @@ def main():
 
     if scene_name == "stress":
         host = scenes.stress_scene(num_objects=n_objects)
+    elif scene_name == "stress_textured":
+        host = scenes.stress_scene(num_objects=n_objects, textured=True)
     elif scene_name == "cornell":
         host = scenes.cornell_scene()
     else:

@@ -375,13 +375,41 @@ def cutout_scene() -> Scene:
     return sc
 
 
-def stress_scene(num_objects=400, seed=0) -> Scene:
-    """Sponza-scale stress scene for benchmarking (~10^5 triangles)."""
+def stress_scene(num_objects=400, seed=0, textured=False) -> Scene:
+    """Sponza-scale stress scene for benchmarking (~10^5 triangles).
+
+    ``textured=True`` binds procedural albedo textures to every material
+    (a 4-texture atlas) so the G-buffer material fetch and any textured
+    shading exercise the bilinear sampler — the texture-gather cost axis
+    the plain scene never touches."""
     sc = Scene("stress")
-    sc.add_material(Material(name="floor", colour=(0.55, 0.5, 0.45), roughness=0.8))
-    sc.add_material(Material(name="column", colour=(0.7, 0.68, 0.6), roughness=0.6))
-    sc.add_material(Material(name="sphere", colour=(0.3, 0.4, 0.7), roughness=0.3, metallic=0.4))
-    sc.add_material(Material(name="box", colour=(0.7, 0.3, 0.2), roughness=0.5))
+    tex = (lambda i: i) if textured else (lambda i: INVALID_ID)
+    sc.add_material(Material(name="floor", colour=(0.55, 0.5, 0.45),
+                             roughness=0.8, colour_texture=tex(0)))
+    sc.add_material(Material(name="column", colour=(0.7, 0.68, 0.6),
+                             roughness=0.6, colour_texture=tex(1)))
+    sc.add_material(Material(name="sphere", colour=(0.3, 0.4, 0.7),
+                             roughness=0.3, metallic=0.4,
+                             colour_texture=tex(2)))
+    sc.add_material(Material(name="box", colour=(0.7, 0.3, 0.2),
+                             roughness=0.5, colour_texture=tex(3)))
     sc.add_model(geometry.stress_scene_meshes(num_objects, seed))
+    if textured:
+        n = 128
+        yy, xx = np.mgrid[0:n, 0:n] / (n - 1.0)
+        pats = [
+            ((yy * 8).astype(int) + (xx * 8).astype(int)) % 2 * 0.6 + 0.3,
+            (np.sin(yy * 40) * 0.5 + 0.5) * 0.7 + 0.2,
+            (np.hypot(xx - 0.5, yy - 0.5) * 2.0) % 1.0,
+            ((yy * 16).astype(int) % 2) * 0.5 + 0.4,
+        ]
+        tex_data = np.ones((4, n, n, 4), np.float32)
+        for i, p in enumerate(pats):
+            tex_data[i, ..., 0] = p
+            tex_data[i, ..., 1] = p * 0.8 + 0.1
+            tex_data[i, ..., 2] = 1.0 - p * 0.5
+        sc.textures = TextureStack(
+            data=jnp.asarray(tex_data),
+            sizes=jnp.asarray(np.full((4, 2), n, np.int32)))
     sc.set_sun((-0.4, -1.0, -0.3), intensity=3.0)
     return sc

@@ -65,6 +65,13 @@ class WideBVH:
     # original triangle id of cluster k's slot t (-1), padded to Tl*128.
     slot_child_bin: Any = None   # (Tn*128, 8) i32
     cluster_tri: Any = None      # (Tl*128, LEAF_TRIS) i32
+    # flat row-major records (entity = sublane row, field = lane): the
+    # traversal kernel's "scalar extraction" variant reads fields as
+    # dynamic-sublane scalar VMEM loads instead of one-hot lane
+    # reductions — VPU work moves to the (otherwise idle) scalar unit.
+    # 512 B/entity after 128-lane padding vs 192 B in tile form.
+    nodes_flat: Any = None       # (Tn*128, 48) f32
+    leaves_flat: Any = None      # (Tl*128, 48) f32
 
     @property
     def vmem_bytes(self) -> int:
@@ -312,7 +319,11 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2) -> WideBVH:
                    meta=meta.astype(np.int32), num_wide=int(n_total),
                    num_clusters=int(n_cluster),
                    slot_child_bin=slot_child_bin.astype(np.int32),
-                   cluster_tri=cluster_tri)
+                   cluster_tri=cluster_tri,
+                   nodes_flat=np.ascontiguousarray(
+                       node_rec.transpose(0, 2, 1).reshape(-1, 48)),
+                   leaves_flat=np.ascontiguousarray(
+                       leaf_rec.transpose(0, 2, 1).reshape(-1, 48)))
 
 
 @jax.jit
@@ -355,9 +366,10 @@ def refit_wide(slot_child_bin, cluster_tri, node_min, node_max, v0, v1, v2):
         tidf = jnp.where(valid, tid.astype(jnp.float32), -1.0)
         pad = jnp.zeros((rows_l, 2), jnp.float32)
         lcols += [p0, e1, e2, tidf[:, None], pad]
-    leaves = jnp.concatenate(lcols, axis=1).astype(jnp.float32)
-    leaves = leaves.reshape(Tl, 128, 48).transpose(0, 2, 1)
-    return nodes, leaves
+    leaves_flat = jnp.concatenate(lcols, axis=1).astype(jnp.float32)
+    leaves = leaves_flat.reshape(Tl, 128, 48).transpose(0, 2, 1)
+    nodes_flat = nodes.transpose(0, 2, 1).reshape(-1, 48)
+    return nodes, leaves, nodes_flat, leaves_flat
 
 
 def first_of_kind(parents: np.ndarray, kind: np.ndarray) -> np.ndarray:

@@ -196,6 +196,8 @@ class SceneTracer:
     wide_nodes: Any = None
     wide_leaves: Any = None
     wide_meta: Any = None
+    wide_nodes_flat: Any = None
+    wide_leaves_flat: Any = None
     # static refit maps (bvh_wide) enabling on-device dynamic updates
     slot_child_bin: Any = None
     cluster_tri: Any = None
@@ -214,7 +216,7 @@ class SceneTracer:
 
         itiles, ltiles = trace_pallas.build_packed(bvh, soup.v0, soup.v1,
                                                    soup.v2)
-        wn = wl = wm = scb = ct = None
+        wn = wl = wm = scb = ct = wnf = wlf = None
         if backend == "pallas-wide":
             # host-side wide collapse (BLAS/TLAS build analog); runs once
             # per scene TOPOLOGY change, outside jit — transform-only
@@ -227,8 +229,11 @@ class SceneTracer:
             wm = jnp.asarray(wide.meta)
             scb = jnp.asarray(wide.slot_child_bin)
             ct = jnp.asarray(wide.cluster_tri)
+            wnf = jnp.asarray(wide.nodes_flat)
+            wlf = jnp.asarray(wide.leaves_flat)
         return SceneTracer(bvh=bvh, internal_tiles=itiles, leaf_tiles=ltiles,
                            wide_nodes=wn, wide_leaves=wl, wide_meta=wm,
+                           wide_nodes_flat=wnf, wide_leaves_flat=wlf,
                            slot_child_bin=scb, cluster_tri=ct,
                            backend=backend)
 
@@ -243,14 +248,16 @@ class SceneTracer:
         itiles, ltiles = trace_pallas.build_packed(new_bvh, soup.v0,
                                                    soup.v1, soup.v2)
         wn, wl = self.wide_nodes, self.wide_leaves
+        wnf, wlf = self.wide_nodes_flat, self.wide_leaves_flat
         if wn is not None:
-            wn, wl = bvh_wide.refit_wide(
+            wn, wl, wnf, wlf = bvh_wide.refit_wide(
                 self.slot_child_bin, self.cluster_tri,
                 new_bvh.node_min, new_bvh.node_max,
                 soup.v0, soup.v1, soup.v2)
         return dataclasses.replace(self, bvh=new_bvh,
                                    internal_tiles=itiles, leaf_tiles=ltiles,
-                                   wide_nodes=wn, wide_leaves=wl)
+                                   wide_nodes=wn, wide_leaves=wl,
+                                   wide_nodes_flat=wnf, wide_leaves_flat=wlf)
 
     ALPHA_ROUNDS = 4   # transparency-continuation depth (cut-out layers)
 
@@ -366,6 +373,11 @@ class SceneTracer:
         if self.backend == "pallas-wide":
             from . import trace_pallas
 
+            if trace_pallas.WIDE_EXTRACT == "scalar":
+                return trace_pallas.intersect_wide(
+                    self.wide_nodes_flat, self.wide_leaves_flat,
+                    self.wide_meta, o, d, tmin, tmax, any_hit=any_hit,
+                    active=active, extract="scalar")
             return trace_pallas.intersect_wide(
                 self.wide_nodes, self.wide_leaves, self.wide_meta,
                 o, d, tmin, tmax, any_hit=any_hit, active=active)

@@ -412,7 +412,11 @@ WIDE_PACKETS_PER_PROGRAM = 4
 # amortizes it across U steps. Env knob for experiments.
 import os as _os
 
-WIDE_CHUNK_UNROLL = int(_os.environ.get("WIDE_UNROLL", "4"))
+WIDE_CHUNK_UNROLL = int(_os.environ.get("WIDE_UNROLL", "16"))  # full:
+# measured shadow 33.0->35.3 / AO 10.2->10.9 Mrays/s vs unroll=1 at 65k
+# record-field extraction: "onehot" lane reductions (VPU) or "scalar"
+# dynamic-sublane VMEM loads (scalar unit) over the flat record layout
+WIDE_EXTRACT = _os.environ.get("WIDE_EXTRACT", "onehot")
 
 
 def _popcount8(x):
@@ -423,7 +427,7 @@ def _popcount8(x):
 
 
 def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
-                          chunk_unroll: int,
+                          chunk_unroll: int, extract: str,
                           # scalar prefetch
                           tmin_ref, meta_ref,
                           # inputs (HBM)
@@ -468,8 +472,13 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
         lc.wait()
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    max_node = nodes_ref.shape[0] * 128 - 1
-    dummy_leaf = leaves_ref.shape[0] * 128 - 1   # padded lane: all ids -1
+    if extract == "scalar":
+        # flat (N, 48) records: entity = sublane row
+        max_node = nodes_ref.shape[0] - 1
+        dummy_leaf = leaves_ref.shape[0] - 1     # padded row: all ids -1
+    else:
+        max_node = nodes_ref.shape[0] * 128 - 1
+        dummy_leaf = leaves_ref.shape[0] * 128 - 1  # padded lane: ids -1
 
     def safe_inv(d):
         tiny = jnp.where(d < 0.0, -1e-12, 1e-12)
@@ -555,15 +564,22 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
                       dummy_leaf)
 
         # ---- leaf visit: 4 batched Möller–Trumbore, no transfers ----
-        kloh = (lane_iota == (k & 127)).astype(jnp.float32)
-        ltile = leaves_ref[k >> 7]              # (48, 128)
-        # ONE batched lane-reduce extracts all 48 fields; per-field use
-        # is a static sublane slice (cheaper than 40 separate reduces —
-        # the kernel is VPU-throughput-bound)
-        lcol = jnp.sum(ltile * kloh, axis=1, keepdims=True)   # (48,1)
+        if extract == "scalar":
+            # dynamic-sublane scalar VMEM reads: field extraction runs
+            # on the scalar unit, freeing the VPU (which this kernel
+            # saturates) — the 48 loads pipeline behind the vector work
+            def lf(r):
+                return leaves_ref[k, r]
+        else:
+            kloh = (lane_iota == (k & 127)).astype(jnp.float32)
+            ltile = leaves_ref[k >> 7]          # (48, 128)
+            # ONE batched lane-reduce extracts all 48 fields; per-field
+            # use is a static sublane slice (cheaper than 40 separate
+            # reduces)
+            lcol = jnp.sum(ltile * kloh, axis=1, keepdims=True)   # (48,1)
 
-        def lf(r):
-            return lcol[r:r + 1]
+            def lf(r):
+                return lcol[r:r + 1]
 
         for t in range(4):
             r = 12 * t
@@ -594,12 +610,16 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
             v_best = jnp.where(hit, vv, v_best)
 
         # ---- internal visit: 8 slab tests → packed hitmask (vector) ----
-        iloh = (lane_iota == (i & 127)).astype(jnp.float32)
-        itile = nodes_ref[i >> 7]               # (48, 128)
-        icol = jnp.sum(itile * iloh, axis=1, keepdims=True)   # (48,1)
+        if extract == "scalar":
+            def nfv(r):
+                return nodes_ref[i, r]
+        else:
+            iloh = (lane_iota == (i & 127)).astype(jnp.float32)
+            itile = nodes_ref[i >> 7]           # (48, 128)
+            icol = jnp.sum(itile * iloh, axis=1, keepdims=True)   # (48,1)
 
-        def nfv(r):
-            return icol[r:r + 1]
+            def nfv(r):
+                return icol[r:r + 1]
 
         tb = t_best
         if any_hit:
@@ -677,16 +697,19 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "interpret",
                                     "packets_per_program", "chunk_steps",
-                                    "chunk_unroll"))
+                                    "chunk_unroll", "extract"))
 def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
                    any_hit: bool = False, interpret: bool = False,
                    packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
                    active=None, chunk_steps: int = WIDE_CHUNK_STEPS,
-                   chunk_unroll: int = None):
+                   chunk_unroll: int = None, extract: str = "onehot"):
     """Wide-BVH packet traversal over a flat ray batch (R, 3).
 
     ``nodes``/``leaves``/``meta`` come from bvh_wide.build_wide. Same
-    contract as intersect_packed: returns (t, tri, u, v), tri=-1 miss."""
+    contract as intersect_packed: returns (t, tri, u, v), tri=-1 miss.
+    ``extract="scalar"`` expects the FLAT record arrays
+    (bvh_wide nodes_flat/leaves_flat) in the nodes/leaves slots and
+    reads fields as dynamic-sublane scalar VMEM loads."""
     npk = packets_per_program
     R = o.shape[0]
     group = PACKET * npk
@@ -733,9 +756,11 @@ def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
     ]
 
     if chunk_unroll is None:
-        chunk_unroll = WIDE_CHUNK_UNROLL
+        # interpret mode (CPU tests) evaluates the unrolled body
+        # step-by-step — full unroll makes small tests minutes-slow
+        chunk_unroll = 1 if interpret else WIDE_CHUNK_UNROLL
     kernel = functools.partial(_wide_traverse_kernel, any_hit, npk,
-                               chunk_steps, chunk_unroll)
+                               chunk_steps, chunk_unroll, extract)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

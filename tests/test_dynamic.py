@@ -33,11 +33,15 @@ def test_refit_wide_matches_build_on_unchanged_scene():
     s = data.triangles
     b = bvh_mod.build_bvh(s.v0, s.v1, s.v2)
     w = bvh_wide.build_wide(b, s.v0, s.v1, s.v2)
-    nodes, leaves = bvh_wide.refit_wide(
+    nodes, leaves, nodes_flat, leaves_flat = bvh_wide.refit_wide(
         jnp.asarray(w.slot_child_bin), jnp.asarray(w.cluster_tri),
         b.node_min, b.node_max, s.v0, s.v1, s.v2)
     np.testing.assert_allclose(np.asarray(nodes), w.nodes, rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(leaves), w.leaves, rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(nodes_flat), w.nodes_flat,
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(leaves_flat), w.leaves_flat,
+                               rtol=0, atol=0)
 
 
 def test_refit_bvh_valid_after_motion():

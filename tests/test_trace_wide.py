@@ -86,3 +86,32 @@ def test_tiny_scene_single_cluster():
     assert np.asarray(tri)[1] >= 0
     assert np.asarray(tri)[2] < 0
     np.testing.assert_allclose(np.asarray(t)[0], 1.0, atol=1e-5)
+
+
+def test_wide_scalar_extraction_matches_onehot():
+    """extract="scalar" (flat records + dynamic-sublane scalar reads) ==
+    extract="onehot" (tile records + lane reductions), interpret mode."""
+    s = scenes.cornell_scene().build().triangles
+    b = bvh_mod.build_bvh(s.v0, s.v1, s.v2)
+    w = bvh_wide.build_wide(b, s.v0, s.v1, s.v2)
+    rng = np.random.default_rng(3)
+    R = 256
+    lo = np.asarray(s.v0).min(0)
+    hi = np.asarray(s.v0).max(0)
+    o = jnp.asarray(
+        (lo + rng.random((R, 3)) * (hi - lo)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    for any_hit in (False, True):
+        a = tp.intersect_wide(
+            jnp.asarray(w.nodes), jnp.asarray(w.leaves),
+            jnp.asarray(w.meta), o, d, 1e-3, 1e4, any_hit=any_hit,
+            interpret=True)
+        c = tp.intersect_wide(
+            jnp.asarray(w.nodes_flat), jnp.asarray(w.leaves_flat),
+            jnp.asarray(w.meta), o, d, 1e-3, 1e4, any_hit=any_hit,
+            interpret=True, extract="scalar")
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(c[1]))
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(c[0]),
+                                   atol=1e-6)

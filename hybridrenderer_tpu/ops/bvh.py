@@ -197,6 +197,87 @@ def build_bvh(v0, v1, v2, max_depth_iters: int = 64) -> BVH:
                left_full, right_full, tri, jnp.int32(T))
 
 
+# --- native host builder (native/bvh_builder.cpp) -----------------------
+_native_lib = None
+_native_tried = False
+
+
+def _load_native():
+    global _native_lib, _native_tried
+    if _native_lib is not None or _native_tried:
+        return _native_lib
+    _native_tried = True
+    import ctypes
+    import os
+    import subprocess
+
+    ndir = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                        "..", "..", "native"))
+    path = os.path.join(ndir, "libhrtpu_bvh.so")
+    if not os.path.exists(path):
+        try:
+            subprocess.run(["make", "-C", ndir, "libhrtpu_bvh.so"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.hrtpu_build_lbvh.restype = ctypes.c_int
+        _native_lib = lib
+    except OSError:
+        return None
+    return _native_lib
+
+
+def build_bvh_native(v0, v1, v2) -> "BVH | None":
+    """Host-side LBVH build via the C++ builder (tree-identical to the
+    jitted build_bvh; see native/bvh_builder.cpp). Returns None when the
+    native library is unavailable. Preferred at scene-build time: the
+    device build costs a multi-minute XLA compile per new triangle
+    count on the remote TPU service; this is milliseconds."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    a0 = np.ascontiguousarray(np.asarray(v0, np.float32))
+    a1 = np.ascontiguousarray(np.asarray(v1, np.float32))
+    a2 = np.ascontiguousarray(np.asarray(v2, np.float32))
+    T = a0.shape[0]
+    if T == 0:
+        z3 = jnp.zeros((1, 3), jnp.float32)
+        zi = jnp.zeros((1,), jnp.int32)
+        return BVH(z3, z3, zi, zi, jnp.full((1,), -1, jnp.int32),
+                   jnp.int32(0))
+    N = 2 * T - 1
+    nmin = np.empty((N, 3), np.float32)
+    nmax = np.empty((N, 3), np.float32)
+    left = np.empty((N,), np.int32)
+    right = np.empty((N,), np.int32)
+    tri = np.empty((N,), np.int32)
+
+    def p(x, t):
+        return x.ctypes.data_as(ctypes.POINTER(t))
+
+    rc = lib.hrtpu_build_lbvh(
+        p(a0, ctypes.c_float), p(a1, ctypes.c_float), p(a2, ctypes.c_float),
+        ctypes.c_longlong(T), p(nmin, ctypes.c_float),
+        p(nmax, ctypes.c_float), p(left, ctypes.c_int),
+        p(right, ctypes.c_int), p(tri, ctypes.c_int))
+    if rc != 0:
+        return None
+    return BVH(jnp.asarray(nmin), jnp.asarray(nmax), jnp.asarray(left),
+               jnp.asarray(right), jnp.asarray(tri), jnp.int32(T))
+
+
+def build_bvh_host(v0, v1, v2) -> BVH:
+    """Native builder when available, jitted device build otherwise."""
+    out = build_bvh_native(v0, v1, v2)
+    return out if out is not None else build_bvh(v0, v1, v2)
+
+
 @functools.partial(jax.jit, static_argnames=("max_depth_iters",))
 def refit_bvh(bvh: BVH, v0, v1, v2, max_depth_iters: int = 64) -> BVH:
     """Frozen-topology AABB refit for dynamic scenes.

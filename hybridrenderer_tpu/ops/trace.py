@@ -27,7 +27,7 @@ from ..core import maths
 from ..core.types import RenderFlags
 from . import image as img_ops
 from . import sampling, shade, sky, texture
-from .bvh import BVH, build_bvh, refit_bvh
+from .bvh import BVH, build_bvh, build_bvh_host, refit_bvh
 
 TRI_EPS = 1e-9
 STACK_DEPTH = 64
@@ -209,7 +209,9 @@ class SceneTracer:
     @staticmethod
     def build(scene_data, settings=None) -> "SceneTracer":
         soup = scene_data.triangles
-        bvh = build_bvh(soup.v0, soup.v1, soup.v2)
+        # native host builder when available: the jitted device build
+        # costs a multi-minute remote XLA compile per NEW triangle count
+        bvh = build_bvh_host(soup.v0, soup.v1, soup.v2)
         requested = settings.trace_backend if settings is not None else "auto"
         backend = _detect_backend(requested, soup.count)
         from . import trace_pallas

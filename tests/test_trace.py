@@ -102,3 +102,25 @@ def test_shadow_query_shape_and_semantics():
     assert vis.shape == (1, 2)
     assert float(vis[0, 0]) == 1.0  # open sky
     assert float(vis[0, 1]) == 0.0  # blocked by the cube above
+
+
+def test_native_builder_matches_jnp():
+    """native/bvh_builder.cpp produces the IDENTICAL tree (topology,
+    sorted order, AABBs) to the jitted jnp builder."""
+    from hybridrenderer_tpu.scene import scene as scenes
+
+    s = scenes.cornell_scene().build().triangles
+    ref = bvh_mod.build_bvh(s.v0, s.v1, s.v2)
+    nat = bvh_mod.build_bvh_native(s.v0, s.v1, s.v2)
+    if nat is None:
+        import pytest
+
+        pytest.skip("native builder unavailable")
+    np.testing.assert_array_equal(np.asarray(nat.tri), np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(nat.left), np.asarray(ref.left))
+    np.testing.assert_array_equal(np.asarray(nat.right),
+                                  np.asarray(ref.right))
+    np.testing.assert_allclose(np.asarray(nat.node_min),
+                               np.asarray(ref.node_min), atol=0)
+    np.testing.assert_allclose(np.asarray(nat.node_max),
+                               np.asarray(ref.node_max), atol=0)

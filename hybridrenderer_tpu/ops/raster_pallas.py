@@ -3,12 +3,13 @@
 Replaces the O(T·H·W) jnp reference resolve (ops/raster.py) with a
 two-phase design shaped for the TPU memory system:
 
-1. **Pack + bin (jnp)** — every post-clip candidate becomes a 24-float
-   record: the three edge-function coefficient triples pre-scaled by
-   1/(w·area) (each evaluated form is simultaneously the coverage test
-   and the unnormalized perspective-correct weight u_i), per-vertex
-   clip-space z (Σ z_clip_i · u_i = z_ndc directly), the original-triangle
-   barycentric columns, and the record's x-extent in tile units.
+1. **Pack + bin (jnp)** — every post-clip candidate becomes a 48-float
+   record of AFFINE screen-space coefficient triples: the three edge
+   forms pre-scaled by 1/(w·area) (each evaluated form is simultaneously
+   the coverage test and the unnormalized perspective-correct weight
+   u_i), plus depth and barycentric NUMERATORS folded into their own
+   triples (Σ z_i·f_i etc.) so every interpolated quantity is one MXU
+   matmul in the kernel, and the record's x-extent in tile units.
    Candidates are split into three classes by screen-tile span:
      A. span ≤ max_span      → exact (tile, record) entries
      B. tall/wide triangles  → per-tile-ROW entries (every tile in the
@@ -22,9 +23,10 @@ two-phase design shaped for the TPU memory system:
 
 2. **Raster kernel (Pallas)** — grid over 8×128-pixel screen tiles; each
    program double-buffer-DMAs its record blocks and evaluates each edge
-   form for 128 records × 1024 pixels as one (P, 3) × (3, 128) MXU
-   matmul; reversed-Z depth max-resolves along the lane (record)
-   dimension with an argmax one-hot — no gathers anywhere.
+   quantity (edge forms, depth, bary numerators) for 128 records ×
+   1024 pixels as one (P, 3) × (3, 128) MXU matmul; reversed-Z depth
+   max-resolves along the lane (record) dimension with an argmax
+   one-hot — no gathers anywhere, near-zero elementwise interpolation.
 
 Output contract matches ops/raster.rasterize: a VisibilityBuffer of
 (tri_id, perspective-correct original barycentrics, reversed-Z depth).
@@ -40,24 +42,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .raster import AREA_EPS, ClippedTriangles, VisibilityBuffer, _edge_coeffs
 
-RECORD_ROWS = 24   # padded row count of a record block
+RECORD_ROWS = 48   # padded row count of a record block
 BLOCK = 128        # records per block (lane dimension)
 
-# row indices inside a record block (coefficient triples start at 8-aligned
-# offsets so (3, 128) sublane slices stay aligned)
-_R_F0 = 0    # rows 0-2: edge0 coeffs (a, b, c)
-_R_Z = 3     # rows 3-5: clip-space z per vertex
-_R_TRI = 6   # row 6: triangle id (f32-exact < 2^24)
-_R_TX0 = 7   # row 7: first covered tile column (f32)
-_R_F1 = 8    # rows 8-10: edge1 coeffs
-_R_B1 = 11   # rows 11-13: original bary column 1 per vertex
-_R_TX1 = 14  # row 14: last covered tile column (f32)
-_R_F2 = 16   # rows 16-18: edge2 coeffs
-_R_B2 = 19   # rows 19-21: original bary column 2 per vertex
+# Row indices inside a record block. ALL interpolated quantities are
+# stored as affine screen-space coefficient triples (value(x,y) =
+# a·x + b·y + c): the kernel evaluates every one as a (P, 3) × (3, 128)
+# MXU matmul instead of combining per-vertex values with elementwise
+# (P, 128) chains — measured round 1 the eval is vector-op-bound.
+# Triples start at 8-aligned offsets so (3, 128) sublane slices used as
+# matmul operands stay tiling-aligned.
+_R_F0 = 0    # rows 0-2: edge0 form coeffs (pre-scaled by inv_w/area)
+_R_TRI = 3   # row 3: triangle id (f32-exact < 2^24)
+_R_TX0 = 4   # row 4: first covered tile column (f32)
+_R_TX1 = 5   # row 5: last covered tile column (f32)
+_R_F1 = 8    # rows 8-10: edge1 form coeffs
+_R_F2 = 16   # rows 16-18: edge2 form coeffs
+_R_ZR = 24   # rows 24-26: depth numerator coeffs  (Σ z_i·f_i)
+_R_N1 = 32   # rows 32-34: bary1 numerator coeffs  (Σ B[i,1]·f_i)
+_R_N2 = 40   # rows 40-42: bary2 numerator coeffs  (Σ B[i,2]·f_i)
 
 
 def pack_candidates(tris: ClippedTriangles):
-    """ClippedTriangles → (T2, 24) records (row layout above) + bboxes."""
+    """ClippedTriangles → (T2, 48) records (row layout above) + bboxes."""
     p0, p1, p2 = tris.sxy[:, 0], tris.sxy[:, 1], tris.sxy[:, 2]
     a0, b0, g0 = _edge_coeffs(p1, p2)
     a1, b1, g1 = _edge_coeffs(p2, p0)
@@ -82,15 +89,23 @@ def pack_candidates(tris: ClippedTriangles):
     # invalid → constant negative edge: never covers
     f0 = jnp.where((~valid)[:, None], jnp.array([0.0, 0.0, -1.0]), f0)
 
+    def affine(w0, w1, w2):
+        """Interpolated quantity Σ w_i·F_i(x,y) → its own coeff triple."""
+        return (w0[:, None] * f0 + w1[:, None] * f1 + w2[:, None] * f2)
+
+    zr = affine(z_clip[:, 0], z_clip[:, 1], z_clip[:, 2])
+    n1r = affine(B[:, 0, 1], B[:, 1, 1], B[:, 2, 1])
+    n2r = affine(B[:, 0, 2], B[:, 1, 2], B[:, 2, 2])
+
     T2 = tris.tri_id.shape[0]
     rec = jnp.zeros((T2, RECORD_ROWS), jnp.float32)
     rec = rec.at[:, _R_F0:_R_F0 + 3].set(f0)
-    rec = rec.at[:, _R_Z:_R_Z + 3].set(z_clip)
     rec = rec.at[:, _R_TRI].set(tris.tri_id.astype(jnp.float32))
     rec = rec.at[:, _R_F1:_R_F1 + 3].set(f1)
-    rec = rec.at[:, _R_B1:_R_B1 + 3].set(B[:, :, 1])
     rec = rec.at[:, _R_F2:_R_F2 + 3].set(f2)
-    rec = rec.at[:, _R_B2:_R_B2 + 3].set(B[:, :, 2])
+    rec = rec.at[:, _R_ZR:_R_ZR + 3].set(zr)
+    rec = rec.at[:, _R_N1:_R_N1 + 3].set(n1r)
+    rec = rec.at[:, _R_N2:_R_N2 + 3].set(n2r)
 
     xs = tris.sxy[..., 0]
     ys = tris.sxy[..., 1]
@@ -99,7 +114,7 @@ def pack_candidates(tris: ClippedTriangles):
 
 
 def _to_blocks(flat):
-    """(E, 24) → (E/128, 24, 128) record-blocked transposed layout."""
+    """(E, R) → (E/128, R, 128) record-blocked transposed layout."""
     return flat.reshape(-1, BLOCK, RECORD_ROWS).transpose(0, 2, 1)
 
 
@@ -277,8 +292,8 @@ def _raster_kernel(ntx, tile_h, tile_w,
         F0 = forms(_R_F0)
         F1 = forms(_R_F1)
         F2 = forms(_R_F2)
-        Z = (rec[_R_Z:_R_Z + 1, :] * F0 + rec[_R_Z + 1:_R_Z + 2, :] * F1
-             + rec[_R_Z + 2:_R_Z + 3, :] * F2)
+        # depth / bary numerators ride the MXU too (affine coeff rows)
+        Z = forms(_R_ZR)
         S = F0 + F1 + F2
         cover = (F0 >= 0.0) & (F1 >= 0.0) & (F2 >= 0.0) & alive \
             & (Z >= 0.0) & (Z <= 1.0)
@@ -291,12 +306,8 @@ def _raster_kernel(ntx, tile_h, tile_w,
         def sel(M):  # winner's value along lanes
             return jnp.sum(M * onehot, axis=1, keepdims=True)
 
-        N1 = (rec[_R_B1:_R_B1 + 1, :] * F0
-              + rec[_R_B1 + 1:_R_B1 + 2, :] * F1
-              + rec[_R_B1 + 2:_R_B1 + 3, :] * F2)
-        N2 = (rec[_R_B2:_R_B2 + 1, :] * F0
-              + rec[_R_B2 + 1:_R_B2 + 2, :] * F1
-              + rec[_R_B2 + 2:_R_B2 + 3, :] * F2)
+        N1 = forms(_R_N1)
+        N2 = forms(_R_N2)
         tri_row = jnp.broadcast_to(rec[_R_TRI:_R_TRI + 1, :], zc.shape)
 
         take = win_z > z_acc

@@ -44,6 +44,11 @@ class RenderSettings:
     # frame + pattern-major packet relayout) — packet-coherent AO rays.
     # False reproduces the reference's per-pixel draw (rt_shadow.rgen:85-96).
     ao_interleaved: bool = True
+    # Trace AO at half resolution (quarter ray count) and reconstruct
+    # with a depth-aware joint bilateral upsample before SVGF. The
+    # reference traces AO full-res (rt_shadow.rgen); this is the
+    # standard half-res ray-effect tradeoff, off by default for parity.
+    ao_half_res: bool = False
 
     # Reflection roughness cutoff (reflection.rgen:55-63)
     reflection_roughness_cutoff: float = 0.6

@@ -57,22 +57,41 @@ def make_rt_shadow_pass(settings):
 
         ao = jnp.ones((H, W), jnp.float32)
         if settings.flags & RenderFlags.AO:
-            if settings.ao_interleaved:
-                ao_dir = sampling.interleaved_cos_hemisphere(
-                    params.frame_index, n)
-                ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
-                                      settings.ao_radius, active=~bg,
-                                      layout="pattern")
-            elif settings.use_blue_noise:
-                bn = sampling.blue_noise_uniforms(
-                    sc.blue_noise, params.frame_index, H, W)
-                ao_dir = sampling.cos_hemisphere_from_uniforms(bn[..., 0], bn[..., 1], n)
-                ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
-                                      settings.ao_radius, active=~bg)
+
+            def trace_ao(nrm, wpos, bgm, hh, ww, sd=None):
+                if settings.ao_interleaved:
+                    ao_dir = sampling.interleaved_cos_hemisphere(
+                        params.frame_index, nrm)
+                    return ctx.shadow_query(wpos, nrm, ao_dir,
+                                            settings.ao_radius, active=~bgm,
+                                            layout="pattern")
+                if settings.use_blue_noise:
+                    bn = sampling.blue_noise_uniforms(
+                        sc.blue_noise, params.frame_index, hh, ww)
+                    ao_dir = sampling.cos_hemisphere_from_uniforms(
+                        bn[..., 0], bn[..., 1], nrm)
+                else:
+                    if sd is None:
+                        # half-res grid draws its own per-pixel seeds
+                        yh = jnp.arange(hh, dtype=jnp.uint32)[:, None]
+                        xh = jnp.arange(ww, dtype=jnp.uint32)[None, :]
+                        sd = sampling.init_random_seed(
+                            yh * jnp.uint32(ww) + xh, params.frame_index)
+                    ao_dir, _ = sampling.cos_hemisphere_sample(sd, nrm)
+                return ctx.shadow_query(wpos, nrm, ao_dir,
+                                        settings.ao_radius, active=~bgm)
+
+            if settings.ao_half_res:
+                # quarter ray count at the top-left quad representative,
+                # depth-aware joint bilateral reconstruction to full res
+                ao_h = trace_ao(n[::2, ::2], gb.world_pos[::2, ::2],
+                                bg[::2, ::2], (H + 1) // 2, (W + 1) // 2)
+                ao = img_ops.upsample2x_depth_aware(
+                    ao_h, gb.linear_depth[::2, ::2], gb.linear_depth)
             else:
-                ao_dir, seed = sampling.cos_hemisphere_sample(seed, n)
-                ao = ctx.shadow_query(gb.world_pos, n, ao_dir,
-                                      settings.ao_radius, active=~bg)
+                # full res continues the light-sampling seed stream
+                # (rt_shadow.rgen:53 semantics)
+                ao = trace_ao(n, gb.world_pos, bg, H, W, sd=seed)
 
         shadow = jnp.where(bg, 1.0, shadow)
         ao = jnp.where(bg, 1.0, ao)

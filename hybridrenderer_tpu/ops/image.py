@@ -130,6 +130,52 @@ def from_tile_major(flat, height: int, width: int, tile_h: int = 32,
     return p.reshape((Hp, Wp) + rest)[:height, :width]
 
 
+def upsample2x_depth_aware(val_half, z_half, z_full, sigma_scale=0.1):
+    """Joint (depth-guided) bilateral 2× upsample of a half-res signal.
+
+    Each full-res pixel blends the four nearest half-res sample centers
+    with bilinear × depth-similarity weights, so low-res AO/GI signals
+    upsample without bleeding across depth edges (the standard
+    half-resolution ray-effect reconstruction; the SVGF chain after it
+    treats the result like any 1-spp signal). ``z_half`` is the linear
+    depth of the pixels the half-res signal was traced from (the quad
+    representatives), ``z_full`` the full-res linear depth.
+
+    Built from repeats + static shifts only — no gathers (XLA row
+    gathers cost ~26-55 ns/row; see CLAUDE.md).
+    """
+    H, W = z_full.shape[:2]
+    up = jnp.repeat(jnp.repeat(val_half, 2, 0), 2, 1)[:H, :W]
+    zu = jnp.repeat(jnp.repeat(z_half, 2, 0), 2, 1)[:H, :W]
+    odd_y = (jnp.arange(H)[:, None] & 1).astype(bool)
+    odd_x = (jnp.arange(W)[None, :] & 1).astype(bool)
+
+    def quad_neighbor(img, axis):
+        # even rows/cols sit in the top/left half of their quad: the
+        # nearest neighbor quad is above/left (index −2 in the repeated
+        # image); odd rows/cols look below/right (+2)
+        if axis == 0:
+            return jnp.where(odd_y, shift(img, 2, 0), shift(img, -2, 0))
+        return jnp.where(odd_x, shift(img, 0, 2), shift(img, 0, -2))
+
+    taps = (
+        (up, zu, 0.75 * 0.75),
+        (quad_neighbor(up, 1), quad_neighbor(zu, 1), 0.25 * 0.75),
+        (quad_neighbor(up, 0), quad_neighbor(zu, 0), 0.75 * 0.25),
+        (quad_neighbor(quad_neighbor(up, 0), 1),
+         quad_neighbor(quad_neighbor(zu, 0), 1), 0.25 * 0.25),
+    )
+    sigma = sigma_scale * jnp.maximum(jnp.abs(z_full), 1e-3)
+    acc = jnp.zeros_like(up)
+    wacc = jnp.zeros_like(z_full)
+    for v, z, wb in taps:
+        w = wb * jnp.exp(-jnp.abs(z - z_full) / sigma)
+        acc = acc + v * w
+        wacc = wacc + w
+    # all taps rejected (isolated depth sliver): fall back to own quad
+    return jnp.where(wacc > 1e-6, acc / jnp.maximum(wacc, 1e-6), up)
+
+
 def pixel_uv_grid(height: int, width: int):
     """(H, W, 2) uv at pixel centers — the shaders' ``(ipos+0.5)/size``."""
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width

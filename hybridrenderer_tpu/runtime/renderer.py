@@ -27,6 +27,7 @@ from ..core.camera import OrbitCamera
 from ..graph.params import FrameParams, FrameState
 from ..graph.passes import FrameContext
 from ..paths.factory import create_render_path
+from .log import core as _log
 
 
 class Renderer:
@@ -53,7 +54,12 @@ class Renderer:
         if needs_rt:
             from ..ops import trace as trace_ops
 
+            t0 = time.perf_counter()
             tracer = trace_ops.SceneTracer.build(scene_data, settings)
+            _log().info("ray tracer attached",
+                        backend=tracer.backend,
+                        tris=int(scene_data.num_triangles),
+                        build_ms=round(1e3 * (time.perf_counter() - t0), 1))
         return cls(settings, scene_data, tracer=tracer)
 
     # --- jitted frame function per (history_valid,) ---------------------
@@ -61,6 +67,9 @@ class Renderer:
         key = history_valid
         if key in self._fns:
             return self._fns[key]
+        _log().debug("building frame fn", path=type(self.path).__name__,
+                     history_valid=history_valid,
+                     size=f"{self.settings.width}x{self.settings.height}")
 
         path = self.path
         settings = self.settings
@@ -143,6 +152,7 @@ class Renderer:
         from ..core.types import RenderFlags, RenderPathType
         from ..paths.factory import create_render_path
 
+        _log().info("switching render path", to=str(path_type))
         self.settings = self.settings.replace(path=path_type)
         self.path = create_render_path(self.settings)
         needs_rt = (path_type == RenderPathType.RAYTRACED) or bool(

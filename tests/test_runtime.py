@@ -47,3 +47,32 @@ def test_switch_path_builds_tracer_on_demand():
     img = r.render_np(OrbitCamera(width=48, height=48, distance=7.0,
                                   pitch=0.45).step())
     assert np.isfinite(img).all()
+
+
+def test_structured_log_channels(capsys):
+    """Log component analog (Log.h:10-30): named channels, levels,
+    structured fields, caller location."""
+    import logging
+
+    from hybridrenderer_tpu.runtime import log
+
+    ch = log.core().bind(scene="cube")
+    rec = {}
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            rec["line"] = self.format(record)
+
+    lg = logging.getLogger("CHIMERA")
+    cap = Capture()
+    cap.setFormatter(lg.handlers[0].formatter)
+    lg.addHandler(cap)
+    try:
+        ch.info("scene built", tris=12)
+        assert "CHIMERA info" in rec["line"]
+        assert "scene=cube" in rec["line"] and "tris=12" in rec["line"]
+        assert "test_runtime.py" in rec["line"]   # caller, not log.py
+        ch.trace("suppressed at info")            # default level: info
+        assert "suppressed" not in rec["line"]
+    finally:
+        lg.removeHandler(cap)

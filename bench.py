@@ -22,25 +22,51 @@ import sys
 import time
 
 
-def _time_config(settings, data, cam_kw, frames):
+def _time_config(settings, data, cam_kw, frames, burst=None):
     """ms/frame for one static config; chained frames, one readback fence,
-    first post-compile execution discarded (CLAUDE.md methodology)."""
+    first post-compile execution discarded (CLAUDE.md methodology).
+
+    ``burst`` > 1 submits that many frames per dispatch via
+    Renderer.render_burst (frames-in-flight analog) — the per-dispatch
+    tunnel floor measured ~50 ms (BENCH.md), so single-frame dispatch
+    understates achievable throughput by that constant."""
     import numpy as np
 
     from hybridrenderer_tpu.core.camera import OrbitCamera
     from hybridrenderer_tpu.runtime.renderer import Renderer
 
+    if burst is None:
+        burst = int(os.environ.get("BENCH_BURST", "8"))
     r = Renderer.for_scene(settings, data)
     cam = OrbitCamera(width=settings.width, height=settings.height, **cam_kw)
-    out = r.render(cam.step(taa_enabled=True))
-    out = r.render(cam.step(taa_enabled=True))
-    _ = np.asarray(out[0, 0])
+
+    def steps(n):
+        out = []
+        for _ in range(n):
+            out.append(cam.step(taa_enabled=True))
+            cam.orbit(0.01, 0.0)
+        return out
+
+    if burst <= 1:
+        out = r.render(steps(1)[0])
+        out = r.render(steps(1)[0])
+        _ = np.asarray(out[0, 0])
+        t0 = time.perf_counter()
+        for c in steps(frames):
+            out = r.render(c)
+        _ = np.asarray(out[0, 0])
+        return 1000.0 * (time.perf_counter() - t0) / frames
+
+    frames = max(frames, burst)
+    out = r.render_burst(steps(burst))           # cold: compile + warm
+    out = r.render_burst(steps(burst))           # warm variant compile
+    _ = np.asarray(out[-1, 0, 0])
+    n_bursts = max(1, frames // burst)
     t0 = time.perf_counter()
-    for _ in range(frames):
-        cam.orbit(0.01, 0.0)
-        out = r.render(cam.step(taa_enabled=True))
-    _ = np.asarray(out[0, 0])
-    return 1000.0 * (time.perf_counter() - t0) / frames
+    for _ in range(n_bursts):
+        out = r.render_burst(steps(burst))
+    _ = np.asarray(out[-1, 0, 0])
+    return 1000.0 * (time.perf_counter() - t0) / (n_bursts * burst)
 
 
 def main():
@@ -115,6 +141,10 @@ def main():
         fwd_ms = _time_config(
             settings_for(RenderPathType.FORWARD, forward_flags), data,
             cam_kw, ladder_frames)
+        half_ms = _time_config(
+            RenderSettings(width=width, height=height,
+                           path=RenderPathType.HYBRID, flags=hybrid_flags,
+                           ao_half_res=True), data, cam_kw, ladder_frames)
         extra["breakdown"] = {
             "raster_gbuffer_comp_ms": round(raster_ms, 1),
             "shadow_rays_ms": round(shadow_ms, 1),
@@ -126,6 +156,7 @@ def main():
             if ao_ms > 0 else None,
             "full_graph_refl_gi_ms": round(full_ms, 1),
             "forward_taa_ms": round(fwd_ms, 1),
+            "hybrid_ao_half_res_ms": round(half_ms, 1),
         }
 
     result = {

@@ -75,7 +75,9 @@ class WideBVH:
 
     @property
     def vmem_bytes(self) -> int:
-        return (np.prod(self.nodes.shape) + np.prod(self.leaves.shape)) * 4
+        itemsize = np.asarray(self.nodes).dtype.itemsize
+        return int(np.prod(self.nodes.shape)
+                   + np.prod(self.leaves.shape)) * itemsize
 
 
 def _depths(parent: np.ndarray) -> np.ndarray:
@@ -324,6 +326,126 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2) -> WideBVH:
                        node_rec.transpose(0, 2, 1).reshape(-1, 48)),
                    leaves_flat=np.ascontiguousarray(
                        leaf_rec.transpose(0, 2, 1).reshape(-1, 48)))
+
+
+def _bf16_down(x: np.ndarray) -> np.ndarray:
+    """Largest bfloat16 ≤ x (conservative AABB-min rounding)."""
+    import ml_dtypes
+
+    b = x.astype(np.float32).astype(ml_dtypes.bfloat16)
+    bits = b.view(np.uint16).copy()
+    too_high = b.astype(np.float32) > x
+    neg = bits >= 0x8000
+    # +0 stepping down crosses to the smallest-magnitude negative value
+    is_pzero = bits == 0
+    stepped = np.where(neg, bits + 1, bits - 1).astype(np.uint16)
+    stepped = np.where(is_pzero, np.uint16(0x8001), stepped)
+    bits = np.where(too_high, stepped, bits)
+    return bits.view(ml_dtypes.bfloat16)
+
+
+def _bf16_up(x: np.ndarray) -> np.ndarray:
+    """Smallest bfloat16 ≥ x (conservative AABB-max rounding)."""
+    import ml_dtypes
+
+    b = x.astype(np.float32).astype(ml_dtypes.bfloat16)
+    bits = b.view(np.uint16).copy()
+    too_low = b.astype(np.float32) < x
+    # normalize -0 → +0 so the uint16 step is monotone
+    bits = np.where(bits == 0x8000, np.uint16(0), bits)
+    neg = bits >= 0x8000
+    stepped = np.where(neg, bits - 1, bits + 1).astype(np.uint16)
+    bits = np.where(too_low, stepped, bits)
+    return bits.view(ml_dtypes.bfloat16)
+
+
+def quantize_bf16(wide: WideBVH) -> WideBVH:
+    """bf16 record variant: halves the VMEM-resident footprint (the
+    traversal's scene budget doubles — the rung between the f32 in-VMEM
+    path and HBM streaming for huge scenes).
+
+    Correctness shape:
+      * node AABBs round **outward** (min down, max up) — quantized
+        boxes strictly contain the f32 boxes, so traversal can only
+        *add* visits, never miss a true hit;
+      * leaf geometry (v0/e1/e2) quantizes round-to-nearest: hit points
+        move by O(2⁻⁸) relative — acceptable for shadow/AO visibility
+        (the SceneTracer only auto-selects this variant when f32 does
+        not fit, where the alternative is the ~300× jnp fallback);
+      * triangle ids are NOT bf16-representable above 512: each id is
+        split into three exact byte rows (lo, mid, hi at record rows
+        12t+9..11 — rows 10/11 were spare) and reassembled exactly in
+        f32 arithmetic at pop time (ids < 2²⁴).
+    """
+    import ml_dtypes
+
+    nodes = wide.nodes
+    leaves = wide.leaves.copy()
+    qn = np.empty(nodes.shape, ml_dtypes.bfloat16)
+    for c in range(WIDTH):
+        r = 6 * c
+        qn[:, r:r + 3, :] = _bf16_down(nodes[:, r:r + 3, :])
+        qn[:, r + 3:r + 6, :] = _bf16_up(nodes[:, r + 3:r + 6, :])
+    ql = np.empty(leaves.shape, ml_dtypes.bfloat16)
+    for t in range(LEAF_TRIS):
+        r = 12 * t
+        ql[:, r:r + 9, :] = leaves[:, r:r + 9, :].astype(ml_dtypes.bfloat16)
+        tid = leaves[:, r + 9, :].astype(np.int64)
+        miss = tid < 0
+        safe = np.maximum(tid, 0)
+        ql[:, r + 9, :] = np.where(miss, -1.0, safe & 255).astype(
+            ml_dtypes.bfloat16)
+        ql[:, r + 10, :] = np.where(miss, -1.0, (safe >> 8) & 255).astype(
+            ml_dtypes.bfloat16)
+        ql[:, r + 11, :] = np.where(miss, -1.0, safe >> 16).astype(
+            ml_dtypes.bfloat16)
+    return dataclasses.replace(wide, nodes=qn, leaves=ql,
+                               nodes_flat=None, leaves_flat=None)
+
+
+def _bf16_outward_jnp(x, up: bool):
+    """Device-side conservative bf16 rounding (refit path analog of
+    _bf16_down/_bf16_up)."""
+    b = x.astype(jnp.bfloat16)
+    bits = jax.lax.bitcast_convert_type(b, jnp.uint16)
+    bf = b.astype(jnp.float32)
+    if up:
+        need = bf < x
+        bits = jnp.where(bits == 0x8000, jnp.uint16(0), bits)
+        neg = bits >= 0x8000
+        stepped = jnp.where(neg, bits - 1, bits + 1).astype(jnp.uint16)
+    else:
+        need = bf > x
+        neg = bits >= 0x8000
+        stepped = jnp.where(neg, bits + 1, bits - 1).astype(jnp.uint16)
+        stepped = jnp.where(bits == 0, jnp.uint16(0x8001), stepped)
+    out = jnp.where(need, stepped, bits)
+    return jax.lax.bitcast_convert_type(out, jnp.bfloat16)
+
+
+@jax.jit
+def quantize_refit_device(nodes, leaves):
+    """f32 refit records → bf16 records, matching quantize_bf16's layout
+    (outward boxes + 3-byte-row ids) without a host round-trip — keeps
+    dynamic-scene refits all-device for bf16-quantized scenes."""
+    row = jnp.arange(48)
+    is_max_row = (row % 6) >= 3
+    qn = jnp.where(is_max_row[None, :, None],
+                   _bf16_outward_jnp(nodes, True),
+                   _bf16_outward_jnp(nodes, False))
+    parts = []
+    for t in range(LEAF_TRIS):
+        r = 12 * t
+        geom = leaves[:, r:r + 9, :].astype(jnp.bfloat16)
+        tid = leaves[:, r + 9, :]
+        miss = tid < 0
+        safe = jnp.maximum(tid, 0.0).astype(jnp.int32)
+        lo = jnp.where(miss, -1.0, (safe & 255).astype(jnp.float32))
+        mid = jnp.where(miss, -1.0, ((safe >> 8) & 255).astype(jnp.float32))
+        hi = jnp.where(miss, -1.0, (safe >> 16).astype(jnp.float32))
+        ids = jnp.stack([lo, mid, hi], axis=1).astype(jnp.bfloat16)
+        parts += [geom, ids]
+    return qn, jnp.concatenate(parts, axis=1)
 
 
 @jax.jit

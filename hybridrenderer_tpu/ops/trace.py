@@ -223,16 +223,25 @@ class SceneTracer:
             # host-side wide collapse (BLAS/TLAS build analog); runs once
             # per scene TOPOLOGY change, outside jit — transform-only
             # updates go through refit() entirely on-device
-            from . import bvh_wide
+            from . import bvh_wide, trace_pallas
 
             wide = bvh_wide.build_wide(bvh, soup.v0, soup.v1, soup.v2)
-            wn = jnp.asarray(wide.nodes)
-            wl = jnp.asarray(wide.leaves)
-            wm = jnp.asarray(wide.meta)
-            scb = jnp.asarray(wide.slot_child_bin)
-            ct = jnp.asarray(wide.cluster_tri)
-            wnf = jnp.asarray(wide.nodes_flat)
-            wlf = jnp.asarray(wide.leaves_flat)
+            if wide.vmem_bytes > trace_pallas.VMEM_SCENE_BUDGET:
+                # f32 records don't fit: bf16 quantization halves the
+                # footprint (outward boxes — correctness preserved for
+                # visibility, geometry at 2^-8 relative)
+                wide = bvh_wide.quantize_bf16(wide)
+            if wide.vmem_bytes <= trace_pallas.VMEM_SCENE_BUDGET:
+                wn = jnp.asarray(wide.nodes)
+                wl = jnp.asarray(wide.leaves)
+                wm = jnp.asarray(wide.meta)
+                scb = jnp.asarray(wide.slot_child_bin)
+                ct = jnp.asarray(wide.cluster_tri)
+                if wide.nodes_flat is not None:
+                    wnf = jnp.asarray(wide.nodes_flat)
+                    wlf = jnp.asarray(wide.leaves_flat)
+            else:  # beyond even bf16: SIMT jnp fallback
+                backend = "jnp"
         return SceneTracer(bvh=bvh, internal_tiles=itiles, leaf_tiles=ltiles,
                            wide_nodes=wn, wide_leaves=wl, wide_meta=wm,
                            wide_nodes_flat=wnf, wide_leaves_flat=wlf,
@@ -252,10 +261,14 @@ class SceneTracer:
         wn, wl = self.wide_nodes, self.wide_leaves
         wnf, wlf = self.wide_nodes_flat, self.wide_leaves_flat
         if wn is not None:
+            was_bf16 = wn.dtype == jnp.bfloat16
             wn, wl, wnf, wlf = bvh_wide.refit_wide(
                 self.slot_child_bin, self.cluster_tri,
                 new_bvh.node_min, new_bvh.node_max,
                 soup.v0, soup.v1, soup.v2)
+            if was_bf16:
+                wn, wl = bvh_wide.quantize_refit_device(wn, wl)
+                wnf = wlf = None
         return dataclasses.replace(self, bvh=new_bvh,
                                    internal_tiles=itiles, leaf_tiles=ltiles,
                                    wide_nodes=wn, wide_leaves=wl,
@@ -375,7 +388,8 @@ class SceneTracer:
         if self.backend == "pallas-wide":
             from . import trace_pallas
 
-            if trace_pallas.WIDE_EXTRACT == "scalar":
+            if trace_pallas.WIDE_EXTRACT == "scalar" \
+                    and self.wide_nodes_flat is not None:
                 return trace_pallas.intersect_wide(
                     self.wide_nodes_flat, self.wide_leaves_flat,
                     self.wide_meta, o, d, tmin, tmax, any_hit=any_hit,
@@ -544,6 +558,9 @@ def _detect_backend(requested: str, num_tris: int = 0) -> str:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         platform = "cpu"
-    if platform == "tpu" and num_tris > 0 and trace_pallas.fits_vmem(num_tris):
+    if platform == "tpu" and num_tris > 0 \
+            and trace_pallas.fits_vmem_wide(num_tris):
+        # optimistic gate (~28 B/tri after bf16): the exact
+        # keep/quantize/fall-back decision happens post-build_wide
         return "pallas-wide"
     return "jnp"

@@ -70,6 +70,14 @@ def fits_vmem(num_tris: int) -> bool:
     return num_tris * 128 < VMEM_SCENE_BUDGET  # 64B/leaf + 64B/internal
 
 
+def fits_vmem_wide(num_tris: int) -> bool:
+    """Optimistic gate for the wide-record path: ~56 B/tri as f32
+    records (4-tri leaf clusters), ~28 B/tri after bf16 quantization.
+    The exact keep/quantize/fall-back decision happens after build_wide
+    against the actual packed-array sizes (SceneTracer.build)."""
+    return num_tris * 28 < VMEM_SCENE_BUDGET
+
+
 def _pack_rows(rows):
     """(N, 16) field matrix → (ceil(N/128), 16, 128) tile layout."""
     n = rows.shape[0]
@@ -564,6 +572,7 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
                       dummy_leaf)
 
         # ---- leaf visit: 4 batched Möller–Trumbore, no transfers ----
+        bf16 = leaves_ref.dtype == jnp.bfloat16
         if extract == "scalar":
             # dynamic-sublane scalar VMEM reads: field extraction runs
             # on the scalar unit, freeing the VPU (which this kernel
@@ -572,7 +581,7 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
                 return leaves_ref[k, r]
         else:
             kloh = (lane_iota == (k & 127)).astype(jnp.float32)
-            ltile = leaves_ref[k >> 7]          # (48, 128)
+            ltile = leaves_ref[k >> 7].astype(jnp.float32)  # (48, 128)
             # ONE batched lane-reduce extracts all 48 fields; per-field
             # use is a static sublane slice (cheaper than 40 separate
             # reduces)
@@ -586,7 +595,13 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
             p0x, p0y, p0z = lf(r + 0), lf(r + 1), lf(r + 2)
             a1x, a1y, a1z = lf(r + 3), lf(r + 4), lf(r + 5)
             a2x, a2y, a2z = lf(r + 6), lf(r + 7), lf(r + 8)
-            tid = lf(r + 9)
+            if bf16:
+                # ids ride three exact byte rows (bf16 can't hold ids
+                # > 512 exactly; bvh_wide.quantize_bf16). Padding rows
+                # are all -1 → decoded id < 0 → miss.
+                tid = lf(r + 9) + lf(r + 10) * 256.0 + lf(r + 11) * 65536.0
+            else:
+                tid = lf(r + 9)
             pvx = dy * a2z - dz * a2y
             pvy = dz * a2x - dx * a2z
             pvz = dx * a2y - dy * a2x
@@ -615,7 +630,7 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
                 return nodes_ref[i, r]
         else:
             iloh = (lane_iota == (i & 127)).astype(jnp.float32)
-            itile = nodes_ref[i >> 7]           # (48, 128)
+            itile = nodes_ref[i >> 7].astype(jnp.float32)  # (48, 128)
             icol = jnp.sum(itile * iloh, axis=1, keepdims=True)   # (48,1)
 
             def nfv(r):
@@ -732,6 +747,9 @@ def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
     tmax_p = jnp.pad(tmax_full, (0, pad),
                      constant_values=-1.0).reshape(rows, PACKET_COLS)
 
+    if nodes.dtype == jnp.bfloat16 and extract == "scalar":
+        raise ValueError("bf16 records support only one-hot extraction")
+
     blk_rows = PACKET_ROWS * npk
     ray_spec = pl.BlockSpec((blk_rows, PACKET_COLS), lambda i, *_: (i, 0))
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -742,8 +760,8 @@ def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
         in_specs=[hbm, hbm] + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM(nodes.shape, jnp.float32),
-            pltpu.VMEM(leaves.shape, jnp.float32),
+            pltpu.VMEM(nodes.shape, nodes.dtype),
+            pltpu.VMEM(leaves.shape, leaves.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

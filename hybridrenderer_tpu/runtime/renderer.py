@@ -63,14 +63,10 @@ class Renderer:
         return cls(settings, scene_data, tracer=tracer)
 
     # --- jitted frame function per (history_valid,) ---------------------
-    def _get_frame_fn(self, history_valid: bool):
-        key = history_valid
-        if key in self._fns:
-            return self._fns[key]
-        _log().debug("building frame fn", path=type(self.path).__name__,
-                     history_valid=history_valid,
-                     size=f"{self.settings.width}x{self.settings.height}")
-
+    def _frame_body(self, history_valid: bool):
+        """One frame's math: (scene, packed_row, state, tracer) →
+        (out, new_state, stats). Shared by the single-frame fn and the
+        burst scan body."""
         path = self.path
         settings = self.settings
         has_tracer = self.tracer is not None
@@ -115,7 +111,58 @@ class Renderer:
                 stats = jax.numpy.zeros((2,), jax.numpy.int32)
             return out, new_state, stats
 
-        fn = jax.jit(frame, donate_argnums=(2,))
+        return frame
+
+    def _get_frame_fn(self, history_valid: bool):
+        key = history_valid
+        if key in self._fns:
+            return self._fns[key]
+        _log().debug("building frame fn", path=type(self.path).__name__,
+                     history_valid=history_valid,
+                     size=f"{self.settings.width}x{self.settings.height}")
+        fn = jax.jit(self._frame_body(history_valid), donate_argnums=(2,))
+        self._fns[key] = fn
+        return fn
+
+    def _get_burst_fn(self, first_history_valid: bool, k: int):
+        """K frames per dispatch via lax.scan (frames-in-flight analog,
+        Renderer.cpp:147-309): ONE host transfer + ONE device dispatch
+        per burst. The per-frame dispatch/transfer floor through the
+        axon tunnel measured ~50 ms (BENCH.md batch-2 probes) — a burst
+        of K amortizes it K×. History flows through the scan carry with
+        the same semantics as sequential render() calls."""
+        key = ("burst", first_history_valid, k)
+        if key in self._fns:
+            return self._fns[key]
+        _log().debug("building burst fn", k=k,
+                     first_history_valid=first_history_valid)
+        warm = self._frame_body(True)
+
+        def scan_body(tracer, scene, carry, row):
+            out, new_state, stats = warm(scene, row, carry, tracer)
+            return new_state, (out, stats)
+
+        if first_history_valid:
+            def burst(scene, packed_rows, state, tracer):
+                state, (outs, stats) = jax.lax.scan(
+                    lambda c, r: scan_body(tracer, scene, c, r),
+                    state, packed_rows)
+                return outs, state, stats[-1]
+        else:
+            cold = self._frame_body(False)
+
+            def burst(scene, packed_rows, state, tracer):
+                out0, state, stats0 = cold(scene, packed_rows[0], state,
+                                           tracer)
+                if k == 1:
+                    return out0[None], state, stats0
+                state, (outs, stats) = jax.lax.scan(
+                    lambda c, r: scan_body(tracer, scene, c, r),
+                    state, packed_rows[1:])
+                return (jax.numpy.concatenate([out0[None], outs], axis=0),
+                        state, stats[-1])
+
+        fn = jax.jit(burst, donate_argnums=(2,))
         self._fns[key] = fn
         return fn
 
@@ -123,12 +170,8 @@ class Renderer:
     def render(self, cam_state, exposure: float = 1.0,
                svgf_phi=(4.0, 128.0, 0.02, 0.0)):
         """Render one frame; returns the device array (async)."""
-        packed = np.concatenate([
-            cam_state.pack(),
-            np.asarray([exposure], np.float32),
-            np.asarray(svgf_phi, np.float32),
-            np.asarray([self.frame_count], np.float32),
-        ])
+        packed = self._pack_row(cam_state, exposure, svgf_phi,
+                                self.frame_count)
         fn = self._get_frame_fn(history_valid=self.frame_count > 0)
         out, self.state, self._stats = fn(self.scene, packed, self.state,
                                           self.tracer)
@@ -137,6 +180,31 @@ class Renderer:
 
     def render_np(self, cam_state, **kw) -> np.ndarray:
         return np.asarray(self.render(cam_state, **kw))
+
+    def _pack_row(self, cam_state, exposure, svgf_phi, frame_index):
+        return np.concatenate([
+            cam_state.pack(),
+            np.asarray([exposure], np.float32),
+            np.asarray(svgf_phi, np.float32),
+            np.asarray([frame_index], np.float32),
+        ])
+
+    def render_burst(self, cam_states, exposure: float = 1.0,
+                     svgf_phi=(4.0, 128.0, 0.02, 0.0)):
+        """Render K frames in ONE dispatch (frames-in-flight analog —
+        the reference keeps 2-3 frames in flight, Renderer.cpp:147-309;
+        here the whole burst is a single device program so the ~50 ms
+        per-dispatch tunnel cost is paid once per K frames). Returns a
+        (K, H, W, 3) device array; history semantics are identical to K
+        sequential render() calls."""
+        rows = np.stack([
+            self._pack_row(cs, exposure, svgf_phi, self.frame_count + i)
+            for i, cs in enumerate(cam_states)])
+        fn = self._get_burst_fn(self.frame_count > 0, len(cam_states))
+        outs, self.state, self._stats = fn(self.scene, rows, self.state,
+                                           self.tracer)
+        self.frame_count += len(cam_states)
+        return outs
 
     def frame_stats(self) -> dict:
         """Last frame's (drawn, culled) instance counts — the FrameStats

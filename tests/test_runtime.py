@@ -76,3 +76,34 @@ def test_structured_log_channels(capsys):
         assert "suppressed" not in rec["line"]
     finally:
         lg.removeHandler(cap)
+
+
+def test_burst_matches_sequential_renders():
+    """render_burst (frames-in-flight analog): K frames in one dispatch
+    must be bit-identical to K sequential render() calls, history
+    included."""
+    from hybridrenderer_tpu.core.types import RenderFlags as RF
+
+    data = scenes.cornell_scene().build()
+    # forward + TAA: cheap to compile on CPU, still carries history
+    # through the scan (the hybrid/SVGF burst is exercised on TPU via
+    # bench.py BENCH_BURST)
+    s = RenderSettings(width=48, height=48, path=RenderPathType.FORWARD,
+                       flags=RF.LIGHT | RF.TAA)
+
+    def cams(n):
+        cam = OrbitCamera(width=48, height=48, distance=6.0, pitch=0.3,
+                          yaw=0.4, focal_point=(0, 1.0, 0))
+        out = []
+        for _ in range(n):
+            out.append(cam.step(taa_enabled=True))
+            cam.orbit(0.02, 0.0)
+        return out
+
+    seq = Renderer.for_scene(s, data)
+    frames_seq = [seq.render_np(c) for c in cams(3)]
+    bur = Renderer.for_scene(s, data)
+    frames_bur = np.asarray(bur.render_burst(cams(3)))
+    assert frames_bur.shape[0] == 3
+    for i in range(3):
+        np.testing.assert_array_equal(frames_bur[i], frames_seq[i])

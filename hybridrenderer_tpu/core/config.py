@@ -52,6 +52,12 @@ class RenderSettings:
 
     # Reflection roughness cutoff (reflection.rgen:55-63)
     reflection_roughness_cutoff: float = 0.6
+    # Half-resolution secondary rays (reflection / diffuse GI) with
+    # depth-aware upsample — same tradeoff as ao_half_res, off by
+    # default for reference parity (reflection.rgen / diffuse_gi.rgen
+    # trace full-res).
+    reflection_half_res: bool = False
+    gi_half_res: bool = False
 
     # Blue-noise sample draws for 1-spp GI / per-pixel AO (the reference
     # fetches a tiled blue-noise texture with a per-frame integer offset,

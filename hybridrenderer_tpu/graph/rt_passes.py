@@ -116,10 +116,19 @@ def make_rt_reflection_pass(settings):
         v = _reconstruct_dirs(gb, ctx.cam)
         refl_dir = maths.reflect(v, n)
         origin = sampling.offset_ray(gb.world_pos, n)
-        radiance, _dist = ctx.trace_radiance(origin, refl_dir, ctx, 0)
-
         rough = gb.material[..., 0]
         cut = (rough > settings.reflection_roughness_cutoff) | gb.background
+        if settings.reflection_half_res:
+            rad_h, _ = ctx.trace_radiance(
+                origin[::2, ::2], refl_dir[::2, ::2], ctx, 0,
+                active=~cut[::2, ::2])
+            radiance = img_ops.upsample2x_depth_aware(
+                rad_h, gb.linear_depth[::2, ::2], gb.linear_depth)
+        else:
+            # active mask: rays above the roughness cutoff are zeroed
+            # below anyway — skip their traversals entirely
+            radiance, _dist = ctx.trace_radiance(origin, refl_dir, ctx, 0,
+                                                 active=~cut)
         rgb = jnp.where(cut[..., None], 0.0, radiance)
         return {RS.REFLECTION_RAW: jnp.concatenate(
             [rgb, jnp.ones((H, W, 1), jnp.float32)], axis=-1)}
@@ -138,21 +147,35 @@ def make_rt_gi_pass(settings):
             return {RS.GI_RAW: zeros}
 
         params = ctx.params
-        n = gb.normal
-        if settings.use_blue_noise:
-            # blue-noise 1-spp draws (raygen.rgen:29-31 semantics); zw
-            # channels so the GI bounce decorrelates from the AO draw
-            bn = sampling.blue_noise_uniforms(
-                ctx.scene.blue_noise, params.frame_index, H, W)
-            ray_dir = sampling.cos_hemisphere_from_uniforms(bn[..., 2], bn[..., 3], n)
+
+        def trace_gi(nrm, wpos, bgm, hh, ww):
+            if settings.use_blue_noise:
+                # blue-noise 1-spp draws (raygen.rgen:29-31 semantics);
+                # zw channels so the GI bounce decorrelates from AO
+                bn = sampling.blue_noise_uniforms(
+                    ctx.scene.blue_noise, params.frame_index, hh, ww)
+                ray_dir = sampling.cos_hemisphere_from_uniforms(
+                    bn[..., 2], bn[..., 3], nrm)
+            else:
+                ys = jnp.arange(hh, dtype=jnp.uint32)[:, None]
+                xs = jnp.arange(ww, dtype=jnp.uint32)[None, :]
+                seed = sampling.init_random_seed(ys * jnp.uint32(ww) + xs,
+                                                 params.frame_index)
+                ray_dir, _ = sampling.cos_hemisphere_sample(seed, nrm)
+            origin = sampling.offset_ray(wpos, nrm)
+            rad, _ = ctx.trace_radiance(origin, ray_dir, ctx, 0,
+                                        active=~bgm)
+            return rad
+
+        if settings.gi_half_res:
+            rad_h = trace_gi(gb.normal[::2, ::2], gb.world_pos[::2, ::2],
+                             gb.background[::2, ::2],
+                             (H + 1) // 2, (W + 1) // 2)
+            radiance = img_ops.upsample2x_depth_aware(
+                rad_h, gb.linear_depth[::2, ::2], gb.linear_depth)
         else:
-            ys = jnp.arange(H, dtype=jnp.uint32)[:, None]
-            xs = jnp.arange(W, dtype=jnp.uint32)[None, :]
-            seed = sampling.init_random_seed(ys * jnp.uint32(W) + xs,
-                                             params.frame_index)
-            ray_dir, seed = sampling.cos_hemisphere_sample(seed, n)
-        origin = sampling.offset_ray(gb.world_pos, n)
-        radiance, _dist = ctx.trace_radiance(origin, ray_dir, ctx, 0)
+            radiance = trace_gi(gb.normal, gb.world_pos, gb.background,
+                                H, W)
         rgb = jnp.where(gb.background[..., None], 0.0, radiance)
         return {RS.GI_RAW: jnp.concatenate(
             [rgb, jnp.ones((H, W, 1), jnp.float32)], axis=-1)}

@@ -154,9 +154,12 @@ def upsample2x_depth_aware(val_half, z_half, z_full, sigma_scale=0.1):
         # even rows/cols sit in the top/left half of their quad: the
         # nearest neighbor quad is above/left (index −2 in the repeated
         # image); odd rows/cols look below/right (+2)
+        par = odd_y if axis == 0 else odd_x
+        if img.ndim == 3:
+            par = par[..., None]
         if axis == 0:
-            return jnp.where(odd_y, shift(img, 2, 0), shift(img, -2, 0))
-        return jnp.where(odd_x, shift(img, 0, 2), shift(img, 0, -2))
+            return jnp.where(par, shift(img, 2, 0), shift(img, -2, 0))
+        return jnp.where(par, shift(img, 0, 2), shift(img, 0, -2))
 
     taps = (
         (up, zu, 0.75 * 0.75),
@@ -166,14 +169,18 @@ def upsample2x_depth_aware(val_half, z_half, z_full, sigma_scale=0.1):
          quad_neighbor(quad_neighbor(zu, 0), 1), 0.25 * 0.25),
     )
     sigma = sigma_scale * jnp.maximum(jnp.abs(z_full), 1e-3)
+    chans = up.ndim == 3          # (H, W, C) signals broadcast per pixel
     acc = jnp.zeros_like(up)
     wacc = jnp.zeros_like(z_full)
     for v, z, wb in taps:
         w = wb * jnp.exp(-jnp.abs(z - z_full) / sigma)
-        acc = acc + v * w
+        acc = acc + v * (w[..., None] if chans else w)
         wacc = wacc + w
     # all taps rejected (isolated depth sliver): fall back to own quad
-    return jnp.where(wacc > 1e-6, acc / jnp.maximum(wacc, 1e-6), up)
+    wsafe = jnp.maximum(wacc, 1e-6)
+    norm = acc / (wsafe[..., None] if chans else wsafe)
+    keep = wacc > 1e-6
+    return jnp.where(keep[..., None] if chans else keep, norm, up)
 
 
 def pixel_uv_grid(height: int, width: int):

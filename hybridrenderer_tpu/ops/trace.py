@@ -430,14 +430,40 @@ class SceneTracer:
         return flat(t), flat(tri), flat(u), flat(v)
 
     # --- radiance (closesthit.rchit + miss.rmiss) -----------------------
-    def trace_radiance(self, scene, origin, direction, ctx, depth: int = 0):
+    def trace_radiance(self, scene, origin, direction, ctx, depth: int = 0,
+                       active=None):
         """Trace + shade closest hits. origin/direction (..., 3); returns
-        (rgb (..., 3), hit distance (...,) with -1 on miss)."""
+        (rgb (..., 3), hit distance (...,) with -1 on miss).
+
+        ``active`` (lead-shaped bool) skips rays entirely (their result
+        is the sky/miss value — callers mask afterwards anyway, e.g.
+        the reflection pass's roughness cutoff). (H, W) inputs are
+        relayouted tile-major so traversal packets get compact origin
+        footprints (same reasoning as shadow_query layout="tile")."""
         lead = origin.shape[:-1]
-        o = origin.reshape(-1, 3)
-        d = direction.reshape(-1, 3)
-        t, tri, u, v = self._intersect(scene, o, d, 0.01, 1e6, any_hit=False)
-        hit = tri >= 0
+        img_mode = len(lead) == 2
+        if img_mode:
+            H, W = lead
+            o, _ = img_ops.to_tile_major(origin)
+            d, _ = img_ops.to_tile_major(direction)
+            act = None
+            if active is not None:
+                act, _ = img_ops.to_tile_major(active)
+            # NEE seeds follow the ORIGINAL pixel index so the result is
+            # layout-independent (and matches the pre-relayout goldens)
+            pix = jnp.arange(H * W, dtype=jnp.uint32).reshape(H, W)
+            ray_idx, _ = img_ops.to_tile_major(pix)
+        else:
+            o = origin.reshape(-1, 3)
+            d = direction.reshape(-1, 3)
+            act = None if active is None else active.reshape(-1)
+            ray_idx = None
+        t, tri, u, v = self._intersect(scene, o, d, 0.01, 1e6,
+                                       any_hit=False, active=act)
+        # inactive lanes come back with the sentinel "hit" id — mask them
+        hit = (tri >= 0) & (tri < (1 << 29))
+        if act is not None:
+            hit = hit & act
         if scene.has_alpha_test:
             # skip transparent cut-out texels (closesthit never sees them
             # in the reference because shadow.rahit ignores them)
@@ -458,20 +484,28 @@ class SceneTracer:
                 u = jnp.where(transparent, u2, u)
                 v = jnp.where(transparent, v2, v)
                 hit = (tri >= 0) & (tri < (1 << 29))
+                if act is not None:
+                    hit = hit & act
             t = t + t_off
 
-        rgb_hit = self._shade_hit(scene, o, d, t, tri, u, v, ctx)
+        rgb_hit = self._shade_hit(scene, o, d, t, tri, u, v, ctx,
+                                  active=hit, ray_idx=ray_idx)
         rgb_miss = sky.sample_environment(
             d, scene.sky_texture, scene.textures,
             bool(ctx.settings.flags & RenderFlags.IBL))
         rgb = jnp.where(hit[..., None], rgb_hit, rgb_miss)
         dist = jnp.where(hit, t, -1.0)
+        if img_mode:
+            return (img_ops.from_tile_major(rgb, H, W),
+                    img_ops.from_tile_major(dist, H, W))
         return rgb.reshape(*lead, 3), dist.reshape(lead)
 
-    def _shade_hit(self, scene, o, d, t, tri, u, v, ctx):
+    def _shade_hit(self, scene, o, d, t, tri, u, v, ctx, active=None,
+                   ray_idx=None):
         """closesthit.rchit:23-130 — interpolate attributes, evaluate
         material, sun NEE + emissive-light NEE (both shadowed), IBL
-        ambient, emission."""
+        ambient, emission. ``active`` (= the hit mask) skips the
+        shading occlusion traversals for missed/inactive rays."""
         sc = scene
         params = ctx.params
         flags = ctx.settings.flags
@@ -511,7 +545,8 @@ class SceneTracer:
 
         shadow_origin = sampling.offset_ray(world_pos, geo_n)
         sun_shadow = self.occluded(sc, shadow_origin,
-                                   jnp.broadcast_to(sun_dir, d.shape), 1000.0)
+                                   jnp.broadcast_to(sun_dir, d.shape),
+                                   1000.0, active=active)
         direct = shade.eval_pbr(mp.colour, 1.5, mp.roughness, mp.metallic,
                                 n, view, sun_dir) * \
             sun_shadow[..., None] * sun_int
@@ -519,12 +554,15 @@ class SceneTracer:
         # emissive area-light NEE (closesthit.rchit:82-96)
         if sc.lights.count > 0:
             R = o.shape[0]
-            idx = jnp.arange(R, dtype=jnp.uint32)
+            idx = jnp.arange(R, dtype=jnp.uint32) if ray_idx is None \
+                else ray_idx
             seed = sampling.init_random_seed(idx, params.frame_index)
             ldir, sampled_inst, seed = sampling.sample_lights(
                 sc, world_pos, seed)
             has = maths.length(ldir) > 0.001
-            lshadow = self.occluded(sc, shadow_origin, ldir, 1000.0)
+            nee_act = has if active is None else (has & active)
+            lshadow = self.occluded(sc, shadow_origin, ldir, 1000.0,
+                                    active=nee_act)
             s_inst = jnp.maximum(sampled_inst, 0)
             s_mat = sc.instances.material[s_inst]
             l_rad = sc.materials.emission[s_mat] * 5.0

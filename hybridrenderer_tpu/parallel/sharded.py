@@ -130,30 +130,34 @@ class ShardedRenderer:
                             out_specs=img, check_rep=False,
                         )(scene, tracer, p, n, d, active)
 
-                    def trace_radiance(o, d, c, dep):
+                    def trace_radiance(o, d, c, dep, active=None):
+                        if active is None:
+                            active = jax.numpy.ones(o.shape[:-1], bool)
+
                         # minimal per-shard context: trace shading uses
                         # only params (traced, passed through) + settings
                         # (static) — never cam/state
-                        def local(sc_, tr_, params_, o_, d_):
+                        def local(sc_, tr_, params_, o_, d_, a_):
                             ctx_ = FrameContext(
                                 scene=sc_, cam=None, params=params_,
                                 settings=settings, state=None,
                                 history_valid=False)
                             return tr_.trace_radiance(sc_, o_, d_, ctx_,
-                                                      dep)
+                                                      dep, active=a_)
 
                         return shard_map(
                             local, mesh=mesh,
-                            in_specs=(P(), P(), P(), img, img),
+                            in_specs=(P(), P(), P(), img, img, img),
                             out_specs=(img, img), check_rep=False,
-                        )(scene, tracer, c.params, o, d)
+                        )(scene, tracer, c.params, o, d, active)
                 else:
                     def shadow_query(p, n, d, t, active=None, **kw):
                         return tracer.shadow_query(scene, p, n, d, t,
                                                    active=active, **kw)
 
-                    def trace_radiance(o, d, c, dep):
-                        return tracer.trace_radiance(scene, o, d, c, dep)
+                    def trace_radiance(o, d, c, dep, active=None):
+                        return tracer.trace_radiance(scene, o, d, c, dep,
+                                                     active=active)
             ctx = FrameContext(
                 scene=scene, cam=cam_state, params=params, settings=settings,
                 state=state, history_valid=history_valid,

@@ -31,11 +31,12 @@ def profile_frame(renderer, cam_state, iters: int = 5) -> Dict[str, float]:
     shadow_query = None
     trace_radiance = None
     if tracer is not None:
-        def shadow_query(p, n, d, t):
-            return tracer.shadow_query(scene, p, n, d, t)
+        def shadow_query(p, n, d, t, active=None, **kw):
+            return tracer.shadow_query(scene, p, n, d, t, active=active,
+                                       **kw)
 
-        def trace_radiance(o, d, c, dep):
-            return tracer.trace_radiance(scene, o, d, c, dep)
+        def trace_radiance(o, d, c, dep, active=None):
+            return tracer.trace_radiance(scene, o, d, c, dep, active=active)
 
     ctx = FrameContext(
         scene=scene, cam=cam_state, params=params, settings=settings,

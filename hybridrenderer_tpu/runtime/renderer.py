@@ -94,8 +94,9 @@ class Renderer:
                     return tracer.shadow_query(scene, p, n, d, t,
                                                active=active, **kw)
 
-                def trace_radiance(o, d, c, dep):
-                    return tracer.trace_radiance(scene, o, d, c, dep)
+                def trace_radiance(o, d, c, dep, active=None):
+                    return tracer.trace_radiance(scene, o, d, c, dep,
+                                                 active=active)
             ctx = FrameContext(
                 scene=scene, cam=cam_state, params=params, settings=settings,
                 state=state, history_valid=history_valid,

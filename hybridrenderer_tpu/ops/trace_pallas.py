@@ -598,8 +598,18 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
             if bf16:
                 # ids ride three exact byte rows (bf16 can't hold ids
                 # > 512 exactly; bvh_wide.quantize_bf16). Padding rows
-                # are all -1 → decoded id < 0 → miss.
-                tid = lf(r + 9) + lf(r + 10) * 256.0 + lf(r + 11) * 65536.0
+                # are all -1 → decoded id < 0 → miss. Decode via ONE
+                # full reduce to a replicated scalar: summing three
+                # (1,1) slices at different sublane offsets needs a
+                # relayout whose broadcast Mosaic can't lower
+                # ("Broadcast in both sublanes and lanes", r2 batch 3).
+                byte_w = (jax.lax.broadcasted_iota(
+                    jnp.int32, (48, 1), 0) - (r + 9))
+                w3 = jnp.where(
+                    (byte_w >= 0) & (byte_w < 3),
+                    jnp.exp2(8.0 * jnp.clip(byte_w, 0, 2)
+                             .astype(jnp.float32)), 0.0)
+                tid = jnp.sum(lcol * w3)
             else:
                 tid = lf(r + 9)
             pvx = dy * a2z - dz * a2y

@@ -159,6 +159,35 @@ def main():
             "hybrid_ao_half_res_ms": round(half_ms, 1),
         }
 
+    # per-pixel error vs the stored forward-path golden (BASELINE.md
+    # "per-pixel max/mean error vs. reference forward-path goldens" —
+    # the reference publishes no goldens, so the pinned golden ladder
+    # is the reference point; tests/test_golden.py is the gate, this
+    # is the contract-output readout)
+    try:
+        import numpy as np
+
+        from hybridrenderer_tpu.core.camera import OrbitCamera
+        from hybridrenderer_tpu.runtime.output import read_png, to_u8
+        from hybridrenderer_tpu.runtime.renderer import Renderer
+
+        gold_path = os.path.join(os.path.dirname(__file__), "tests",
+                                 "goldens", "cube_forward_64.png")
+        gdata = scenes.cube_scene().build()
+        gs = RenderSettings(width=64, height=64,
+                            path=RenderPathType.FORWARD,
+                            flags=RenderFlags.LIGHT | RenderFlags.IBL,
+                            raster_backend="jnp")
+        gr = Renderer(gs, gdata)
+        gcam = OrbitCamera(width=64, height=64, distance=7.0, pitch=0.45,
+                           yaw=0.6, focal_point=(0, 0.7, 0))
+        img = to_u8(gr.render_np(gcam.step()))
+        diff = np.abs(img.astype(int) - read_png(gold_path).astype(int))
+        extra["golden_err_max"] = int(diff.max())
+        extra["golden_err_mean"] = round(float(diff.mean()), 4)
+    except Exception as e:  # never break the bench contract line
+        extra["golden_err_max"] = f"error: {e!r}"[:120]
+
     result = {
         "metric": f"fps_{width}x{height}_{scene_name}_{path_name}",
         "value": round(fps, 3),

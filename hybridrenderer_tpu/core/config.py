@@ -59,6 +59,12 @@ class RenderSettings:
     reflection_half_res: bool = False
     gi_half_res: bool = False
 
+    # Pass-output materialization barriers (graph/graph.py): "multi"
+    # barriers only fan-out resources (>= 2 consumers / history saves),
+    # "all" barriers every pass output (round-1 behavior), "none"
+    # disables. The vkCmdPipelineBarrier2-ladder analog.
+    graph_barriers: str = "multi"
+
     # Blue-noise sample draws for 1-spp GI / per-pixel AO (the reference
     # fetches a tiled blue-noise texture with a per-frame integer offset,
     # raygen.rgen:29-31, common.glsl:86-92). False falls back to the TEA

@@ -35,18 +35,28 @@ class RenderGraph:
     """Pass stack + resource bookkeeping (RenderGraph.cpp analog)."""
 
     def __init__(self, width: int, height: int,
-                 barrier_passes: bool = True):
+                 barrier_passes="multi"):
         self.width, self.height = width, height
         self.passes: List[PassDecl] = []
         self._compiled = False
-        # Materialize each pass's outputs with jax.lax.optimization_barrier.
+        # Materialize pass outputs with jax.lax.optimization_barrier.
         # Without it XLA fuse-duplicates expensive producers (G-buffer
         # gather chains, ray-output relayouts) into every consuming pass:
         # measured 114 ms/frame of recomputation at 1080p hybrid (SVGF
         # in-frame cost 138 ms vs 27 ms isolated until barriered). This is
         # the one job of the reference's vkCmdPipelineBarrier2 ladder
         # (RenderGraph.cpp:220-273) that XLA does NOT subsume well.
+        # Modes:
+        #   "multi" (default) — barrier only resources with >= 2 graph
+        #     consumers (or saved as history). Single-consumer outputs
+        #     cannot be fuse-DUPLICATED (one consumer), so leaving them
+        #     unbarriered lets XLA fuse producer into consumer — the
+        #     batch-2 probes measured the fully-barriered BASE rung
+        #     ~32 ms/frame slower than the hand-fused equivalent.
+        #   True / "all" — barrier every output (round-1 behavior).
+        #   False / "none" — no barriers.
         self.barrier_passes = barrier_passes
+        self._multi_consumer: Optional[set] = None
 
     def reset(self):
         self.passes.clear()
@@ -89,6 +99,18 @@ class RenderGraph:
                     raise ValueError(
                         f"pass '{p.name}' saves '{virt}' as history but "
                         f"never produces it")
+        # consumer counts for barrier mode "multi": resources read by
+        # >= 2 passes (fan-out — where fuse-duplication can happen), plus
+        # everything saved as history (it is materialized regardless, so
+        # the barrier only pins that materialization as THE copy)
+        reads: Dict[str, int] = {}
+        for p in self.passes:
+            for r in set(p.reads):
+                reads[r] = reads.get(r, 0) + 1
+        multi = {r for r, n in reads.items() if n >= 2}
+        for p in self.passes:
+            multi.update(p.save_as_history.keys())
+        self._multi_consumer = multi
         self._compiled = True
         return self
 
@@ -127,13 +149,20 @@ class RenderGraph:
                     + (f"produced but undeclared {sorted(extra)}"
                        if extra else ""))
             if out:
-                if self.barrier_passes:
+                mode = self.barrier_passes
+                if mode == "multi":
+                    keys = [k for k in out
+                            if k in (self._multi_consumer or ())]
+                elif mode:          # True / "all"
+                    keys = list(out.keys())
+                else:               # False / "none"
+                    keys = []
+                if keys:
                     import jax
 
-                    keys = list(out.keys())
                     vals = jax.lax.optimization_barrier(
                         tuple(out[k] for k in keys))
-                    out = dict(zip(keys, vals))
+                    out = {**out, **dict(zip(keys, vals))}
                 registry.update(out)
             for virt, hname in p.save_as_history.items():
                 new_history[hname] = registry[virt]

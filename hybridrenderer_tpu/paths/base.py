@@ -15,7 +15,9 @@ class RenderPath:
 
     def __init__(self, settings):
         self.settings = settings
-        self.graph = RenderGraph(settings.width, settings.height)
+        self.graph = RenderGraph(
+            settings.width, settings.height,
+            barrier_passes=getattr(settings, "graph_barriers", "multi"))
         self.build_graph(self.graph)
         self.graph.compile()
 

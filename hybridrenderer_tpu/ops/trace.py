@@ -198,6 +198,9 @@ class SceneTracer:
     wide_meta: Any = None
     wide_nodes_flat: Any = None
     wide_leaves_flat: Any = None
+    # MIMT-layout records (trace_pallas.pack_p8) when WIDE_KERNEL=mimt
+    wide_nodes_p8: Any = None
+    wide_leaves_p8: Any = None
     # static refit maps (bvh_wide) enabling on-device dynamic updates
     slot_child_bin: Any = None
     cluster_tri: Any = None
@@ -218,7 +221,7 @@ class SceneTracer:
 
         itiles, ltiles = trace_pallas.build_packed(bvh, soup.v0, soup.v1,
                                                    soup.v2)
-        wn = wl = wm = scb = ct = wnf = wlf = None
+        wn = wl = wm = scb = ct = wnf = wlf = wnp8 = wlp8 = None
         if backend == "pallas-wide":
             # host-side wide collapse (BLAS/TLAS build analog); runs once
             # per scene TOPOLOGY change, outside jit — transform-only
@@ -240,11 +243,17 @@ class SceneTracer:
                 if wide.nodes_flat is not None:
                     wnf = jnp.asarray(wide.nodes_flat)
                     wlf = jnp.asarray(wide.leaves_flat)
+                    if trace_pallas.WIDE_KERNEL == "mimt":
+                        # MIMT layout: ~2.67x the tile footprint (each
+                        # record pads its 48 fields to a 128-lane row)
+                        wnp8 = trace_pallas.pack_p8(wnf)
+                        wlp8 = trace_pallas.pack_p8(wlf)
             else:  # beyond even bf16: SIMT jnp fallback
                 backend = "jnp"
         return SceneTracer(bvh=bvh, internal_tiles=itiles, leaf_tiles=ltiles,
                            wide_nodes=wn, wide_leaves=wl, wide_meta=wm,
                            wide_nodes_flat=wnf, wide_leaves_flat=wlf,
+                           wide_nodes_p8=wnp8, wide_leaves_p8=wlp8,
                            slot_child_bin=scb, cluster_tri=ct,
                            backend=backend)
 
@@ -269,10 +278,15 @@ class SceneTracer:
             if was_bf16:
                 wn, wl = bvh_wide.quantize_refit_device(wn, wl)
                 wnf = wlf = None
+        wnp8, wlp8 = self.wide_nodes_p8, self.wide_leaves_p8
+        if wnp8 is not None:
+            wnp8 = trace_pallas.pack_p8(wnf) if wnf is not None else None
+            wlp8 = trace_pallas.pack_p8(wlf) if wlf is not None else None
         return dataclasses.replace(self, bvh=new_bvh,
                                    internal_tiles=itiles, leaf_tiles=ltiles,
                                    wide_nodes=wn, wide_leaves=wl,
-                                   wide_nodes_flat=wnf, wide_leaves_flat=wlf)
+                                   wide_nodes_flat=wnf, wide_leaves_flat=wlf,
+                                   wide_nodes_p8=wnp8, wide_leaves_p8=wlp8)
 
     ALPHA_ROUNDS = 4   # transparency-continuation depth (cut-out layers)
 
@@ -388,6 +402,11 @@ class SceneTracer:
         if self.backend == "pallas-wide":
             from . import trace_pallas
 
+            if self.wide_nodes_p8 is not None:
+                return trace_pallas.intersect_mimt(
+                    self.wide_nodes_p8, self.wide_leaves_p8,
+                    self.wide_meta, o, d, tmin, tmax, any_hit=any_hit,
+                    active=active)
             if trace_pallas.WIDE_EXTRACT == "scalar" \
                     and self.wide_nodes_flat is not None:
                 return trace_pallas.intersect_wide(

@@ -425,6 +425,11 @@ WIDE_CHUNK_UNROLL = int(_os.environ.get("WIDE_UNROLL", "16"))  # full:
 # record-field extraction: "onehot" lane reductions (VPU) or "scalar"
 # dynamic-sublane VMEM loads (scalar unit) over the flat record layout
 WIDE_EXTRACT = _os.environ.get("WIDE_EXTRACT", "onehot")
+# traversal formulation: "packet" = one shared stack per 1024-ray packet;
+# "mimt" = per-sublane-row stacks (8 independent 128-ray traversals per
+# packet — see the MIMT section below). Host sim ceiling: 2.2×/2.6×
+# fewer steps (shadow/AO); pick by measurement.
+WIDE_KERNEL = _os.environ.get("WIDE_KERNEL", "packet")
 
 
 def _popcount8(x):
@@ -800,6 +805,365 @@ def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
     )(jnp.full((1,), jnp.float32(tmin)),
       meta.reshape(-1),
       nodes, leaves,
+      op[..., 0], op[..., 1], op[..., 2],
+      dp[..., 0], dp[..., 1], dp[..., 2],
+      tmax_p)
+
+    flat = lambda x: x.reshape(-1)[:R]
+    return flat(t), flat(tri), flat(u), flat(v)
+
+
+# ---------------------------------------------------------------------------
+# MIMT wide traversal: per-sublane-row stacks
+# ---------------------------------------------------------------------------
+#
+# The shared-stack packet kernel's step count is |union of node visits
+# across 1024 rays|. The host sim (benchmarks/mimt_sim.py, 65k-tri
+# stress, 256² camera hits) measured per-ROW unions (128 rays) at
+# max-over-rows 2.2× (coherent shadow) to 2.6× (interleaved AO) smaller
+# — so 8 independent row traversals advancing in lockstep do ~2.2-2.6×
+# fewer steps for the same vector math per step.
+#
+# What makes the per-row formulation affordable on Mosaic:
+#   * stacks hold DIRECT child node ids (no parent+mask compression):
+#     the push computes each hit child's id with vector SWAR rank
+#     arithmetic over the meta masks, so the pop is a single lane-select
+#     with no meta decode at all;
+#   * records live in a flat-packed (⌈N/8⌉, 8, 128) layout — record k at
+#     tile k>>3, sublane k&7, its 48 fields along lanes. Extraction per
+#     row is one dynamic leading-index tile read + a sublane one-hot
+#     reduce to a (1, 128) field row; the 8 rows assemble into one
+#     (8, 128) matrix B whose per-field (8, 1) columns come from static
+#     pltpu.roll + an aligned [:, 0:1] lane slice.
+#   * per-field values are (8, 1) vectors (one value per row) that
+#     broadcast along lanes — the Möller–Trumbore / slab math is
+#     IDENTICAL in shape and cost to the shared-stack kernel.
+
+
+def pack_p8(flat):
+    """Flat (N, 48) records → (⌈N/8⌉, 8, 128) MIMT layout (fields in
+    lanes 0..47, zero-padded — padded records are degenerate: all-zero
+    leaf geometry ⇒ det 0 ⇒ miss)."""
+    n = flat.shape[0]
+    pad = (-n) % 8
+    flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    flat = jnp.pad(flat, ((0, 0), (0, 128 - flat.shape[1])))
+    return flat.reshape(-1, 8, 128)
+
+
+def _popcnt8_vec(x):
+    """SWAR popcount of 8-bit values, vectorized (int32 lanes)."""
+    x = x - ((x >> 1) & 0x55)
+    x = (x & 0x33) + ((x >> 2) & 0x33)
+    return (x + (x >> 4)) & 0x0F
+
+
+def _mimt_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
+                          chunk_unroll: int,
+                          # scalar prefetch
+                          tmin_ref, meta_ref,
+                          # inputs (HBM)
+                          nodes_hbm, leaves_hbm,
+                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tmax_ref,
+                          # outputs
+                          t_out, tri_out, u_out, v_out,
+                          # scratch
+                          nodes_ref, leaves_ref, copy_sems):
+    tmin = tmin_ref[0]
+    n_meta = meta_ref.shape[0] // 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        nc = pltpu.make_async_copy(nodes_hbm, nodes_ref, copy_sems.at[0])
+        lc = pltpu.make_async_copy(leaves_hbm, leaves_ref, copy_sems.at[1])
+        nc.start()
+        lc.start()
+        nc.wait()
+        lc.wait()
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    dummy_node = nodes_ref.shape[0] * 8 - 1
+    dummy_leaf = leaves_ref.shape[0] * 8 - 1
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0.0, -1e-12, 1e-12)
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12, tiny, d)
+
+    rays = []
+    for pkt in range(npk):
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        ox = ox_ref[r0:r1, :]
+        oy = oy_ref[r0:r1, :]
+        oz = oz_ref[r0:r1, :]
+        dx = dx_ref[r0:r1, :]
+        dy = dy_ref[r0:r1, :]
+        dz = dz_ref[r0:r1, :]
+        rays.append((ox, oy, oz, dx, dy, dz,
+                     safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+
+    def pkt_init(pkt):
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        tmax_rows = tmax_ref[r0:r1, :]
+        tri0 = jnp.where(tmax_rows < 0.0, jnp.int32(INACTIVE_TRI),
+                         jnp.int32(-1))
+        # every row starts at the root: entry 0 at lane 0, sp 1
+        return (jnp.ones((8, 1), jnp.int32),        # isp
+                jnp.zeros((8, 1), jnp.int32),       # lsp
+                jnp.zeros((8, 128), jnp.int32),     # per-row node-id stack
+                jnp.zeros((8, 128), jnp.int32),     # per-row leaf-id stack
+                tmax_rows,
+                tri0,
+                jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
+                jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32))
+
+    init = (jnp.int32(0),) + tuple(
+        x for pkt in range(npk) for x in pkt_init(pkt))
+    NS = 8
+
+    def pkt_live(state, pkt):
+        isp = state[1 + NS * pkt]
+        lsp = state[1 + NS * pkt + 1]
+        tri = state[1 + NS * pkt + 5]
+        live = (jnp.max(isp) > 0) | (jnp.max(lsp) > 0)
+        if any_hit:
+            live = live & jnp.logical_not(jnp.all(tri >= 0))
+        return live
+
+    def cond(state):
+        live = pkt_live(state, 0)
+        for pkt in range(1, npk):
+            live = live | pkt_live(state, pkt)
+        return live & (state[0] < 1 << 16)
+
+    def pop(stack, sp):
+        """Per-row pop: entries ARE node ids — one lane-select, no
+        decode, no writeback (consumed entries are overwritten by
+        future pushes)."""
+        top = jnp.maximum(sp - 1, 0)
+        toh = lane_iota == top                       # (8,128)
+        child = jnp.sum(jnp.where(toh, stack, 0), axis=1, keepdims=True)
+        valid = (sp > 0).astype(jnp.int32)           # (8,1)
+        return child, valid, jnp.maximum(sp - 1, 0)
+
+    def fetch(ref, kvec, valid, dummy):
+        """Per-row record fetch: 8 scalar row indices → 8 dynamic tile
+        reads + sublane one-hot extracts → B (8,128) with row r =
+        record k_r, fields in lanes."""
+        k = jnp.where(valid == 1, kvec, dummy)
+        B = jnp.zeros((8, 128), ref.dtype)
+        for r in range(8):
+            k_r = jnp.sum(jnp.where(sub_iota == r, k, 0))   # scalar
+            tile = ref[k_r >> 3]                             # (8,128)
+            rowm = sub_iota == (k_r & 7)
+            rec = jnp.sum(jnp.where(rowm, tile, jnp.zeros_like(tile)),
+                          axis=0, keepdims=True)             # (1,128)
+            B = jnp.where(sub_iota == r, rec, B)
+        return B, k
+
+    def step(pkt, sub):
+        isp, lsp, istack, lstack, t_best, tri_best, u_best, v_best = sub
+        ox, oy, oz, dx, dy, dz, ix, iy, iz = rays[pkt]
+
+        child_i, i_valid, isp = pop(istack, isp)
+        child_l, l_valid, lsp = pop(lstack, lsp)
+
+        Bl, _ = fetch(leaves_ref, child_l, l_valid, dummy_leaf)
+        Bn, k_i = fetch(nodes_ref, child_i, i_valid, dummy_node)
+
+        def fld(B, f):
+            if f == 0:
+                return B[:, 0:1]
+            return pltpu.roll(B, 128 - f, 1)[:, 0:1]     # (8,1)
+
+        # ---- leaf visit: 4 Möller–Trumbore, per-row triangles ----
+        for t in range(4):
+            r = 12 * t
+            p0x, p0y, p0z = fld(Bl, r + 0), fld(Bl, r + 1), fld(Bl, r + 2)
+            a1x, a1y, a1z = fld(Bl, r + 3), fld(Bl, r + 4), fld(Bl, r + 5)
+            a2x, a2y, a2z = fld(Bl, r + 6), fld(Bl, r + 7), fld(Bl, r + 8)
+            tid = fld(Bl, r + 9)
+            pvx = dy * a2z - dz * a2y
+            pvy = dz * a2x - dx * a2z
+            pvz = dx * a2y - dy * a2x
+            det = a1x * pvx + a1y * pvy + a1z * pvz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, TRI_EPS, det)
+            tvx = ox - p0x
+            tvy = oy - p0y
+            tvz = oz - p0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * a1z - tvz * a1y
+            qvy = tvz * a1x - tvx * a1z
+            qvz = tvx * a1y - tvy * a1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (a2x * qvx + a2y * qvy + a2z * qvz) * inv_det
+            # l_valid gate: dummy rows carry zero records (det 0) anyway
+            hit = (jnp.abs(det) >= TRI_EPS) & (uu >= 0.0) & (vv >= 0.0) \
+                & (uu + vv <= 1.0) & (tt >= tmin) & (tt <= t_best) \
+                & (tid >= 0.0)
+            t_best = jnp.where(hit, tt, t_best)
+            tri_best = jnp.where(hit, tid.astype(jnp.int32), tri_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
+
+        # ---- internal visit: 8 slab tests, PER-ROW hitmask ----
+        tb = t_best
+        if any_hit:
+            tb = jnp.where(tri_best < 0, t_best, -jnp.inf)
+        hm = jnp.zeros((8, 1), jnp.int32)
+        for c in range(8):
+            r = 6 * c
+            t0x = (fld(Bn, r + 0) - ox) * ix
+            t1x = (fld(Bn, r + 3) - ox) * ix
+            t0y = (fld(Bn, r + 1) - oy) * iy
+            t1y = (fld(Bn, r + 4) - oy) * iy
+            t0z = (fld(Bn, r + 2) - oz) * iz
+            t1z = (fld(Bn, r + 5) - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            okc = (tn <= tf) & (tf >= tmin) & (tn <= tb)
+            af = jnp.max(okc.astype(jnp.int32), axis=1, keepdims=True)
+            hm = hm | (af << c)                      # (8,1)
+        hm = hm * i_valid
+
+        # per-row meta (ibase/imask, lbase/lmask) from scalar SMEM reads
+        ibase = jnp.zeros((8, 1), jnp.int32)
+        imask = jnp.zeros((8, 1), jnp.int32)
+        lbase = jnp.zeros((8, 1), jnp.int32)
+        lmask = jnp.zeros((8, 1), jnp.int32)
+        for r in range(8):
+            k_r = jnp.sum(jnp.where(sub_iota == r, k_i, 0))
+            k_r = jnp.minimum(k_r, n_meta - 1)
+            m0 = meta_ref[2 * k_r]
+            m1 = meta_ref[2 * k_r + 1]
+            rowm = sub_iota == r
+            ibase = jnp.where(rowm, m0 >> 8, ibase)
+            imask = jnp.where(rowm, m0 & 255, imask)
+            lbase = jnp.where(rowm, m1 >> 8, lbase)
+            lmask = jnp.where(rowm, m1 & 255, lmask)
+
+        def push(stack, sp, hm_t, base, full):
+            """Push each hit child's DIRECT id: position by rank within
+            the hitmask, id by rank within the full type mask (children
+            of a type are contiguous from base) — all vector SWAR."""
+            for c in range(8):
+                bit = 1 << c
+                below = bit - 1
+                has = (hm_t & bit) != 0                       # (8,1)
+                pos = sp + _popcnt8_vec(hm_t & below)         # (8,1)
+                cid = base + _popcnt8_vec(full & below)       # (8,1)
+                stack = jnp.where((lane_iota == pos) & has, cid, stack)
+            return stack, sp + _popcnt8_vec(hm_t)
+
+        istack, isp = push(istack, isp, hm & imask, ibase, imask)
+        lstack, lsp = push(lstack, lsp, hm & lmask, lbase, lmask)
+        return (isp, lsp, istack, lstack, t_best, tri_best, u_best, v_best)
+
+    def body(state):
+        out = [state[0] + 1]
+        for pkt in range(npk):
+            out.extend(step(pkt, state[1 + NS * pkt:1 + NS * pkt + NS]))
+        return tuple(out)
+
+    def chunk(state):
+        u = max(1, min(chunk_unroll, chunk_steps))
+
+        def step_u(_i, st):
+            for _ in range(u):
+                st = body(st)
+            return st
+
+        if chunk_steps // u <= 1:
+            return step_u(0, state)
+        return jax.lax.fori_loop(0, chunk_steps // u, step_u, state)
+
+    state = jax.lax.while_loop(cond, chunk, init)
+    for pkt in range(npk):
+        t, tri, u, v = state[1 + NS * pkt + 4:1 + NS * pkt + NS]
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        miss = tri < 0
+        t_out[r0:r1, :] = jnp.where(miss, jnp.inf, t)
+        tri_out[r0:r1, :] = tri
+        u_out[r0:r1, :] = u
+        v_out[r0:r1, :] = v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "interpret",
+                                    "packets_per_program", "chunk_steps",
+                                    "chunk_unroll"))
+def intersect_mimt(nodes_p8, leaves_p8, meta, o, d, tmin, tmax,
+                   any_hit: bool = False, interpret: bool = False,
+                   packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
+                   active=None, chunk_steps: int = WIDE_CHUNK_STEPS,
+                   chunk_unroll: int = None):
+    """MIMT wide-BVH traversal: per-sublane-row stacks (8 independent
+    128-ray traversals per packet). ``nodes_p8``/``leaves_p8`` come from
+    pack_p8(bvh_wide nodes_flat/leaves_flat). Contract matches
+    intersect_wide."""
+    npk = packets_per_program
+    R = o.shape[0]
+    group = PACKET * npk
+    pad = (-R) % group
+    n_programs = (R + pad) // group
+    rows = n_programs * PACKET_ROWS * npk
+
+    def plane(x, fill=0.0):
+        x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
+        return x.reshape(rows, PACKET_COLS, 3)
+
+    op = plane(o)
+    dp = plane(d, fill=1.0)
+    tmax_full = jnp.broadcast_to(
+        jnp.minimum(jnp.asarray(tmax, jnp.float32), 1e6), (R,))
+    if active is not None:
+        tmax_full = jnp.where(active, tmax_full, -1.0)
+    tmax_p = jnp.pad(tmax_full, (0, pad),
+                     constant_values=-1.0).reshape(rows, PACKET_COLS)
+
+    blk_rows = PACKET_ROWS * npk
+    ray_spec = pl.BlockSpec((blk_rows, PACKET_COLS), lambda i, *_: (i, 0))
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_programs,),
+        in_specs=[hbm, hbm] + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM(nodes_p8.shape, nodes_p8.dtype),
+            pltpu.VMEM(leaves_p8.shape, leaves_p8.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    shape2 = (rows, PACKET_COLS)
+    out_shape = [
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.int32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+    ]
+
+    if chunk_unroll is None:
+        chunk_unroll = 1 if interpret else WIDE_CHUNK_UNROLL
+    kernel = functools.partial(_mimt_traverse_kernel, any_hit, npk,
+                               chunk_steps, chunk_unroll)
+    t, tri, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem_limit(nodes_p8, leaves_p8)),
+    )(jnp.full((1,), jnp.float32(tmin)),
+      meta.reshape(-1),
+      nodes_p8, leaves_p8,
       op[..., 0], op[..., 1], op[..., 2],
       dp[..., 0], dp[..., 1], dp[..., 2],
       tmax_p)

@@ -44,6 +44,12 @@ class RenderSettings:
     # frame + pattern-major packet relayout) — packet-coherent AO rays.
     # False reproduces the reference's per-pixel draw (rt_shadow.rgen:85-96).
     ao_interleaved: bool = True
+    # Packet layout for interleaved-AO rays: "pattern" groups rays by
+    # interleave pattern (shared direction per packet), "tile" groups by
+    # 32×32 pixel tile (compact origin footprint, mixed directions).
+    # The traversal host sim measured tile unions 1.19× SMALLER even
+    # for AO (origin coherence beats direction coherence here).
+    ao_layout: str = "pattern"
     # Trace AO at half resolution (quarter ray count) and reconstruct
     # with a depth-aware joint bilateral upsample before SVGF. The
     # reference traces AO full-res (rt_shadow.rgen); this is the

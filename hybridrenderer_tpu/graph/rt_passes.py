@@ -64,7 +64,7 @@ def make_rt_shadow_pass(settings):
                         params.frame_index, nrm)
                     return ctx.shadow_query(wpos, nrm, ao_dir,
                                             settings.ao_radius, active=~bgm,
-                                            layout="pattern")
+                                            layout=settings.ao_layout)
                 if settings.use_blue_noise:
                     bn = sampling.blue_noise_uniforms(
                         sc.blue_noise, params.frame_index, hh, ww)

@@ -39,6 +39,10 @@ class RenderSettings:
 
     # Ray tracing
     bvh_leaf_size: int = 4
+    # Acceleration-structure build: "auto" (= binned SAH, the
+    # PREFER_FAST_TRACE analog — 1.3-1.7x fewer traversal steps than
+    # LBVH on the stress scene), "sah", or "lbvh" (fast build).
+    bvh_builder: str = "auto"
     ao_radius: float = 10.0  # rt_shadow.rgen:96 traces AO rays to 10 units
     # Interleaved AO sampling (one direction per 8×8 block pattern per
     # frame + pattern-major packet relayout) — packet-coherent AO rays.
@@ -47,9 +51,10 @@ class RenderSettings:
     # Packet layout for interleaved-AO rays: "pattern" groups rays by
     # interleave pattern (shared direction per packet), "tile" groups by
     # 32×32 pixel tile (compact origin footprint, mixed directions).
-    # The traversal host sim measured tile unions 1.19× SMALLER even
-    # for AO (origin coherence beats direction coherence here).
-    ao_layout: str = "pattern"
+    # Origin coherence beats direction coherence here: host sim measured
+    # tile unions 1.19× smaller, on-chip A/B (batch 6) 338.4→304.8 ms
+    # on the shadow+AO rung. Results are identical (pure relayout).
+    ao_layout: str = "tile"
     # Trace AO at half resolution (quarter ray count) and reconstruct
     # with a depth-aware joint bilateral upsample before SVGF. The
     # reference traces AO full-res (rt_shadow.rgen); this is the

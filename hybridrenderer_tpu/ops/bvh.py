@@ -229,18 +229,13 @@ def _load_native():
     return _native_lib
 
 
-def build_bvh_native(v0, v1, v2) -> "BVH | None":
-    """Host-side LBVH build via the C++ builder (tree-identical to the
-    jitted build_bvh; see native/bvh_builder.cpp). Returns None when the
-    native library is unavailable. Preferred at scene-build time: the
-    device build costs a multi-minute XLA compile per new triangle
-    count on the remote TPU service; this is milliseconds."""
+def _build_native(v0, v1, v2, fn_name: str) -> "BVH | None":
     import ctypes
 
     import numpy as np
 
     lib = _load_native()
-    if lib is None:
+    if lib is None or not hasattr(lib, fn_name):
         return None
     a0 = np.ascontiguousarray(np.asarray(v0, np.float32))
     a1 = np.ascontiguousarray(np.asarray(v1, np.float32))
@@ -261,7 +256,7 @@ def build_bvh_native(v0, v1, v2) -> "BVH | None":
     def p(x, t):
         return x.ctypes.data_as(ctypes.POINTER(t))
 
-    rc = lib.hrtpu_build_lbvh(
+    rc = getattr(lib, fn_name)(
         p(a0, ctypes.c_float), p(a1, ctypes.c_float), p(a2, ctypes.c_float),
         ctypes.c_longlong(T), p(nmin, ctypes.c_float),
         p(nmax, ctypes.c_float), p(left, ctypes.c_int),
@@ -272,8 +267,33 @@ def build_bvh_native(v0, v1, v2) -> "BVH | None":
                jnp.asarray(right), jnp.asarray(tri), jnp.int32(T))
 
 
-def build_bvh_host(v0, v1, v2) -> BVH:
-    """Native builder when available, jitted device build otherwise."""
+def build_bvh_native(v0, v1, v2) -> "BVH | None":
+    """Host-side LBVH build via the C++ builder (tree-identical to the
+    jitted build_bvh; see native/bvh_builder.cpp). Returns None when the
+    native library is unavailable. Preferred at scene-build time: the
+    device build costs a multi-minute XLA compile per new triangle
+    count on the remote TPU service; this is milliseconds."""
+    return _build_native(v0, v1, v2, "hrtpu_build_lbvh")
+
+
+def build_sah_native(v0, v1, v2) -> "BVH | None":
+    """Host-side binned-SAH build (native/bvh_builder.cpp
+    hrtpu_build_sah) — the PREFER_FAST_TRACE driver-build analog
+    (Scene.cpp:397). ~1.3-1.7x fewer traversal steps than the LBVH on
+    the stress scene (benchmarks/sah_sim.py); topology-frozen refits
+    (refit_bvh) work on its trees unchanged."""
+    return _build_native(v0, v1, v2, "hrtpu_build_sah")
+
+
+def build_bvh_host(v0, v1, v2, builder: str = "lbvh") -> BVH:
+    """Native builder when available, jitted device build otherwise.
+    ``builder``: "sah" (quality, static scenes) or "lbvh" (fast build);
+    SAH falls back to LBVH when the native library is unavailable (the
+    numpy SAH is too slow at scene scale: 37 s at 284k tris)."""
+    if builder == "sah":
+        out = build_sah_native(v0, v1, v2)
+        if out is not None:
+            return out
     out = build_bvh_native(v0, v1, v2)
     return out if out is not None else build_bvh(v0, v1, v2)
 

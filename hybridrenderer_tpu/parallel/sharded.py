@@ -142,8 +142,15 @@ class ShardedRenderer:
                                 scene=sc_, cam=None, params=params_,
                                 settings=settings, state=None,
                                 history_valid=False)
+                            # global pixel index base for the NEE seed
+                            # stream: shard row offset × row width, so
+                            # sharded == single-device bit-for-bit
+                            off = (jax.lax.axis_index(axis)
+                                   * (o_.shape[0] * o_.shape[1])
+                                   ).astype(jax.numpy.uint32)
                             return tr_.trace_radiance(sc_, o_, d_, ctx_,
-                                                      dep, active=a_)
+                                                      dep, active=a_,
+                                                      pix_offset=off)
 
                         return shard_map(
                             local, mesh=mesh,

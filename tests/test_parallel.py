@@ -100,3 +100,27 @@ def test_sharded_hybrid_shard_map_rays_off_matches_on():
         ShardedRenderer.for_scene(s, data, mesh,
                                   shard_rays=False).render(cam.step()))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_sharded_full_graph_matches_single_device():
+    """Row-sharded reflection+GI == single-device: the shard_map
+    trace_radiance path must reproduce the global NEE seed stream
+    (pix_offset) and the tile-major relayout per shard. (SVGF chains
+    are left off — they shard via plain GSPMD and are covered by the
+    hybrid equality test; including them triples the CPU-mesh compile
+    time of this test.)"""
+    data = scenes.cornell_scene().build()
+    flags = (RenderFlags.LIGHT | RenderFlags.IBL | RenderFlags.EMISSIVE
+             | RenderFlags.REFLECTION | RenderFlags.GI)
+    s = RenderSettings(width=64, height=64, path=RenderPathType.HYBRID,
+                       flags=flags, raster_backend="jnp",
+                       trace_backend="jnp")
+    cam = OrbitCamera(width=64, height=64, distance=7.0, pitch=0.3)
+    single = Renderer.for_scene(s, data)
+    ref = single.render_np(cam.step())
+
+    mesh = make_mesh(8)
+    cam2 = OrbitCamera(width=64, height=64, distance=7.0, pitch=0.3)
+    sharded = ShardedRenderer.for_scene(s, data, mesh)
+    out = np.asarray(sharded.render(cam2.step()))
+    np.testing.assert_allclose(out, ref, atol=2e-4)

@@ -201,6 +201,9 @@ class SceneTracer:
     # MIMT-layout records (trace_pallas.pack_p8) when WIDE_KERNEL=mimt
     wide_nodes_p8: Any = None
     wide_leaves_p8: Any = None
+    # VMEM meta tiles (trace_pallas.pack_meta_tiles) for the direct-stack
+    # kernel; None → compressed-entry kernel (SMEM meta)
+    wide_meta_tiles: Any = None
     # static refit maps (bvh_wide) enabling on-device dynamic updates
     slot_child_bin: Any = None
     cluster_tri: Any = None
@@ -228,7 +231,7 @@ class SceneTracer:
 
         itiles, ltiles = trace_pallas.build_packed(bvh, soup.v0, soup.v1,
                                                    soup.v2)
-        wn = wl = wm = scb = ct = wnf = wlf = wnp8 = wlp8 = None
+        wn = wl = wm = scb = ct = wnf = wlf = wnp8 = wlp8 = wmt = None
         if backend == "pallas-wide":
             # host-side wide collapse (BLAS/TLAS build analog); runs once
             # per scene TOPOLOGY change, outside jit — transform-only
@@ -247,6 +250,18 @@ class SceneTracer:
                 wm = jnp.asarray(wide.meta)
                 scb = jnp.asarray(wide.slot_child_bin)
                 ct = jnp.asarray(wide.cluster_tri)
+                # stack encoding: compressed entries scalar-prefetch the
+                # meta table into SMEM (1 MB) — beyond ~900 KB
+                # (~1.05M tris) switch to direct-child-id entries with
+                # VMEM meta tiles (no SMEM ceiling)
+                mode = trace_pallas.WIDE_STACK
+                if mode == "auto":
+                    meta_bytes = int(wide.meta.size) * 4
+                    mode = ("direct"
+                            if meta_bytes > trace_pallas.META_SMEM_LIMIT
+                            else "compressed")
+                if mode == "direct":
+                    wmt = trace_pallas.pack_meta_tiles(wide.meta)
                 if wide.nodes_flat is not None:
                     wnf = jnp.asarray(wide.nodes_flat)
                     wlf = jnp.asarray(wide.leaves_flat)
@@ -261,6 +276,7 @@ class SceneTracer:
                            wide_nodes=wn, wide_leaves=wl, wide_meta=wm,
                            wide_nodes_flat=wnf, wide_leaves_flat=wlf,
                            wide_nodes_p8=wnp8, wide_leaves_p8=wlp8,
+                           wide_meta_tiles=wmt,
                            slot_child_bin=scb, cluster_tri=ct,
                            backend=backend)
 
@@ -414,6 +430,11 @@ class SceneTracer:
                     self.wide_nodes_p8, self.wide_leaves_p8,
                     self.wide_meta, o, d, tmin, tmax, any_hit=any_hit,
                     active=active)
+            if self.wide_meta_tiles is not None:
+                return trace_pallas.intersect_wide_direct(
+                    self.wide_nodes, self.wide_leaves,
+                    self.wide_meta_tiles, o, d, tmin, tmax,
+                    any_hit=any_hit, active=active)
             if trace_pallas.WIDE_EXTRACT == "scalar" \
                     and self.wide_nodes_flat is not None:
                 return trace_pallas.intersect_wide(

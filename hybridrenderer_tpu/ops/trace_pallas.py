@@ -430,6 +430,12 @@ WIDE_EXTRACT = _os.environ.get("WIDE_EXTRACT", "onehot")
 # packet — see the MIMT section below). Host sim ceiling: 2.2×/2.6×
 # fewer steps (shadow/AO); pick by measurement.
 WIDE_KERNEL = _os.environ.get("WIDE_KERNEL", "packet")
+# stack entry encoding for the packet kernel: "compressed" = SMEM meta
+# table + (parent<<8|mask) entries; "direct" = child-id entries + VMEM
+# meta tiles (no SMEM table → no ~1.05M-tri SMEM ceiling). "auto" picks
+# compressed while the meta table fits SMEM (~900 KB), direct beyond.
+WIDE_STACK = _os.environ.get("WIDE_STACK", "auto")
+META_SMEM_LIMIT = 900 * 1024
 
 
 def _popcount8(x):
@@ -805,6 +811,343 @@ def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
     )(jnp.full((1,), jnp.float32(tmin)),
       meta.reshape(-1),
       nodes, leaves,
+      op[..., 0], op[..., 1], op[..., 2],
+      dp[..., 0], dp[..., 1], dp[..., 2],
+      tmax_p)
+
+    flat = lambda x: x.reshape(-1)[:R]
+    return flat(t), flat(tri), flat(u), flat(v)
+
+
+# ---------------------------------------------------------------------------
+# Direct-stack wide traversal: child-id entries, meta in VMEM tiles
+# ---------------------------------------------------------------------------
+#
+# The compressed-entry kernel scalar-prefetches the meta table into SMEM
+# (1 MB): at ~137k wide nodes (~1.05M tris) the table no longer fits and
+# the fast path dies. This variant removes meta from the pop entirely:
+#
+#   * stack entries are DIRECT child node ids. The push ranks each hit
+#     child against the node's type mask with SWAR arithmetic (children
+#     of a type are contiguous from the meta base) and lane-selects up
+#     to 8 entries; the pop is one lane select + sp decrement — no SMEM
+#     reads, no popcount decode on the serial pop chain.
+#   * meta (ibase/imask/lbase/lmask) lives in VMEM tiles
+#     (⌈Nw/128⌉, 8, 128) i32 — rows 0..3, node lane i&127, tile i>>7 —
+#     and is extracted with the SAME lane one-hot as the node record
+#     (one extra small reduce per step). Capacity is then bounded only
+#     by the VMEM scene budget (~1.4M tris f32, ~2.9M bf16).
+
+
+def pack_meta_tiles(meta):
+    """(Nw, 2) int32 meta → (⌈Nw/128⌉, 8, 128) i32 VMEM tiles with rows
+    0..3 = ibase, imask, lbase, lmask for node lane i&127 of tile i>>7."""
+    m = jnp.asarray(meta)
+    rows = jnp.stack([m[:, 0] >> 8, m[:, 0] & 255,
+                      m[:, 1] >> 8, m[:, 1] & 255], axis=-1)   # (Nw, 4)
+    n = rows.shape[0]
+    rows = jnp.pad(rows, (((0, (-n) % 128), (0, 4))))
+    return rows.reshape(-1, 128, 8).transpose(0, 2, 1)
+
+
+def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
+                        chunk_unroll: int,
+                        # scalar prefetch
+                        tmin_ref,
+                        # inputs (HBM)
+                        nodes_hbm, leaves_hbm, mtiles_hbm,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tmax_ref,
+                        # outputs
+                        t_out, tri_out, u_out, v_out,
+                        # scratch
+                        nodes_ref, leaves_ref, mtiles_ref, copy_sems):
+    tmin = tmin_ref[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load():
+        nc = pltpu.make_async_copy(nodes_hbm, nodes_ref, copy_sems.at[0])
+        lc = pltpu.make_async_copy(leaves_hbm, leaves_ref, copy_sems.at[1])
+        mc = pltpu.make_async_copy(mtiles_hbm, mtiles_ref, copy_sems.at[2])
+        nc.start()
+        lc.start()
+        mc.start()
+        nc.wait()
+        lc.wait()
+        mc.wait()
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    max_node = nodes_ref.shape[0] * 128 - 1
+    dummy_leaf = leaves_ref.shape[0] * 128 - 1   # padded lane: ids -1
+
+    def safe_inv(d):
+        tiny = jnp.where(d < 0.0, -1e-12, 1e-12)
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12, tiny, d)
+
+    rays = []
+    for pkt in range(npk):
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        rays.append((ox_ref[r0:r1, :], oy_ref[r0:r1, :], oz_ref[r0:r1, :],
+                     dx_ref[r0:r1, :], dy_ref[r0:r1, :], dz_ref[r0:r1, :],
+                     safe_inv(dx_ref[r0:r1, :]),
+                     safe_inv(dy_ref[r0:r1, :]),
+                     safe_inv(dz_ref[r0:r1, :])))
+
+    def pkt_init(pkt):
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        tmax_rows = tmax_ref[r0:r1, :]
+        tri0 = jnp.where(tmax_rows < 0.0, jnp.int32(INACTIVE_TRI),
+                         jnp.int32(-1))
+        # bootstrap: entry 0 = visit the super-root record (its slot-0
+        # box is the real root's AABB)
+        return (jnp.full((1, 1), 1, jnp.int32),     # isp
+                jnp.full((1, 1), 0, jnp.int32),     # lsp
+                jnp.zeros((1, 128), jnp.int32),     # node-id stack
+                jnp.zeros((1, 128), jnp.int32),     # leaf-id stack
+                tmax_rows,
+                tri0,
+                jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
+                jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32))
+
+    init = (jnp.int32(0),) + tuple(
+        x for pkt in range(npk) for x in pkt_init(pkt))
+    NS = 8
+
+    def pkt_live(state, pkt):
+        isp = state[1 + NS * pkt]
+        lsp = state[1 + NS * pkt + 1]
+        tri = state[1 + NS * pkt + 5]
+        live = (jnp.max(isp) > 0) | (jnp.max(lsp) > 0)
+        if any_hit:
+            live = live & jnp.logical_not(jnp.all(tri >= 0))
+        return live
+
+    def cond(state):
+        live = pkt_live(state, 0)
+        for pkt in range(1, npk):
+            live = live | pkt_live(state, pkt)
+        return live & (state[0] < 1 << 16)
+
+    def pop(stack, sp):
+        """Entry IS the child id: one lane select to scalar, no decode,
+        no writeback (stale entries are overwritten by later pushes)."""
+        top = jnp.maximum(sp - 1, 0)
+        toh = lane_iota == top
+        e = jnp.sum(jnp.where(toh, stack, 0))        # vector→scalar
+        valid = jnp.sum(jnp.where(sp > 0, 1, 0))     # scalar 0/1
+        return e, valid, jnp.maximum(sp - 1, 0)
+
+    def step(pkt, sub):
+        isp, lsp, istack, lstack, t_best, tri_best, u_best, v_best = sub
+        ox, oy, oz, dx, dy, dz, ix, iy, iz = rays[pkt]
+
+        child_i, i_valid, isp = pop(istack, isp)
+        child_l, l_valid, lsp = pop(lstack, lsp)
+        i = jnp.minimum(jnp.where(i_valid == 1, child_i, 0), max_node)
+        k = jnp.where(l_valid == 1, jnp.minimum(child_l, dummy_leaf),
+                      dummy_leaf)
+
+        # ---- leaf visit: 4 batched Möller–Trumbore ----
+        bf16 = leaves_ref.dtype == jnp.bfloat16
+        kloh = (lane_iota == (k & 127)).astype(jnp.float32)
+        ltile = leaves_ref[k >> 7].astype(jnp.float32)       # (48, 128)
+        lcol = jnp.sum(ltile * kloh, axis=1, keepdims=True)  # (48, 1)
+
+        def lf(r):
+            return lcol[r:r + 1]
+
+        for t in range(4):
+            r = 12 * t
+            p0x, p0y, p0z = lf(r + 0), lf(r + 1), lf(r + 2)
+            a1x, a1y, a1z = lf(r + 3), lf(r + 4), lf(r + 5)
+            a2x, a2y, a2z = lf(r + 6), lf(r + 7), lf(r + 8)
+            if bf16:
+                # exact 3-byte id rows; decode via ONE replicated-scalar
+                # reduce (see the compressed kernel's note on Mosaic's
+                # sublane-offset broadcast limitation)
+                byte_w = (jax.lax.broadcasted_iota(
+                    jnp.int32, (48, 1), 0) - (r + 9))
+                w3 = jnp.where(
+                    (byte_w >= 0) & (byte_w < 3),
+                    jnp.exp2(8.0 * jnp.clip(byte_w, 0, 2)
+                             .astype(jnp.float32)), 0.0)
+                tid = jnp.sum(lcol * w3)
+            else:
+                tid = lf(r + 9)
+            pvx = dy * a2z - dz * a2y
+            pvy = dz * a2x - dx * a2z
+            pvz = dx * a2y - dy * a2x
+            det = a1x * pvx + a1y * pvy + a1z * pvz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < TRI_EPS, TRI_EPS, det)
+            tvx = ox - p0x
+            tvy = oy - p0y
+            tvz = oz - p0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * a1z - tvz * a1y
+            qvy = tvz * a1x - tvx * a1z
+            qvz = tvx * a1y - tvy * a1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (a2x * qvx + a2y * qvy + a2z * qvz) * inv_det
+            hit = (jnp.abs(det) >= TRI_EPS) & (uu >= 0.0) & (vv >= 0.0) \
+                & (uu + vv <= 1.0) & (tt >= tmin) & (tt <= t_best) \
+                & (tid >= 0.0)
+            t_best = jnp.where(hit, tt, t_best)
+            tri_best = jnp.where(hit, tid.astype(jnp.int32), tri_best)
+            u_best = jnp.where(hit, uu, u_best)
+            v_best = jnp.where(hit, vv, v_best)
+
+        # ---- internal visit: 8 slab tests → packed hitmask ----
+        iloh = (lane_iota == (i & 127)).astype(jnp.float32)
+        itile = nodes_ref[i >> 7].astype(jnp.float32)        # (48, 128)
+        icol = jnp.sum(itile * iloh, axis=1, keepdims=True)  # (48, 1)
+
+        def nfv(r):
+            return icol[r:r + 1]
+
+        tb = t_best
+        if any_hit:
+            tb = jnp.where(tri_best < 0, t_best, -jnp.inf)
+        hm = jnp.zeros((1, 1), jnp.int32)
+        for c in range(8):
+            r = 6 * c
+            t0x = (nfv(r + 0) - ox) * ix
+            t1x = (nfv(r + 3) - ox) * ix
+            t0y = (nfv(r + 1) - oy) * iy
+            t1y = (nfv(r + 4) - oy) * iy
+            t0z = (nfv(r + 2) - oz) * iz
+            t1z = (nfv(r + 5) - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            okc = (tn <= tf) & (tf >= tmin) & (tn <= tb)
+            af = jnp.max(okc.astype(jnp.int32), axis=(0, 1), keepdims=True)
+            hm = hm | (af << c)
+        hm = hm * i_valid
+
+        # meta via the node's lane one-hot (VMEM, no SMEM table)
+        mtile = mtiles_ref[i >> 7]                            # (8, 128)
+        iloh_i = (lane_iota == (i & 127)).astype(jnp.int32)
+        mcol = jnp.sum(mtile * iloh_i, axis=1, keepdims=True)  # (8, 1)
+        ibase, imask = mcol[0:1], mcol[1:2]
+        lbase, lmask = mcol[2:3], mcol[3:4]
+
+        def push(stack, sp, hm_t, base, full):
+            for c in range(8):
+                bit = 1 << c
+                below = bit - 1
+                has = (hm_t & bit) != 0                       # (1,1)
+                pos = sp + _popcnt8_vec(hm_t & below)
+                cid = base + _popcnt8_vec(full & below)
+                stack = jnp.where((lane_iota == pos) & has, cid, stack)
+            return stack, sp + _popcnt8_vec(hm_t)
+
+        istack, isp = push(istack, isp, hm & imask, ibase, imask)
+        lstack, lsp = push(lstack, lsp, hm & lmask, lbase, lmask)
+        return (isp, lsp, istack, lstack, t_best, tri_best, u_best, v_best)
+
+    def body(state):
+        out = [state[0] + 1]
+        for pkt in range(npk):
+            out.extend(step(pkt, state[1 + NS * pkt:1 + NS * pkt + NS]))
+        return tuple(out)
+
+    def chunk(state):
+        u = max(1, min(chunk_unroll, chunk_steps))
+
+        def step_u(_i, st):
+            for _ in range(u):
+                st = body(st)
+            return st
+
+        if chunk_steps // u <= 1:
+            return step_u(0, state)
+        return jax.lax.fori_loop(0, chunk_steps // u, step_u, state)
+
+    state = jax.lax.while_loop(cond, chunk, init)
+    for pkt in range(npk):
+        t, tri, u, v = state[1 + NS * pkt + 4:1 + NS * pkt + NS]
+        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        miss = tri < 0
+        t_out[r0:r1, :] = jnp.where(miss, jnp.inf, t)
+        tri_out[r0:r1, :] = tri
+        u_out[r0:r1, :] = u
+        v_out[r0:r1, :] = v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "interpret",
+                                    "packets_per_program", "chunk_steps",
+                                    "chunk_unroll"))
+def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
+                          any_hit: bool = False, interpret: bool = False,
+                          packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
+                          active=None, chunk_steps: int = WIDE_CHUNK_STEPS,
+                          chunk_unroll: int = None):
+    """Wide-BVH packet traversal with direct-child-id stacks and VMEM
+    meta tiles (pack_meta_tiles) — no SMEM meta table, so scene capacity
+    is bounded only by the VMEM record budget. Contract matches
+    intersect_wide."""
+    npk = packets_per_program
+    R = o.shape[0]
+    group = PACKET * npk
+    pad = (-R) % group
+    n_programs = (R + pad) // group
+    rows = n_programs * PACKET_ROWS * npk
+
+    def plane(x, fill=0.0):
+        x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
+        return x.reshape(rows, PACKET_COLS, 3)
+
+    op = plane(o)
+    dp = plane(d, fill=1.0)
+    tmax_full = jnp.broadcast_to(
+        jnp.minimum(jnp.asarray(tmax, jnp.float32), 1e6), (R,))
+    if active is not None:
+        tmax_full = jnp.where(active, tmax_full, -1.0)
+    tmax_p = jnp.pad(tmax_full, (0, pad),
+                     constant_values=-1.0).reshape(rows, PACKET_COLS)
+
+    blk_rows = PACKET_ROWS * npk
+    ray_spec = pl.BlockSpec((blk_rows, PACKET_COLS), lambda i, *_: (i, 0))
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_programs,),
+        in_specs=[hbm, hbm, hbm] + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM(nodes.shape, nodes.dtype),
+            pltpu.VMEM(leaves.shape, leaves.dtype),
+            pltpu.VMEM(meta_tiles.shape, meta_tiles.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    shape2 = (rows, PACKET_COLS)
+    out_shape = [
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.int32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+    ]
+
+    if chunk_unroll is None:
+        chunk_unroll = 1 if interpret else WIDE_CHUNK_UNROLL
+    kernel = functools.partial(_wide_direct_kernel, any_hit, npk,
+                               chunk_steps, chunk_unroll)
+    t, tri, u, v = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem_limit(nodes, leaves, meta_tiles)),
+    )(jnp.full((1,), jnp.float32(tmin)),
+      nodes, leaves, meta_tiles,
       op[..., 0], op[..., 1], op[..., 2],
       dp[..., 0], dp[..., 1], dp[..., 2],
       tmax_p)

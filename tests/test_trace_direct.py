@@ -1,0 +1,111 @@
+"""Direct-stack wide traversal (child-id entries + VMEM meta tiles) vs
+the jnp reference — interpret mode on the CPU backend. This variant
+removes the SMEM meta table, lifting the ~1.05M-tri capacity ceiling of
+the compressed-entry kernel."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridrenderer_tpu.ops import bvh as bvh_mod
+from hybridrenderer_tpu.ops import bvh_wide, trace
+from hybridrenderer_tpu.ops import trace_pallas as tp
+from hybridrenderer_tpu.scene import scene as scenes
+
+
+def _build(data):
+    s = data.triangles
+    b = bvh_mod.build_bvh(s.v0, s.v1, s.v2)
+    w = bvh_wide.build_wide(b, s.v0, s.v1, s.v2)
+    return s, b, w
+
+
+@pytest.mark.parametrize("any_hit", [False, True])
+def test_direct_matches_jnp_reference(any_hit):
+    data = scenes.cornell_scene().build()
+    s, b, w = _build(data)
+    mt = tp.pack_meta_tiles(w.meta)
+    rng = np.random.default_rng(23)
+    R = 4096
+    v0 = np.asarray(s.v0)
+    c = v0.mean(0)
+    ext = v0.max(0) - v0.min(0)
+    o = jnp.asarray((c + rng.normal(0, 0.5, (R, 3)) * ext)
+                    .astype(np.float32))
+    d = rng.normal(0, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+
+    t_ref, tri_ref, u_ref, v_ref = trace.intersect_bvh(
+        b, s.v0, s.v1, s.v2, o, d, 1e-3, 1e6)
+    t, tri, u, v = tp.intersect_wide_direct(
+        jnp.asarray(w.nodes), jnp.asarray(w.leaves), mt,
+        o, d, 1e-3, 1e6, any_hit=any_hit, interpret=True)
+
+    hit_ref = np.asarray(tri_ref) >= 0
+    hit = np.asarray(tri) >= 0
+    np.testing.assert_array_equal(hit, hit_ref)
+    if not any_hit:
+        np.testing.assert_allclose(
+            np.where(hit_ref, np.asarray(t), 0.0),
+            np.where(hit_ref, np.asarray(t_ref), 0.0), atol=1e-4)
+        differing = hit_ref & (np.asarray(tri) != np.asarray(tri_ref))
+        assert differing.mean() < 0.005
+
+
+def test_direct_bf16_agrees_with_f32():
+    """bf16 records under direct stacks: conservative boxes may only ADD
+    occlusion hits on exact silhouettes, never lose them."""
+    data = scenes.cornell_scene().build()
+    s, b, w = _build(data)
+    q = bvh_wide.quantize_bf16(w)
+    mt = tp.pack_meta_tiles(w.meta)
+    rng = np.random.default_rng(5)
+    R = 2048
+    v0 = np.asarray(s.v0)
+    c = v0.mean(0)
+    ext = v0.max(0) - v0.min(0)
+    o = jnp.asarray((c + rng.normal(0, 0.4, (R, 3)) * ext)
+                    .astype(np.float32))
+    d = rng.normal(0, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    _, tri_f, _, _ = tp.intersect_wide_direct(
+        jnp.asarray(w.nodes), jnp.asarray(w.leaves), mt,
+        o, d, 1e-3, 1e6, any_hit=True, interpret=True)
+    _, tri_q, _, _ = tp.intersect_wide_direct(
+        jnp.asarray(q.nodes), jnp.asarray(q.leaves), mt,
+        o, d, 1e-3, 1e6, any_hit=True, interpret=True)
+    hf = np.asarray(tri_f) >= 0
+    hq = np.asarray(tri_q) >= 0
+    # geometry moves by <= 1 bf16 ulp: occlusion flips only near
+    # silhouettes / exact grazing — bound the disagreement
+    assert (hf != hq).mean() < 0.02
+
+
+def test_direct_active_mask():
+    data = scenes.cube_scene().build()
+    s, b, w = _build(data)
+    mt = tp.pack_meta_tiles(w.meta)
+    o = jnp.asarray(np.tile([[0.0, 5.0, 0.0]], (64, 1)).astype(np.float32))
+    d = jnp.asarray(np.tile([[0.0, -1.0, 0.0]], (64, 1)).astype(np.float32))
+    act = jnp.asarray(np.arange(64) % 2 == 0)
+    t, tri, _, _ = tp.intersect_wide_direct(
+        jnp.asarray(w.nodes), jnp.asarray(w.leaves), mt, o, d, 1e-3, 1e6,
+        any_hit=True, active=act, interpret=True)
+    tri = np.asarray(tri)
+    assert (tri[::2] >= 0).all()
+    assert (tri[1::2] == tp.INACTIVE_TRI).all()
+
+
+def test_scene_tracer_auto_selects_direct(monkeypatch):
+    """WIDE_STACK=direct wires the direct kernel through SceneTracer."""
+    monkeypatch.setattr(tp, "WIDE_STACK", "direct")
+    data = scenes.cube_scene().build()
+    tracer = trace.SceneTracer.build(data)
+    if tracer.backend != "pallas-wide":
+        pytest.skip("wide backend unavailable")
+    assert tracer.wide_meta_tiles is not None
+    o = jnp.asarray([[0.0, 5.0, 0.0]] * 8)
+    d = jnp.asarray([[0.0, -1.0, 0.0]] * 8)
+    vis = tracer.occluded(data, o, d, 100.0)
+    assert (np.asarray(vis) == 0.0).all()

@@ -217,13 +217,14 @@ class SceneTracer:
         soup = scene_data.triangles
         # native host builder when available: the jitted device build
         # costs a multi-minute remote XLA compile per NEW triangle count.
-        # Static scenes default to the binned-SAH build (the reference's
-        # PREFER_FAST_TRACE driver build, Scene.cpp:397 — 1.3-1.7x fewer
-        # traversal steps than LBVH); dynamic updates refit the same
-        # topology on-device (refit_bvh works on either tree).
+        # auto = LBVH: the binned-SAH build has 1.3-1.7x fewer VISITS
+        # (host sim) but measured 20% SLOWER on chip (batch 7) — the
+        # fixed bit-order pops make traversal-order quality, where
+        # Morton-ordered children win, matter more than visit counts.
+        # SAH stays opt-in; the ordered direct-stack kernel re-tests it.
         requested_builder = getattr(settings, "bvh_builder", "auto") \
             if settings is not None else "auto"
-        builder = "sah" if requested_builder == "auto" else requested_builder
+        builder = "lbvh" if requested_builder == "auto" else requested_builder
         bvh = build_bvh_host(soup.v0, soup.v1, soup.v2, builder=builder)
         requested = settings.trace_backend if settings is not None else "auto"
         backend = _detect_backend(requested, soup.count)

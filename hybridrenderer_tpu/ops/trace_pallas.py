@@ -851,7 +851,7 @@ def pack_meta_tiles(meta):
 
 
 def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
-                        chunk_unroll: int,
+                        chunk_unroll: int, ordered: bool,
                         # scalar prefetch
                         tmin_ref,
                         # inputs (HBM)
@@ -1008,6 +1008,7 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
         if any_hit:
             tb = jnp.where(tri_best < 0, t_best, -jnp.inf)
         hm = jnp.zeros((1, 1), jnp.int32)
+        keys = []
         for c in range(8):
             r = 6 * c
             t0x = (nfv(r + 0) - ox) * ix
@@ -1023,8 +1024,12 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                                          jnp.maximum(t0y, t1y)),
                              jnp.maximum(t0z, t1z))
             okc = (tn <= tf) & (tf >= tmin) & (tn <= tb)
-            af = jnp.max(okc.astype(jnp.int32), axis=(0, 1), keepdims=True)
-            hm = hm | (af << c)
+            # packet entry distance doubles as the hit flag (< BIG) and
+            # the near-first ordering key — one reduce per child
+            knc = jnp.min(jnp.where(okc, jnp.maximum(tn, 0.0), 1e30),
+                          axis=(0, 1), keepdims=True)         # (1,1)
+            keys.append(knc)
+            hm = hm | (jnp.where(knc < 1e30, 1, 0) << c)
         hm = hm * i_valid
 
         # meta via the node's lane one-hot (VMEM, no SMEM table)
@@ -1034,18 +1039,56 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
         ibase, imask = mcol[0:1], mcol[1:2]
         lbase, lmask = mcol[2:3], mcol[3:4]
 
-        def push(stack, sp, hm_t, base, full):
-            for c in range(8):
-                bit = 1 << c
-                below = bit - 1
-                has = (hm_t & bit) != 0                       # (1,1)
-                pos = sp + _popcnt8_vec(hm_t & below)
-                cid = base + _popcnt8_vec(full & below)
-                stack = jnp.where((lane_iota == pos) & has, cid, stack)
-            return stack, sp + _popcnt8_vec(hm_t)
+        if ordered:
+            # NEAR-FIRST traversal order — the thing compressed entries
+            # (fixed bit-order pops) cannot express. Sort (key, slot)
+            # pairs with a 19-comparator Batcher network on (1,1)
+            # scalars, then push farthest-first so the nearest child
+            # pops next: t_best tightens sooner (closest-hit pruning)
+            # and occluders are found sooner (any-hit termination).
+            slots = [jnp.full((1, 1), c, jnp.int32) for c in range(8)]
+            NET = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                   (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+                   (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+                   (3, 4)]
+            for a, b in NET:
+                swap = keys[a] > keys[b]
+                ka = jnp.where(swap, keys[b], keys[a])
+                kb = jnp.where(swap, keys[a], keys[b])
+                sa = jnp.where(swap, slots[b], slots[a])
+                sb = jnp.where(swap, slots[a], slots[b])
+                keys[a], keys[b] = ka, kb
+                slots[a], slots[b] = sa, sb
 
-        istack, isp = push(istack, isp, hm & imask, ibase, imask)
-        lstack, lsp = push(lstack, lsp, hm & lmask, lbase, lmask)
+            hm_i = hm & imask
+            hm_l = hm & lmask
+
+            def push_slot(stack, sp, slot, hm_t, base, full):
+                bit = jnp.left_shift(jnp.int32(1), slot)
+                has = (hm_t & bit) != 0
+                cid = base + _popcnt8_vec(full & (bit - 1))
+                stack = jnp.where((lane_iota == sp) & has, cid, stack)
+                return stack, sp + jnp.where(has, 1, 0)
+
+            for s in range(7, -1, -1):        # farthest pushed first
+                istack, isp = push_slot(istack, isp, slots[s], hm_i,
+                                        ibase, imask)
+                lstack, lsp = push_slot(lstack, lsp, slots[s], hm_l,
+                                        lbase, lmask)
+        else:
+            def push(stack, sp, hm_t, base, full):
+                for c in range(8):
+                    bit = 1 << c
+                    below = bit - 1
+                    has = (hm_t & bit) != 0                   # (1,1)
+                    pos = sp + _popcnt8_vec(hm_t & below)
+                    cid = base + _popcnt8_vec(full & below)
+                    stack = jnp.where((lane_iota == pos) & has, cid,
+                                      stack)
+                return stack, sp + _popcnt8_vec(hm_t)
+
+            istack, isp = push(istack, isp, hm & imask, ibase, imask)
+            lstack, lsp = push(lstack, lsp, hm & lmask, lbase, lmask)
         return (isp, lsp, istack, lstack, t_best, tri_best, u_best, v_best)
 
     def body(state):
@@ -1080,15 +1123,16 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "interpret",
                                     "packets_per_program", "chunk_steps",
-                                    "chunk_unroll"))
+                                    "chunk_unroll", "ordered"))
 def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                           any_hit: bool = False, interpret: bool = False,
                           packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
                           active=None, chunk_steps: int = WIDE_CHUNK_STEPS,
-                          chunk_unroll: int = None):
+                          chunk_unroll: int = None, ordered: bool = True):
     """Wide-BVH packet traversal with direct-child-id stacks and VMEM
     meta tiles (pack_meta_tiles) — no SMEM meta table, so scene capacity
-    is bounded only by the VMEM record budget. Contract matches
+    is bounded only by the VMEM record budget. ``ordered`` pushes
+    children farthest-first (near-first pops). Contract matches
     intersect_wide."""
     npk = packets_per_program
     R = o.shape[0]
@@ -1137,7 +1181,7 @@ def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
     if chunk_unroll is None:
         chunk_unroll = 1 if interpret else WIDE_CHUNK_UNROLL
     kernel = functools.partial(_wide_direct_kernel, any_hit, npk,
-                               chunk_steps, chunk_unroll)
+                               chunk_steps, chunk_unroll, ordered)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -39,10 +39,10 @@ class RenderSettings:
 
     # Ray tracing
     bvh_leaf_size: int = 4
-    # Acceleration-structure build: "auto" (= LBVH — measured FASTER on
-    # chip than SAH despite 1.3-1.7x more visits: fixed-order pops make
-    # Morton child ordering beat SAH box quality), "sah" (opt-in,
-    # PREFER_FAST_TRACE analog), or "lbvh".
+    # Acceleration-structure build: "auto" (= binned SAH, the
+    # PREFER_FAST_TRACE analog — fastest on every ray type under the
+    # ordered direct-stack traversal), "sah", or "lbvh" (fast build;
+    # also what dynamic refits preserve topologically).
     bvh_builder: str = "auto"
     ao_radius: float = 10.0  # rt_shadow.rgen:96 traces AO rays to 10 units
     # Interleaved AO sampling (one direction per 8×8 block pattern per

@@ -217,14 +217,14 @@ class SceneTracer:
         soup = scene_data.triangles
         # native host builder when available: the jitted device build
         # costs a multi-minute remote XLA compile per NEW triangle count.
-        # auto = LBVH: the binned-SAH build has 1.3-1.7x fewer VISITS
-        # (host sim) but measured 20% SLOWER on chip (batch 7) — the
-        # fixed bit-order pops make traversal-order quality, where
-        # Morton-ordered children win, matter more than visit counts.
-        # SAH stays opt-in; the ordered direct-stack kernel re-tests it.
+        # auto = binned SAH: under the ordered direct-stack kernel the
+        # SAH tree wins every ray type (shadow 53.5 vs 39.1, AO 16.3 vs
+        # 10.5, closest 9.5 vs 4.9 Mrays/s, batch 8). Under FIXED
+        # bit-order pops SAH measured 20% slower (batch 7) — order
+        # quality dominated; near-first pushes resolved it.
         requested_builder = getattr(settings, "bvh_builder", "auto") \
             if settings is not None else "auto"
-        builder = "lbvh" if requested_builder == "auto" else requested_builder
+        builder = "sah" if requested_builder == "auto" else requested_builder
         bvh = build_bvh_host(soup.v0, soup.v1, soup.v2, builder=builder)
         requested = settings.trace_backend if settings is not None else "auto"
         backend = _detect_backend(requested, soup.count)
@@ -251,16 +251,17 @@ class SceneTracer:
                 wm = jnp.asarray(wide.meta)
                 scb = jnp.asarray(wide.slot_child_bin)
                 ct = jnp.asarray(wide.cluster_tri)
-                # stack encoding: compressed entries scalar-prefetch the
-                # meta table into SMEM (1 MB) — beyond ~900 KB
-                # (~1.05M tris) switch to direct-child-id entries with
-                # VMEM meta tiles (no SMEM ceiling)
+                # stack encoding: direct (near-first ordered pushes) is
+                # the default — fastest on every ray type (batch 8) and
+                # free of the compressed kernel's ~1.05M-tri SMEM meta
+                # ceiling. "compressed" remains selectable for A/Bs.
                 mode = trace_pallas.WIDE_STACK
                 if mode == "auto":
-                    meta_bytes = int(wide.meta.size) * 4
-                    mode = ("direct"
-                            if meta_bytes > trace_pallas.META_SMEM_LIMIT
-                            else "compressed")
+                    mode = "direct"
+                if mode == "compressed" \
+                        and int(wide.meta.size) * 4 \
+                        > trace_pallas.META_SMEM_LIMIT:
+                    mode = "direct"   # compressed cannot compile here
                 if mode == "direct":
                     wmt = trace_pallas.pack_meta_tiles(wide.meta)
                 if wide.nodes_flat is not None:

@@ -431,9 +431,11 @@ WIDE_EXTRACT = _os.environ.get("WIDE_EXTRACT", "onehot")
 # fewer steps (shadow/AO); pick by measurement.
 WIDE_KERNEL = _os.environ.get("WIDE_KERNEL", "packet")
 # stack entry encoding for the packet kernel: "compressed" = SMEM meta
-# table + (parent<<8|mask) entries; "direct" = child-id entries + VMEM
-# meta tiles (no SMEM table → no ~1.05M-tri SMEM ceiling). "auto" picks
-# compressed while the meta table fits SMEM (~900 KB), direct beyond.
+# table + (parent<<8|mask) entries, fixed bit-order pops; "direct" =
+# child-id entries + VMEM meta tiles with NEAR-FIRST ordered pushes (no
+# SMEM table → no ~1.05M-tri ceiling). "auto" = direct: ordered
+# traversal measured +37% shadow / +55% AO / +91% closest on the SAH
+# tree vs the best compressed configuration (batch 8).
 WIDE_STACK = _os.environ.get("WIDE_STACK", "auto")
 META_SMEM_LIMIT = 900 * 1024
 

@@ -183,7 +183,11 @@ def main():
                            yaw=0.6, focal_point=(0, 0.7, 0))
         img = to_u8(gr.render_np(gcam.step()))
         diff = np.abs(img.astype(int) - read_png(gold_path).astype(int))
+        # max lands on silhouette-edge tie-break pixels (TPU fma
+        # contraction differs from the CPU that rendered the golden);
+        # p99 is the structural-agreement signal
         extra["golden_err_max"] = int(diff.max())
+        extra["golden_err_p99"] = float(np.percentile(diff, 99))
         extra["golden_err_mean"] = round(float(diff.mean()), 4)
     except Exception as e:  # never break the bench contract line
         extra["golden_err_max"] = f"error: {e!r}"[:120]

@@ -250,7 +250,7 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     )
 
 
-def _raster_kernel(ntx, tile_h, tile_w,
+def _raster_kernel(ntx, tile_h, tile_w, eval_mode,
                    # scalar prefetch
                    starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
                    novf_ref,
@@ -275,8 +275,8 @@ def _raster_kernel(ntx, tile_h, tile_w,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
     txf = jnp.float32(tx)
 
-    def eval_block(rec, lo, hi, carry):
-        """rec: (24, BLOCK); lanes alive when lo <= lane < hi and the
+    def eval_block_v1(rec, lo, hi, carry):
+        """rec: (48, BLOCK); lanes alive when lo <= lane < hi and the
         record's tile-column extent covers this tile."""
         z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry
         alive = (lane >= lo) & (lane < hi) \
@@ -317,6 +317,69 @@ def _raster_kernel(ntx, tile_h, tile_w,
         n2_acc = jnp.where(take, sel(N2), n2_acc)
         s_acc = jnp.where(take, sel(S), s_acc)
         return z_acc, tri_acc, n1_acc, n2_acc, s_acc
+
+    def eval_block_v2(rec, lo, hi, carry):
+        """Cheaper resolve: the v1 block spends most of its vector time
+        in argmax + FOUR (P, BLOCK) lane-reduce selections. v2 packs the
+        winner pick into ONE integer key max (quantized depth << 7 |
+        lane — the depth STORED is still the winner's exact affine
+        eval) and fetches all winner attributes with a single
+        (P, BLOCK) × (BLOCK, 16) one-hot MXU matmul over the record's
+        coefficient ROWS, combining per pixel with (P, 3) dots."""
+        z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry
+        alive = (lane >= lo) & (lane < hi) \
+            & (rec[_R_TX0:_R_TX0 + 1, :] <= txf) \
+            & (rec[_R_TX1:_R_TX1 + 1, :] >= txf)
+
+        def forms(r0):  # (P, 3) @ (3, BLOCK) on the MXU
+            return jax.lax.dot_general(
+                pix, rec[r0:r0 + 3, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        F0 = forms(_R_F0)
+        F1 = forms(_R_F1)
+        F2 = forms(_R_F2)
+        Z = forms(_R_ZR)
+        cover = (F0 >= 0.0) & (F1 >= 0.0) & (F2 >= 0.0) & alive \
+            & (Z >= 0.0) & (Z <= 1.0)
+        # integer winner key: 17-bit quantized reversed-Z, lane low bits
+        # (unique per lane → exact one-hot; ties within 2^-17 of depth
+        # resolve toward the higher lane, deterministic)
+        ki = (jnp.clip(Z * 131071.0, 0.0, 131071.0).astype(jnp.int32)
+              << 7) | jnp.broadcast_to(lane, Z.shape)
+        ki = jnp.where(cover, ki, -1)
+        win_key = jnp.max(ki, axis=1, keepdims=True)     # (P, 1)
+        onehot = jnp.where(ki == win_key, 1.0, 0.0)      # exact one-hot
+
+        # winner attribute fetch: per coefficient triple, one one-hot
+        # MXU matmul (P, BLOCK) @ (BLOCK, 3) over the record's rows
+        # (rhs-transposed dot), then a (P, 3) dot with the pixel row —
+        # replaces v1's four (P, BLOCK) lane-reduce selections
+        def pick(rows):                                  # (P, k)
+            return jax.lax.dot_general(
+                onehot, rows,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def affine(rows):
+            return jnp.sum(pick(rows) * pix, axis=1, keepdims=True)
+
+        hit = win_key >= 0
+        win_z = jnp.where(hit, affine(rec[_R_ZR:_R_ZR + 3, :]), -1.0)
+        take = win_z > z_acc
+        z_acc = jnp.where(take, win_z, z_acc)
+        n1_acc = jnp.where(take, affine(rec[_R_N1:_R_N1 + 3, :]), n1_acc)
+        n2_acc = jnp.where(take, affine(rec[_R_N2:_R_N2 + 3, :]), n2_acc)
+        s_acc = jnp.where(
+            take,
+            affine(rec[_R_F0:_R_F0 + 3, :] + rec[_R_F1:_R_F1 + 3, :]
+                   + rec[_R_F2:_R_F2 + 3, :]), s_acc)
+        tri_acc = jnp.where(take, pick(rec[_R_TRI:_R_TRI + 1, :]),
+                            tri_acc)
+        return z_acc, tri_acc, n1_acc, n2_acc, s_acc
+
+    eval_block = eval_block_v2 if eval_mode == "v2" else eval_block_v1
 
     zeros = jnp.zeros((P, 1), jnp.float32)
     carry = (zeros, zeros - 1.0, zeros, zeros, jnp.ones((P, 1), jnp.float32))
@@ -371,8 +434,13 @@ def _raster_kernel(ntx, tile_h, tile_w,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "tile_h", "tile_w",
-                                    "interpret"))
-def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False):
+                                    "interpret", "eval_mode"))
+def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
+                 eval_mode: str = None):
+    if eval_mode is None:
+        import os
+
+        eval_mode = os.environ.get("RASTER_EVAL", "v1")
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
@@ -403,7 +471,8 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False):
         jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
         jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
     ]
-    kernel = functools.partial(_raster_kernel, ntx, tile_h, tile_w)
+    kernel = functools.partial(_raster_kernel, ntx, tile_h, tile_w,
+                               eval_mode)
     z, tri, b1, b2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

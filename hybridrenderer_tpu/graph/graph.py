@@ -166,6 +166,13 @@ class RenderGraph:
                 registry.update(out)
             for virt, hname in p.save_as_history.items():
                 new_history[hname] = registry[virt]
+        import os
+
+        if os.environ.get("GRAPH_NO_HISTORY"):
+            # perf-attribution knob: drop all history saves (and with
+            # them the carried-state materializations) — NOT a rendering
+            # mode; temporal passes will see empty history next frame
+            new_history = {}
         return registry, new_history
 
     # --- tooling --------------------------------------------------------

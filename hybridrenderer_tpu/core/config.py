@@ -36,6 +36,13 @@ class RenderSettings:
     tile_h: int = 8
     tile_w: int = 128
     max_tris_per_tile: int = 512
+    # Back-face culling of opaque single-sided triangles ("back") or
+    # two-sided rendering of everything ("none"). The reference culls
+    # back faces in the forward pipeline (ForwardPass.cpp:45) and
+    # renders the G-buffer two-sided (GBufferPass.cpp:74); "back" +
+    # per-material double_sided/cut-out exemptions preserves both
+    # intents while halving live raster candidates on closed meshes.
+    raster_cull: str = "back"
 
     # Ray tracing
     bvh_leaf_size: int = 4

@@ -54,6 +54,15 @@ def _use_pallas(requested: str) -> bool:
         return False
 
 
+def _cull_mask(settings, sc):
+    """Per-triangle back-face-cullable mask, or None when culling is off
+    (settings.raster_cull="none" — the reference G-buffer's CULL_NONE,
+    GBufferPass.cpp:74)."""
+    if getattr(settings, "raster_cull", "back") != "back":
+        return None
+    return sc.triangles.single_sided
+
+
 def make_depth_prepass(settings):
     """DepthPrepass (DepthPrepass.cpp:16-77): depth-only raster for the
     ray-traced path — the visibility-buffer raster WITHOUT the deferred
@@ -79,7 +88,8 @@ def make_depth_prepass(settings):
                 sc.vertices.world_position, proj @ view, jit2)
             tris = raster_ops.clip_triangles(
                 clip, sc.triangles.i0, sc.triangles.i1, sc.triangles.i2,
-                settings.width, settings.height, tri_mask)
+                settings.width, settings.height, tri_mask,
+                _cull_mask(settings, sc))
             vis = raster_pallas.rasterize_binned(
                 tris, settings.width, settings.height,
                 tile_h=settings.tile_h, tile_w=settings.tile_w)
@@ -88,7 +98,7 @@ def make_depth_prepass(settings):
                 sc.vertices.world_position, sc.triangles.i0,
                 sc.triangles.i1, sc.triangles.i2, cam, settings.width,
                 settings.height, jitter_enabled=jitter_on,
-                tri_mask=tri_mask)
+                tri_mask=tri_mask, single_sided=_cull_mask(settings, sc))
         return {RS.DEPTH: vis.depth}
 
     return fn, (), (RS.DEPTH,), {}
@@ -124,14 +134,16 @@ def make_gbuffer_pass(settings):
                     sc.vertices.world_position, proj @ view, jit2)
                 tris = raster_ops.clip_triangles(
                     clip, sc.triangles.i0, sc.triangles.i1, sc.triangles.i2,
-                    settings.width, settings.height, mask)
+                    settings.width, settings.height, mask,
+                    _cull_mask(settings, sc))
                 return raster_pallas.rasterize_binned(
                     tris, settings.width, settings.height,
                     tile_h=settings.tile_h, tile_w=settings.tile_w)
             return raster_ops.rasterize_scene(
                 sc.vertices.world_position, sc.triangles.i0, sc.triangles.i1,
                 sc.triangles.i2, cam, settings.width, settings.height,
-                jitter_enabled=jitter_on, tri_mask=mask)
+                jitter_enabled=jitter_on, tri_mask=mask,
+                single_sided=_cull_mask(settings, sc))
 
         if sc.has_alpha_test:
             # gbuffer.frag:33 alpha-test discard, deferred formulation:

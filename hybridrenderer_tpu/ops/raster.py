@@ -85,10 +85,18 @@ _PERM = _np.array(
 
 
 def clip_triangles(clip_verts, i0, i1, i2, width, height,
-                   tri_mask=None) -> ClippedTriangles:
+                   tri_mask=None, single_sided=None) -> ClippedTriangles:
     """Near-plane (w >= W_CLIP) clip producing 2 static output slots per
     input triangle. Clipped vertices carry original-triangle barycentrics
-    so downstream interpolation is clip-agnostic."""
+    so downstream interpolation is clip-agnostic.
+
+    ``single_sided`` (T,) bool enables back-face culling of those
+    triangles by screen-space winding (the reference forward pipeline's
+    VK_CULL_MODE_BACK_BIT, ForwardPass.cpp:45; its G-buffer uses
+    CULL_NONE, GBufferPass.cpp:74, to keep foliage two-sided — matched
+    by never marking cut-out materials single-sided). For closed opaque
+    meshes the image is identical and live raster candidates roughly
+    halve."""
     T = i0.shape[0]
     v = jnp.stack([clip_verts[i0], clip_verts[i1], clip_verts[i2]], axis=1)  # (T,3,4)
     seed_bary = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (T, 3, 3))
@@ -163,6 +171,18 @@ def clip_triangles(clip_verts, i0, i1, i2, width, height,
     ndc = pos[..., :3] * inv_w[..., None]
     sx = (ndc[..., 0] * 0.5 + 0.5) * width
     sy = (ndc[..., 1] * 0.5 + 0.5) * height
+    if single_sided is not None:
+        # screen-space winding: front faces (geometric normal toward the
+        # camera, CCW in world) have NEGATIVE signed area in y-down
+        # screen coordinates. Clipping preserves winding, so post-clip
+        # slots are tested directly.
+        e1x = sx[:, 1] - sx[:, 0]
+        e1y = sy[:, 1] - sy[:, 0]
+        e2x = sx[:, 2] - sx[:, 0]
+        e2y = sy[:, 2] - sy[:, 0]
+        area2 = e1x * e2y - e1y * e2x
+        ss2 = jnp.concatenate([single_sided, single_sided], axis=0)
+        valid = valid & ~(ss2 & (area2 > 0.0))
     return ClippedTriangles(
         sxy=jnp.stack([sx, sy], axis=-1),
         z=ndc[..., 2],
@@ -301,11 +321,12 @@ def rasterize(tris: ClippedTriangles, width: int, height: int,
 
 
 def rasterize_scene(world_pos, i0, i1, i2, cam, width, height,
-                    jitter_enabled=True, tri_mask=None,
+                    jitter_enabled=True, tri_mask=None, single_sided=None,
                     chunk: int = 64) -> VisibilityBuffer:
     """Convenience: world verts + index triple + camera → visibility buffer."""
     vp = cam.proj @ cam.view
     jit = cam.jitter if jitter_enabled else None
     clip = transform_to_clip(world_pos, vp, jit)
-    tris = clip_triangles(clip, i0, i1, i2, width, height, tri_mask)
+    tris = clip_triangles(clip, i0, i1, i2, width, height, tri_mask,
+                          single_sided)
     return rasterize(tris, width, height, chunk=chunk)

@@ -181,10 +181,20 @@ def _sorted_stream(packed, entry_key, entry_cand, n_segments, cap,
 
 
 def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
-                   max_span: int = 8, max_rows: int = 16,
+                   max_span: int = 4, max_rows: int = 16,
                    cap_a: int = 262144, cap_b: int = 32768,
-                   overflow_cap: int = 1024, sort_method: str = None):
-    """Three-class binning; see module docstring."""
+                   overflow_cap: int = 1024, b_cand_cap: int = 16384,
+                   sort_method: str = None):
+    """Three-class binning; see module docstring.
+
+    Sort-volume engineering: the entry sorts dominate bin cost and their
+    length is static. Class A emits ``T2 × max_span`` entries (span ≤ 4
+    covers the vast majority of candidates — stress @1080p: 0 dropped);
+    class B candidates (wide/tall spans) are first *compacted* to
+    ``b_cand_cap`` via one T2-length argsort and only then expanded to
+    per-row entries, replacing a ``T2 × max_rows`` sort (2.1M entries at
+    stress scale, for a few hundred live wides) with ``T2 +
+    b_cand_cap × max_rows``."""
     if sort_method is None:
         import os
 
@@ -224,13 +234,16 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
         packed, tile_id.reshape(-1), cand_a.reshape(-1), ntiles, cap_a,
         method=sort_method)
 
-    # --- class B: per-row entries ---
+    # --- class B: compact candidates, then per-row entries ---
+    ncb = min(b_cand_cap, T2)
+    bkey = jnp.where(cls_b, jnp.arange(T2, dtype=jnp.int32), T2)
+    border = jnp.argsort(bkey)[:ncb]
+    b_alive = cls_b[border]
     kr = jnp.arange(max_rows, dtype=jnp.int32)[None, :]
-    row = ty0[:, None] + kr
-    in_row = (kr < span_h[:, None]) & cls_b[:, None]
+    row = ty0[border][:, None] + kr
+    in_row = (kr < span_h[border][:, None]) & b_alive[:, None]
     row_id = jnp.where(in_row, row, nty)
-    cand_b = jnp.broadcast_to(
-        jnp.arange(T2, dtype=jnp.int32)[:, None], row_id.shape)
+    cand_b = jnp.broadcast_to(border[:, None], row_id.shape)
     stream_b, starts_b, counts_b = _sorted_stream(
         packed, row_id.reshape(-1), cand_b.reshape(-1), nty, cap_b,
         method=sort_method)
@@ -496,7 +509,7 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
 
 def rasterize_binned(tris: ClippedTriangles, width: int, height: int,
                      tile_h: int = 8, tile_w: int = 128,
-                     max_span: int = 8, max_rows: int = 16,
+                     max_span: int = 4, max_rows: int = 16,
                      interpret: bool = False, **bin_kw) -> VisibilityBuffer:
     """Full binned pipeline: pack → 3-class bin → Pallas tile raster."""
     packed, bbox, valid = pack_candidates(tris)

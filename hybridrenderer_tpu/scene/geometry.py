@@ -139,7 +139,9 @@ def uv_sphere(radius=1.0, rings=16, sectors=32, material=0) -> MeshData:
         for s in range(sectors):
             a = r * (sectors + 1) + s
             b = a + sectors + 1
-            I += [a, b, a + 1, a + 1, b, b + 1]
+            # wound so the geometric normal matches the outward attribute
+            # normal (CCW seen from outside) — required for back-face cull
+            I += [a, a + 1, b, a + 1, b + 1, b]
     return _mesh(P, N, U, I, material, name="sphere")
 
 

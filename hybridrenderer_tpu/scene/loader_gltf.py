@@ -148,6 +148,9 @@ def load_gltf(path: str) -> Tuple[List[Tuple[MeshData, np.ndarray]],
             # MASK → alpha-tested cut-out (gbuffer.frag:33, shadow.rahit)
             alpha_mode=1 if gm.get("alphaMode", "OPAQUE") == "MASK" else 0,
             alpha_cutoff=float(gm.get("alphaCutoff", 0.5)),
+            # glTF doubleSided (spec default false) drives raster
+            # back-face culling of opaque triangles
+            double_sided=bool(gm.get("doubleSided", False)),
         )
         idx = len(materials)
         materials.append(mat)

@@ -36,6 +36,11 @@ def parse_mtl(path: str) -> Dict[str, Material]:
                 roughness=cur.get("roughness", 0.5),
                 metallic=cur.get("metallic", 0.0),
                 opacity=cur.get("d", 1.0),
+                # OBJ carries no sidedness; two-sided is the safe
+                # default for possibly-open meshes (the reference
+                # G-buffer renders everything two-sided anyway,
+                # GBufferPass.cpp:74)
+                double_sided=True,
             )
             mats[cur["name"]]._tex_paths = dict(cur.get("tex", {}))  # type: ignore
 
@@ -133,7 +138,7 @@ def load_obj(path: str) -> Tuple[List[MeshData], List[Material], Dict[int, Dict[
         return i - 1 if i > 0 else count + i
 
     for mat_name, faces in faces_by_mat.items():
-        mat = mtl_by_name.get(mat_name, Material(name=mat_name or "default"))
+        mat = mtl_by_name.get(mat_name, Material(name=mat_name or "default", double_sided=True))
         mat_idx = len(materials)
         materials.append(mat)
         tp = getattr(mat, "_tex_paths", {})
@@ -186,12 +191,12 @@ def _assemble_from_native(path: str, native) -> Tuple[List[MeshData],
     tex_paths: Dict[int, Dict[str, str]] = {}
     meshes: List[MeshData] = []
     if len(tri) == 0:
-        return meshes, materials or [Material()], tex_paths
+        return meshes, materials or [Material(double_sided=True)], tex_paths
 
     mat_ids = np.unique(tri_mat)
     for mat_id in mat_ids:
         name = mat_names[mat_id] if 0 <= mat_id < len(mat_names) else "default"
-        mat = mtl_by_name.get(name, Material(name=name))
+        mat = mtl_by_name.get(name, Material(name=name, double_sided=True))
         out_idx = len(materials)
         materials.append(mat)
         tp = getattr(mat, "_tex_paths", {})

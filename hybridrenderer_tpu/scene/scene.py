@@ -180,10 +180,16 @@ class Scene:
         i2 = np.concatenate(tri_i2) if tri_i2 else np.zeros((0,), np.int32)
         t_inst = np.concatenate(tri_inst) if tri_inst else np.zeros((0,), np.int32)
         pw = _world_positions(positions, tf, rows, mesh_voffset, self.meshes)
+        m_alpha = np.array([m.alpha_mode for m in self.materials], np.int32)
+        m_ds = np.array([bool(m.double_sided) for m in self.materials])
+        tri_mat = mat_ids[t_inst] if len(t_inst) else t_inst
+        single = (~m_ds[tri_mat]) & (m_alpha[tri_mat] == 0) \
+            if len(t_inst) else np.zeros((0,), bool)
         soup = TriangleSoup(
             v0=jnp.asarray(pw[i0]), v1=jnp.asarray(pw[i1]), v2=jnp.asarray(pw[i2]),
             instance=jnp.asarray(t_inst),
             i0=jnp.asarray(i0), i1=jnp.asarray(i1), i2=jnp.asarray(i2),
+            single_sided=jnp.asarray(single),
         )
 
         lights = build_light_table(self, rows, pw, i0, i1, i2, t_inst)
@@ -317,11 +323,17 @@ def cornell_scene() -> Scene:
     """Cornell-style box with an emissive ceiling quad — exercises NEE
     light sampling + GI."""
     sc = Scene("cornell")
-    white = sc.add_material(Material(name="white", colour=(0.73, 0.73, 0.73), roughness=0.9))
-    red = sc.add_material(Material(name="red", colour=(0.65, 0.05, 0.05), roughness=0.9))
-    green = sc.add_material(Material(name="green", colour=(0.12, 0.45, 0.15), roughness=0.9))
+    # box walls are open quads (visible from outside in some shots):
+    # two-sided like the reference G-buffer's CULL_NONE
+    white = sc.add_material(Material(name="white", colour=(0.73, 0.73, 0.73), roughness=0.9,
+                                     double_sided=True))
+    red = sc.add_material(Material(name="red", colour=(0.65, 0.05, 0.05), roughness=0.9,
+                                   double_sided=True))
+    green = sc.add_material(Material(name="green", colour=(0.12, 0.45, 0.15), roughness=0.9,
+                                     double_sided=True))
     lightm = sc.add_material(Material(name="light", colour=(1, 1, 1),
-                                      emission=(15.0, 15.0, 15.0)))
+                                      emission=(15.0, 15.0, 15.0),
+                                      double_sided=True))
     metal = sc.add_material(Material(name="metal", colour=(0.8, 0.8, 0.9),
                                      roughness=0.1, metallic=1.0))
     s = 5.0

@@ -47,6 +47,7 @@ class MaterialTable:
     normal_texture: Any    # (M,) i32
     alpha_mode: Any        # (M,) i32: 0 opaque, 1 alpha-mask (cut-out)
     alpha_cutoff: Any      # (M,) f32
+    double_sided: Any      # (M,) i32: render both faces (glTF doubleSided)
 
     @property
     def count(self) -> int:
@@ -73,6 +74,7 @@ class MaterialTable:
             alpha_mode=f(lambda m: m.alpha_mode, np.int32),
             alpha_cutoff=f(lambda m: m.alpha_cutoff),
             normal_texture=f(lambda m: m.normal_texture, np.int32),
+            double_sided=f(lambda m: int(m.double_sided), np.int32),
         )
 
 
@@ -98,6 +100,12 @@ class Material:
     # shadow.rahit / common.glsl:139-148 transparent any-hit skip
     alpha_mode: int = 0
     alpha_cutoff: float = 0.5
+    # glTF doubleSided (spec default false). Opaque single-sided
+    # triangles are back-face culled in the rasterizer; the reference
+    # forward pipeline culls back faces too (ForwardPass.cpp:45) while
+    # its G-buffer uses CULL_NONE (GBufferPass.cpp:74) for foliage —
+    # cut-out materials are never culled here, preserving that intent.
+    double_sided: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -208,6 +216,9 @@ class TriangleSoup:
     i0: Any        # (T,) i32
     i1: Any
     i2: Any
+    # raster back-face-cullable: material opaque and not double-sided
+    # (precomputed at build so the frame never gathers material rows)
+    single_sided: Any  # (T,) bool
 
     @property
     def count(self) -> int:

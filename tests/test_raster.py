@@ -122,3 +122,45 @@ def test_world_pos_matches_depth_reconstruction():
     mask = np.asarray(gb.object_id) >= 0
     err = np.abs(recon[mask] - np.asarray(gb.world_pos)[mask])
     assert np.percentile(err, 95) < 5e-2  # f32 viewProjInverse precision
+
+
+def test_backface_cull_single_sided():
+    """Back-face culling (clip_triangles single_sided): an open quad seen
+    from behind vanishes when single-sided, stays when double-sided; a
+    closed mesh renders identically culled or not (the forward pipeline's
+    VK_CULL_MODE_BACK_BIT, ForwardPass.cpp:45)."""
+    cam = _identity_cam()  # camera at +z looking toward -z
+    # triangle wound CCW as seen from +z (front toward camera)
+    verts = jnp.array([[-2.0, -2.0, 0.0], [2.0, -2.0, 0.0], [0.0, 2.5, 0.0]])
+    i0, i1, i2 = jnp.array([0]), jnp.array([1]), jnp.array([2])
+    front = raster.rasterize_scene(verts, i0, i1, i2, cam, 64, 64,
+                                   jitter_enabled=False,
+                                   single_sided=jnp.array([True]))
+    assert np.asarray(front.tri_id)[32, 32] == 0  # front face survives
+    # same triangle with flipped winding = back face toward camera
+    back = raster.rasterize_scene(verts, i1, i0, i2, cam, 64, 64,
+                                  jitter_enabled=False,
+                                  single_sided=jnp.array([True]))
+    assert np.asarray(back.tri_id).max() == -1  # culled everywhere
+    back2 = raster.rasterize_scene(verts, i1, i0, i2, cam, 64, 64,
+                                   jitter_enabled=False,
+                                   single_sided=jnp.array([False]))
+    assert np.asarray(back2.tri_id)[32, 32] == 0  # double-sided survives
+
+
+def test_backface_cull_closed_mesh_identical():
+    """Culling a closed mesh (cube + sphere scene) never changes pixels."""
+    data = scene_mod.cube_scene().build()
+    cam = OrbitCamera(width=64, height=64, distance=6.0, pitch=0.5,
+                      focal_point=(0, 0.75, 0))
+    state = cam.step()
+    kw = dict(jitter_enabled=False)
+    a = raster.rasterize_scene(
+        data.vertices.world_position, data.triangles.i0, data.triangles.i1,
+        data.triangles.i2, state, 64, 64, **kw)
+    b = raster.rasterize_scene(
+        data.vertices.world_position, data.triangles.i0, data.triangles.i1,
+        data.triangles.i2, state, 64, 64,
+        single_sided=data.triangles.single_sided, **kw)
+    assert np.array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    assert np.allclose(np.asarray(a.depth), np.asarray(b.depth))

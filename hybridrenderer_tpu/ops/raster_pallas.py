@@ -217,19 +217,25 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     span_w = tx1 - tx0 + 1
     span_h = ty1 - ty0 + 1
     span = span_w * span_h
-    cls_a = onscreen & (span <= max_span)
-    cls_b = onscreen & (span > max_span) & (span_h <= max_rows)
+    T2 = packed.shape[0]
+    # clip slot-B candidates (second half of the 2-slot clip layout;
+    # near-plane crossers only, rare) skip the dense class-A entry
+    # arrays and ride the compacted row path — class A's sort covers
+    # the first T2/2 slots only
+    half = T2 // 2
+    is_slot_a = jnp.arange(T2, dtype=jnp.int32) < half
+    cls_a = onscreen & (span <= max_span) & is_slot_a
+    cls_b = onscreen & (span_h <= max_rows) & ~cls_a
     cls_c = onscreen & (span_h > max_rows)
 
     # --- class A: exact tile entries ---
     k = jnp.arange(max_span, dtype=jnp.int32)[None, :]
-    kx = tx0[:, None] + k % jnp.maximum(span_w, 1)[:, None]
-    ky = ty0[:, None] + k // jnp.maximum(span_w, 1)[:, None]
-    in_span = (k < span[:, None]) & cls_a[:, None]
+    kx = tx0[:half, None] + k % jnp.maximum(span_w[:half], 1)[:, None]
+    ky = ty0[:half, None] + k // jnp.maximum(span_w[:half], 1)[:, None]
+    in_span = (k < span[:half, None]) & cls_a[:half, None]
     tile_id = jnp.where(in_span, ky * ntx + kx, ntiles)
-    T2 = packed.shape[0]
     cand_a = jnp.broadcast_to(
-        jnp.arange(T2, dtype=jnp.int32)[:, None], tile_id.shape)
+        jnp.arange(half, dtype=jnp.int32)[:, None], tile_id.shape)
     stream_a, starts_a, counts_a = _sorted_stream(
         packed, tile_id.reshape(-1), cand_a.reshape(-1), ntiles, cap_a,
         method=sort_method)

@@ -134,3 +134,29 @@ def test_binned_raster_chunked_sort_matches():
     np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
     np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
                                atol=1e-6)
+
+
+def test_binned_near_plane_crosser_matches():
+    """A triangle crossing the near plane emits a valid clip slot-B
+    candidate, which rides the compacted class-B row path in the binned
+    rasterizer — must match the jnp reference resolve exactly."""
+    from hybridrenderer_tpu.core import maths
+    from hybridrenderer_tpu.core.camera import CameraState
+
+    view = maths.look_at(jnp.array([0.0, 0.0, 3.0]), jnp.zeros(3),
+                         jnp.array([0.0, 1.0, 0.0]))
+    proj = maths.perspective_reversed_z(60.0, 1.0, 0.1, 100.0)
+    cam = CameraState.create(view, proj)
+    # one vertex behind the camera: splits into 2 clipped slots
+    verts = jnp.array([[-2.0, -1.5, 0.0], [2.0, -1.5, 0.0],
+                       [0.0, 1.0, 5.0]])
+    clip = raster.transform_to_clip(
+        verts, jnp.asarray(cam.proj) @ jnp.asarray(cam.view))
+    tris = raster.clip_triangles(clip, jnp.array([0]), jnp.array([1]),
+                                 jnp.array([2]), 64, 64)
+    assert int(np.asarray(tris.valid).sum()) == 2  # both slots live
+    ref = raster.rasterize(tris, 64, 64)
+    out = raster_pallas.rasterize_binned(tris, 64, 64, interpret=True)
+    assert np.array_equal(np.asarray(ref.tri_id), np.asarray(out.tri_id))
+    assert np.allclose(np.asarray(ref.depth), np.asarray(out.depth),
+                       atol=1e-5)

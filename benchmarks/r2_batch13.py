@@ -148,8 +148,14 @@ print(json.dumps({"probe": "T2", "value": int(T2)}), flush=True)
 ntx, nty = -(-W // 128), -(-H // 8)
 ntiles = ntx * nty
 rng = np.random.default_rng(0)
-keys_a = jnp.asarray(rng.integers(0, ntiles + 1, T2 * 8, dtype=np.int32))
-keys_b = jnp.asarray(rng.integers(0, nty + 1, T2 * 16, dtype=np.int32))
+# new-binning sizes: A = (T2/2)*4 entries, B = T2 compaction + 16384*16
+keys_a = jnp.asarray(rng.integers(0, ntiles + 1, (T2 // 2) * 4,
+                                  dtype=np.int32))
+keys_cmp = jnp.asarray(rng.integers(0, T2 + 1, T2, dtype=np.int32))
+keys_b = jnp.asarray(rng.integers(0, nty + 1, 16384 * 16, dtype=np.int32))
+# old-binning sizes for reference
+keys_a8 = jnp.asarray(rng.integers(0, ntiles + 1, T2 * 8, dtype=np.int32))
+keys_b16 = jnp.asarray(rng.integers(0, nty + 1, T2 * 16, dtype=np.int32))
 idx_a = jnp.asarray(rng.integers(0, T2, 262144, dtype=np.int32))
 idx_b = jnp.asarray(rng.integers(0, T2, 32768, dtype=np.int32))
 
@@ -169,8 +175,11 @@ def piece_ms(fn, arg, iters=8):
 
 
 try:
-    report("sort_a_1M", piece_ms(lambda k: jnp.argsort(k), keys_a))
-    report("sort_b_2M", piece_ms(lambda k: jnp.argsort(k), keys_b))
+    report("sort_a_new_261k", piece_ms(lambda k: jnp.argsort(k), keys_a))
+    report("sort_cmp_130k", piece_ms(lambda k: jnp.argsort(k), keys_cmp))
+    report("sort_b_new_262k", piece_ms(lambda k: jnp.argsort(k), keys_b))
+    report("sort_a_old_1M", piece_ms(lambda k: jnp.argsort(k), keys_a8))
+    report("sort_b_old_2M", piece_ms(lambda k: jnp.argsort(k), keys_b16))
     report("gather_a_262k", piece_ms(lambda i: packed[i].astype(
         jnp.int32), idx_a))
     report("gather_b_32k", piece_ms(lambda i: packed[i].astype(

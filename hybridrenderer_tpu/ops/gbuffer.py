@@ -13,6 +13,7 @@ neighbor differences of the linear-depth image — the deferred analog.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -74,9 +75,17 @@ def cutout_alpha_pass(vis: VisibilityBuffer, scene):
     b1 = vis.bary1[..., None]
     b2 = vis.bary2[..., None]
     uvs = scene.vertices.uv
-    uv = uvs[soup.i0[tri]] * (1.0 - b1 - b2) + uvs[soup.i1[tri]] * b1 \
-        + uvs[soup.i2[tri]] * b2
-    mat = scene.instances.material[soup.instance[tri]]
+    # pre-joined (T, 7) uv0|uv1|uv2|material row → one gather per pixel
+    # (vs six narrow 2M-row gathers; see build_gbuffer's rationale)
+    tpk = jnp.concatenate([
+        uvs[soup.i0], uvs[soup.i1], uvs[soup.i2],
+        scene.instances.material[soup.instance][:, None].astype(
+            jnp.float32),
+    ], axis=-1)
+    row = tpk[tri]
+    uv = row[..., 0:2] * (1.0 - b1 - b2) + row[..., 2:4] * b1 \
+        + row[..., 4:6] * b2
+    mat = row[..., 6].astype(jnp.int32)
     rgba = texture.sample_bilinear(
         scene.textures.data, scene.textures.sizes,
         scene.materials.colour_texture[mat], uv,
@@ -93,9 +102,13 @@ def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
     b0 = 1.0 - b1 - b2
 
     # Per-pixel gathers cost ~25ns per ROW on this hardware regardless of
-    # row width, so all per-source fields are packed into single rows and
-    # fetched with ONE gather each (tri row, three vertex rows, one
-    # instance row) instead of ~20 narrow gathers.
+    # row width (rows up to ~1 KB stay latency-bound), so all per-source
+    # fields are packed into single rows. When the triangle count is
+    # small relative to the pixel count, everything a pixel needs is
+    # pre-joined into ONE per-triangle row (3 vertex rows + the instance
+    # row) with T-sized gathers, so each pixel costs a single gather
+    # instead of five 2M-row gathers. Above the crossover (joining costs
+    # 4 T-row gathers) the per-pixel 5-gather form is kept.
     soup = scene.triangles
     verts = scene.vertices
     V = verts.position.shape[0]
@@ -108,28 +121,6 @@ def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
         jnp.zeros((V, 1), jnp.float32),
     ], axis=-1)                        # (V, 16)
     T = soup.count
-    tpack = jnp.concatenate([
-        soup.instance[:, None].astype(jnp.float32),
-        soup.i0[:, None].astype(jnp.float32),
-        soup.i1[:, None].astype(jnp.float32),
-        soup.i2[:, None].astype(jnp.float32),
-    ], axis=-1)                        # (T, 4)
-
-    trow = tpack[tri]                                  # one gather
-    inst_id = trow[..., 0].astype(jnp.int32)
-    i0 = trow[..., 1].astype(jnp.int32)
-    i1 = trow[..., 2].astype(jnp.int32)
-    i2 = trow[..., 3].astype(jnp.int32)
-    r0 = vpack[i0]                                     # three gathers
-    r1 = vpack[i1]
-    r2 = vpack[i2]
-    lerp = r0 * b0[..., None] + r1 * b1[..., None] + r2 * b2[..., None]
-
-    world_pos = lerp[..., 0:3]
-    local_pos = lerp[..., 3:6]
-    local_n = lerp[..., 6:9]
-    local_t = lerp[..., 9:13]
-    uv = lerp[..., 13:15]
 
     # instance row: normal matrix (9) + prev transform (12) + material (1)
     N = scene.instances.count
@@ -138,7 +129,46 @@ def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
         scene.instances.prev_transform[:, :3, :4].reshape(N, 12),
         scene.instances.material[:, None].astype(jnp.float32),
     ], axis=-1)                        # (N, 22)
-    irow = ipack[inst_id]                              # one gather
+
+    fetch = os.environ.get("GBUFFER_FETCH", "auto")
+    join = 4 * T < H * W if fetch == "auto" else fetch == "join"
+    if join:
+        # pre-joined per-triangle row: v0|v1|v2|instance (T, 70+1)
+        tattr = jnp.concatenate([
+            vpack[soup.i0], vpack[soup.i1], vpack[soup.i2],
+            ipack[soup.instance],
+            soup.instance[:, None].astype(jnp.float32),
+        ], axis=-1)
+        row = tattr[tri]                               # ONE gather
+        r0 = row[..., 0:16]
+        r1 = row[..., 16:32]
+        r2 = row[..., 32:48]
+        irow = row[..., 48:70]
+        inst_id = row[..., 70].astype(jnp.int32)
+    else:
+        tpack = jnp.concatenate([
+            soup.instance[:, None].astype(jnp.float32),
+            soup.i0[:, None].astype(jnp.float32),
+            soup.i1[:, None].astype(jnp.float32),
+            soup.i2[:, None].astype(jnp.float32),
+        ], axis=-1)                    # (T, 4)
+        trow = tpack[tri]                              # one gather
+        inst_id = trow[..., 0].astype(jnp.int32)
+        i0 = trow[..., 1].astype(jnp.int32)
+        i1 = trow[..., 2].astype(jnp.int32)
+        i2 = trow[..., 3].astype(jnp.int32)
+        r0 = vpack[i0]                                 # three gathers
+        r1 = vpack[i1]
+        r2 = vpack[i2]
+        irow = ipack[inst_id]                          # one gather
+
+    lerp = r0 * b0[..., None] + r1 * b1[..., None] + r2 * b2[..., None]
+
+    world_pos = lerp[..., 0:3]
+    local_pos = lerp[..., 3:6]
+    local_n = lerp[..., 6:9]
+    local_t = lerp[..., 9:13]
+    uv = lerp[..., 13:15]
     nmat = irow[..., 0:9].reshape(*inst_id.shape, 3, 3)
     prev_tf34 = irow[..., 9:21].reshape(*inst_id.shape, 3, 4)
     mat_id = irow[..., 21].astype(jnp.int32)

@@ -130,8 +130,13 @@ def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
         scene.instances.material[:, None].astype(jnp.float32),
     ], axis=-1)                        # (N, 22)
 
+    # On-chip A/B at 1080p stress (batch 14): pixel 9.0 ms vs join
+    # 45.8 ms — the per-frame (T, 71) join materialization plus the
+    # 284-byte/pixel gather rows lose to five narrow gathers at every
+    # measured size, so "auto" is the pixel path; "join" stays as an
+    # experimental override.
     fetch = os.environ.get("GBUFFER_FETCH", "auto")
-    join = 4 * T < H * W if fetch == "auto" else fetch == "join"
+    join = fetch == "join"
     if join:
         # pre-joined per-triangle row: v0|v1|v2|instance (T, 70+1)
         tattr = jnp.concatenate([

@@ -398,7 +398,65 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode,
                             tri_acc)
         return z_acc, tri_acc, n1_acc, n2_acc, s_acc
 
-    eval_block = eval_block_v2 if eval_mode == "v2" else eval_block_v1
+    def eval_block_v3(rec, lo, hi, carry):
+        """Two-matmul block eval: all six coefficient triples ride ONE
+        (P, 3) × (3, 768) forms matmul (same MXU output area as v1's six
+        separate (P, 3) × (3, 128) dots — the win is five fewer matmul
+        dispatches), and ALL winner attributes come back in ONE one-hot
+        (P, BLOCK) × (BLOCK, 16) pick over stacked record rows. Winner
+        selection uses v2's integer key (quantized reversed-Z << 7 |
+        lane); the depth stored is the winner's exact affine eval."""
+        z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry
+        alive = (lane >= lo) & (lane < hi) \
+            & (rec[_R_TX0:_R_TX0 + 1, :] <= txf) \
+            & (rec[_R_TX1:_R_TX1 + 1, :] >= txf)
+
+        rhs = jnp.concatenate(
+            [rec[_R_F0:_R_F0 + 3, :], rec[_R_F1:_R_F1 + 3, :],
+             rec[_R_F2:_R_F2 + 3, :], rec[_R_ZR:_R_ZR + 3, :]],
+            axis=1)                                       # (3, 4·BLOCK)
+        ALL = jax.lax.dot_general(
+            pix, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (P, 4·BLOCK)
+        F0 = ALL[:, 0 * BLOCK:1 * BLOCK]
+        F1 = ALL[:, 1 * BLOCK:2 * BLOCK]
+        F2 = ALL[:, 2 * BLOCK:3 * BLOCK]
+        Z = ALL[:, 3 * BLOCK:4 * BLOCK]
+        cover = (F0 >= 0.0) & (F1 >= 0.0) & (F2 >= 0.0) & alive \
+            & (Z >= 0.0) & (Z <= 1.0)
+        ki = (jnp.clip(Z * 131071.0, 0.0, 131071.0).astype(jnp.int32)
+              << 7) | jnp.broadcast_to(lane, Z.shape)
+        ki = jnp.where(cover, ki, -1)
+        win_key = jnp.max(ki, axis=1, keepdims=True)      # (P, 1)
+        onehot = jnp.where(ki == win_key, 1.0, 0.0)       # exact one-hot
+
+        # stacked winner fetch: rows = [zr | n1 | n2 | f0+f1+f2 | tri]
+        rows = jnp.concatenate(
+            [rec[_R_ZR:_R_ZR + 3, :], rec[_R_N1:_R_N1 + 3, :],
+             rec[_R_N2:_R_N2 + 3, :],
+             rec[_R_F0:_R_F0 + 3, :] + rec[_R_F1:_R_F1 + 3, :]
+             + rec[_R_F2:_R_F2 + 3, :],
+             rec[_R_TRI:_R_TRI + 1, :]], axis=0)          # (13, BLOCK)
+        picked = jax.lax.dot_general(
+            onehot, rows, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (P, 13)
+
+        def affine(c0):
+            return jnp.sum(picked[:, c0:c0 + 3] * pix, axis=1,
+                           keepdims=True)
+
+        hit = win_key >= 0
+        win_z = jnp.where(hit, affine(0), -1.0)
+        take = win_z > z_acc
+        z_acc = jnp.where(take, win_z, z_acc)
+        n1_acc = jnp.where(take, affine(3), n1_acc)
+        n2_acc = jnp.where(take, affine(6), n2_acc)
+        s_acc = jnp.where(take, affine(9), s_acc)
+        tri_acc = jnp.where(take, picked[:, 12:13], tri_acc)
+        return z_acc, tri_acc, n1_acc, n2_acc, s_acc
+
+    eval_block = {"v2": eval_block_v2, "v3": eval_block_v3}.get(
+        eval_mode, eval_block_v1)
 
     zeros = jnp.zeros((P, 1), jnp.float32)
     carry = (zeros, zeros - 1.0, zeros, zeros, jnp.ones((P, 1), jnp.float32))

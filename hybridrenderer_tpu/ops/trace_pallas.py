@@ -408,11 +408,14 @@ INACTIVE_TRI = 1 << 29   # sentinel "hit" id for inactive lanes
 
 WIDE_ISTACK_DEPTH = 64
 WIDE_LSTACK_DEPTH = 64
-WIDE_CHUNK_STEPS = 16  # 16 beats 32/64 in-frame at 1080p (362 vs
-#                          378/408 ms shadow+AO rung): smaller chunks
-#                          overshoot less past packet termination, and
-#                          the while-loop's per-iteration overhead is
-#                          amortized enough at 16
+import os as _os0
+
+WIDE_CHUNK_STEPS = int(_os0.environ.get("WIDE_CHUNK_STEPS", "16"))
+# 16 beat 32/64 in-frame at 1080p on the COMPRESSED-stack kernel (362
+# vs 378/408 ms shadow+AO rung): smaller chunks overshoot less past
+# packet termination. Batch 14 retuned the ORDERED DIRECT kernel:
+# isolated shadow 8/16/24/32 = 63.6/57.1/49.2/... Mrays/s — env knob
+# for the in-frame A/B before flipping the default.
 WIDE_PACKETS_PER_PROGRAM = 4
 # Unroll factor for the chunk fori_loop: per-ITERATION loop machinery
 # measured ~2.4 us regardless of body (micro_traversal nop at 8 chains
@@ -1126,11 +1129,11 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                    static_argnames=("any_hit", "interpret",
                                     "packets_per_program", "chunk_steps",
                                     "chunk_unroll", "ordered"))
-def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
-                          any_hit: bool = False, interpret: bool = False,
-                          packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
-                          active=None, chunk_steps: int = WIDE_CHUNK_STEPS,
-                          chunk_unroll: int = None, ordered: bool = True):
+def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
+                           any_hit: bool = False, interpret: bool = False,
+                           packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
+                           active=None, chunk_steps: int = 8,
+                           chunk_unroll: int = None, ordered: bool = True):
     """Wide-BVH packet traversal with direct-child-id stacks and VMEM
     meta tiles (pack_meta_tiles) — no SMEM meta table, so scene capacity
     is bounded only by the VMEM record budget. ``ordered`` pushes
@@ -1200,6 +1203,20 @@ def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
 
     flat = lambda x: x.reshape(-1)[:R]
     return flat(t), flat(tri), flat(u), flat(v)
+
+
+def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
+                          chunk_steps: int = None, chunk_unroll: int = None,
+                          **kw):
+    """Public entry: resolves chunk_steps/unroll OUTSIDE the jit
+    boundary (env knob WIDE_CHUNK_STEPS read per call, so frame-level
+    A/Bs retrace; batch-14 retune on the ordered direct kernel:
+    isolated shadow 63.6/57.1/49.2 Mrays/s at 8/16/24 → default 8)."""
+    if chunk_steps is None:
+        chunk_steps = int(_os.environ.get("WIDE_CHUNK_STEPS", "8"))
+    return _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin,
+                                  tmax, chunk_steps=chunk_steps,
+                                  chunk_unroll=chunk_unroll, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -158,6 +158,25 @@ def main():
             "forward_taa_ms": round(fwd_ms, 1),
             "hybrid_ao_half_res_ms": round(half_ms, 1),
         }
+        # Sponza-scale rung: the BASELINE.json north star is 1080p
+        # *Sponza* (~262k tris); the headline stress scene is 65k.
+        # Same hybrid config on a 4x-larger procedural scene (~261k
+        # tris — no bundled Sponza asset; zero-egress image).
+        sponza_objects = int(os.environ.get("BENCH_SPONZA_OBJECTS",
+                                            "1000"))
+        if sponza_objects > 0:
+            try:
+                big = scenes.stress_scene(
+                    num_objects=sponza_objects).build()
+                big_ms = _time_config(
+                    settings_for(RenderPathType.HYBRID, hybrid_flags),
+                    big, cam_kw, ladder_frames)
+                extra["breakdown"]["sponza_scale_ms"] = round(big_ms, 1)
+                extra["breakdown"]["sponza_scale_tris"] = int(
+                    big.num_triangles)
+            except Exception as e:
+                extra["breakdown"]["sponza_scale_ms"] = \
+                    f"error: {e!r}"[:120]
 
     # per-pixel error vs the stored forward-path golden (BASELINE.md
     # "per-pixel max/mean error vs. reference forward-path goldens" —

@@ -181,9 +181,9 @@ def _sorted_stream(packed, entry_key, entry_cand, n_segments, cap,
 
 
 def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
-                   max_span: int = 4, max_rows: int = 16,
+                   max_span: int = 4, max_rows: int = None,
                    cap_a: int = 262144, cap_b: int = 32768,
-                   overflow_cap: int = 1024, b_cand_cap: int = 16384,
+                   overflow_cap: int = 1024, b_cand_cap: int = None,
                    sort_method: str = None):
     """Three-class binning; see module docstring.
 
@@ -194,7 +194,16 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     ``b_cand_cap`` via one T2-length argsort and only then expanded to
     per-row entries, replacing a ``T2 × max_rows`` sort (2.1M entries at
     stress scale, for a few hundred live wides) with ``T2 +
-    b_cand_cap × max_rows``."""
+    b_cand_cap × max_rows``.
+
+    ``max_rows`` defaults to the FULL screen row count so class C is
+    normally EMPTY — batch 15 measured the raster kernel per-tile-floor
+    bound, and a non-empty global list (e.g. the stress ground plane)
+    makes every tile pay one extra block eval. C remains as the spill
+    ladder: wides beyond the first ``b_cand_cap`` compaction slots (or
+    taller than a non-default ``max_rows``) ride the global list, and
+    beyond ``overflow_cap`` of those are dropped. ``b_cand_cap``
+    auto-sizes to keep the row-entry sort near the class-A volume."""
     if sort_method is None:
         import os
 
@@ -202,6 +211,10 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
+    if max_rows is None:
+        max_rows = nty
+    if b_cand_cap is None:
+        b_cand_cap = max(2048, -(-262144 // max_rows))
 
     tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w).astype(jnp.int32), 0, ntx - 1)
     tx1 = jnp.clip(jnp.floor(bbox[:, 1] / tile_w).astype(jnp.int32), 0, ntx - 1)
@@ -225,8 +238,11 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     half = T2 // 2
     is_slot_a = jnp.arange(T2, dtype=jnp.int32) < half
     cls_a = onscreen & (span <= max_span) & is_slot_a
-    cls_b = onscreen & (span_h <= max_rows) & ~cls_a
-    cls_c = onscreen & (span_h > max_rows)
+    wide = onscreen & ~cls_a
+    ncb = min(b_cand_cap, T2)
+    wrank = jnp.cumsum(wide.astype(jnp.int32)) - 1
+    cls_b = wide & (span_h <= max_rows) & (wrank < ncb)
+    cls_c = wide & ~cls_b   # spill: over-cap or over-tall wides
 
     # --- class A: exact tile entries ---
     k = jnp.arange(max_span, dtype=jnp.int32)[None, :]
@@ -241,7 +257,6 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
         method=sort_method)
 
     # --- class B: compact candidates, then per-row entries ---
-    ncb = min(b_cand_cap, T2)
     bkey = jnp.where(cls_b, jnp.arange(T2, dtype=jnp.int32), T2)
     border = jnp.argsort(bkey)[:ncb]
     b_alive = cls_b[border]
@@ -555,6 +570,11 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        # the block eval holds ~12 live (P, 128) f32 intermediates; at
+        # tile_h > 8 (P > 1024) that overflows the 16 MB default
+        # scoped-vmem budget (measured: th16 compile HTTP 500)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(32 * 1024 * 1024, 24 * P * 128 * 4)),
     )(bins["starts_a"], bins["counts_a"], bins["starts_b"], bins["counts_b"],
       bins["n_overflow"][None],
       bins["stream_a"], bins["stream_b"], bins["overflow"])

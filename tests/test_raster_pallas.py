@@ -63,6 +63,28 @@ def test_binned_overflow_path():
                                np.asarray(ref.depth), atol=1e-4)
 
 
+def test_binned_b_spill_to_overflow():
+    """Wides beyond the class-B compaction cap spill to the class-C
+    global list (previously they were silently dropped): with
+    b_cand_cap=1 and several wide triangles, the image must still match
+    the reference."""
+    data = scene_mod.stress_scene(num_objects=10, seed=3).build()
+    cam = OrbitCamera(width=W, height=H, distance=30.0, pitch=0.5, yaw=0.8,
+                      focal_point=(0, 2, 0)).step()
+    clip = raster.transform_to_clip(
+        data.vertices.world_position,
+        jnp.asarray(cam.proj) @ jnp.asarray(cam.view))
+    tris = raster.clip_triangles(clip, data.triangles.i0, data.triangles.i1,
+                                 data.triangles.i2, W, H)
+    ref = raster.rasterize(tris, W, H)
+    packed, bbox, valid = raster_pallas.pack_candidates(tris)
+    bins = raster_pallas.bin_candidates(packed, bbox, valid, W, H, 8, 128,
+                                        max_span=1, b_cand_cap=1)
+    assert int(np.asarray(bins["n_overflow"])) > 0  # spill actually hit
+    out = raster_pallas.raster_tiles(bins, W, H, interpret=True)
+    assert (np.asarray(ref.tri_id) != np.asarray(out.tri_id)).mean() < 0.01
+
+
 def test_binned_stress_scene():
     data = scene_mod.stress_scene(num_objects=10, seed=3).build()
     cam = OrbitCamera(width=W, height=H, distance=30.0, pitch=0.5, yaw=0.8,

@@ -237,8 +237,10 @@ def make_forward_pass(settings):
         has_sky = bool(flags & RenderFlags.IBL)
         if has_sky:
             r = maths.reflect(-v, n)
-            env_spec = sky.sample_environment(r, sc.sky_texture, sc.textures, True)
-            env_diff = sky.sample_environment(n, sc.sky_texture, sc.textures, True)
+            env_spec = sky.sample_environment(r, sc.sky_texture, sc.textures,
+                                              True, sc.has_sky_texture)
+            env_diff = sky.sample_environment(n, sc.sky_texture, sc.textures,
+                                              True, sc.has_sky_texture)
             f0 = maths.mix(jnp.full_like(gb.albedo, 0.04), gb.albedo,
                            metal[..., None])
             f = shade.fresnel_schlick(f0, n, v)

@@ -207,7 +207,8 @@ def make_primary_rt_pass(settings):
         if ctx.trace_radiance is None:
             rgb = sky.sample_environment(
                 direction, ctx.scene.sky_texture, ctx.scene.textures,
-                bool(settings.flags & RenderFlags.IBL))
+                bool(settings.flags & RenderFlags.IBL),
+                has_sky=ctx.scene.has_sky_texture)
         else:
             rgb, dist = ctx.trace_radiance(origin, direction, ctx, 0)
             hit = jnp.isfinite(dist)

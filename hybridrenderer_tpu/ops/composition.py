@@ -48,7 +48,8 @@ def compose(gb, shadow_ao, gi, reflection, scene, cam, settings, params,
     view_dir = maths.normalize(far_point - cam.position)
     sky_rgb = sky.sample_environment(
         view_dir, scene.sky_texture, scene.textures,
-        ibl_enabled=bool(flags & RenderFlags.IBL))
+        ibl_enabled=bool(flags & RenderFlags.IBL),
+        has_sky=scene.has_sky_texture)
 
     # Debug display modes
     if mode == DisplayMode.ALBEDO:

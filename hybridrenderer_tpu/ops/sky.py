@@ -34,13 +34,20 @@ def procedural_sky(direction):
     return sky + sun[..., None] * 5.0
 
 
-def sample_environment(direction, sky_texture, textures, ibl_enabled: bool):
+def sample_environment(direction, sky_texture, textures, ibl_enabled: bool,
+                       has_sky: bool = True):
     """Radiance for rays that leave the scene (miss.rmiss semantics).
 
     ``sky_texture`` is a traced scalar; IBL disabled → black.
+    ``has_sky`` is the STATIC scene flag (SceneData.has_sky_texture):
+    when False the equirect fetch is skipped entirely — a traced
+    ``jnp.where`` would still evaluate the full-screen bilinear gather
+    for purely procedural skies.
     """
     if not ibl_enabled:
         return jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
+    if not has_sky:
+        return procedural_sky(direction)
     uv = sample_equirectangular_uv(direction)
     tid = jnp.broadcast_to(sky_texture, direction.shape[:-1])
     env = tex_ops.sample_bilinear(

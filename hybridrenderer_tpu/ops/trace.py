@@ -545,7 +545,8 @@ class SceneTracer:
                                   active=hit, ray_idx=ray_idx)
         rgb_miss = sky.sample_environment(
             d, scene.sky_texture, scene.textures,
-            bool(ctx.settings.flags & RenderFlags.IBL))
+            bool(ctx.settings.flags & RenderFlags.IBL),
+            has_sky=scene.has_sky_texture)
         rgb = jnp.where(hit[..., None], rgb_hit, rgb_miss)
         dist = jnp.where(hit, t, -1.0)
         if img_mode:
@@ -628,8 +629,10 @@ class SceneTracer:
         ambient = jnp.zeros_like(direct)
         if flags & RenderFlags.IBL:
             r = maths.reflect(d, n)
-            env_spec = sky.sample_environment(r, sc.sky_texture, sc.textures, True)
-            env_diff = sky.sample_environment(n, sc.sky_texture, sc.textures, True)
+            env_spec = sky.sample_environment(r, sc.sky_texture, sc.textures,
+                                              True, sc.has_sky_texture)
+            env_diff = sky.sample_environment(n, sc.sky_texture, sc.textures,
+                                              True, sc.has_sky_texture)
             f0 = maths.mix(jnp.full_like(mp.colour, 0.04), mp.colour,
                            mp.metallic[..., None])
             f = shade.fresnel_schlick(f0, n, view)

@@ -218,6 +218,7 @@ class Scene:
             has_alpha_test=any(
                 m.alpha_mode == 1 and m.colour_texture >= 0
                 for m in self.materials),
+            has_sky_texture=self.sky_texture != INVALID_ID,
         )
 
 

@@ -269,6 +269,11 @@ class SceneData:
     # time — zero cost for fully opaque scenes)
     has_alpha_test: bool = dataclasses.field(
         metadata=dict(static=True), default=False)
+    # static: scene carries an equirect sky texture (gates the
+    # full-screen bilinear environment fetch; procedural-sky scenes
+    # skip the gather entirely)
+    has_sky_texture: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
 
     @property
     def num_triangles(self) -> int:

@@ -55,8 +55,8 @@ def t_step(wpos):
     tris = raster_ops.clip_triangles(
         clip, data.triangles.i0, data.triangles.i1, data.triangles.i2,
         W, H, None, data.triangles.single_sided)
-    return tris, sum(s(v) for v in (tris.v0, tris.v1, tris.v2, tris.w,
-                                    tris.tri_id, tris.valid))
+    return tris, sum(s(v) for v in (tris.sxy, tris.z, tris.inv_w,
+                                    tris.bary, tris.tri_id, tris.valid))
 
 
 def tp_step(wpos):

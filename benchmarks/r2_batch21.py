@@ -28,8 +28,9 @@ from hybridrenderer_tpu.core.camera import OrbitCamera
 from hybridrenderer_tpu.core.config import RenderSettings
 from hybridrenderer_tpu.core.types import RenderFlags, RenderPathType
 from hybridrenderer_tpu.graph.params import FrameParams
-from hybridrenderer_tpu.ops import img as img_ops
-from hybridrenderer_tpu.ops import maths, sampling
+from hybridrenderer_tpu.ops import image as img_ops
+from hybridrenderer_tpu.core import maths
+from hybridrenderer_tpu.ops import sampling
 from hybridrenderer_tpu.ops.trace import SceneTracer
 from hybridrenderer_tpu.scene import scene as scenes
 
@@ -77,7 +78,9 @@ def report(name, val):
 
 
 def s(x):
-    return jnp.sum(x.astype(jnp.float32)) * 1e-12
+    # clip per-term: miss distances can be inf/1e6-scale; an inf bump
+    # would turn iterations 2..N into all-inf-origin rays (fast misses)
+    return jnp.minimum(jnp.sum(x.astype(jnp.float32)) * 1e-12, 1e-7)
 
 
 def prep(o_img, d_img):

@@ -74,18 +74,24 @@ def cutout_alpha_pass(vis: VisibilityBuffer, scene):
     tri = jnp.maximum(vis.tri_id, 0)
     b1 = vis.bary1[..., None]
     b2 = vis.bary2[..., None]
-    uvs = scene.vertices.uv
-    # pre-joined (T, 7) uv0|uv1|uv2|material row → one gather per pixel
+    # one wide gather per pixel from the pre-joined attribute rows
     # (vs six narrow 2M-row gathers; see build_gbuffer's rationale)
-    tpk = jnp.concatenate([
-        uvs[soup.i0], uvs[soup.i1], uvs[soup.i2],
-        scene.instances.material[soup.instance][:, None].astype(
-            jnp.float32),
-    ], axis=-1)
-    row = tpk[tri]
-    uv = row[..., 0:2] * (1.0 - b1 - b2) + row[..., 2:4] * b1 \
-        + row[..., 4:6] * b2
-    mat = row[..., 6].astype(jnp.int32)
+    if scene.attr_rows is not None:
+        row = scene.attr_rows[tri]
+        uv = row[..., 13:15] * (1.0 - b1 - b2) + row[..., 28:30] * b1 \
+            + row[..., 43:45] * b2
+        mat = row[..., 66].astype(jnp.int32)
+    else:
+        uvs = scene.vertices.uv
+        tpk = jnp.concatenate([
+            uvs[soup.i0], uvs[soup.i1], uvs[soup.i2],
+            scene.instances.material[soup.instance][:, None].astype(
+                jnp.float32),
+        ], axis=-1)
+        row = tpk[tri]
+        uv = row[..., 0:2] * (1.0 - b1 - b2) + row[..., 2:4] * b1 \
+            + row[..., 4:6] * b2
+        mat = row[..., 6].astype(jnp.int32)
     rgba = texture.sample_bilinear(
         scene.textures.data, scene.textures.sizes,
         scene.materials.colour_texture[mat], uv,
@@ -101,56 +107,39 @@ def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
     b1, b2 = vis.bary1, vis.bary2
     b0 = 1.0 - b1 - b2
 
-    # Per-pixel gathers cost ~25ns per ROW on this hardware regardless of
-    # row width (rows up to ~1 KB stay latency-bound), so all per-source
-    # fields are packed into single rows. When the triangle count is
-    # small relative to the pixel count, everything a pixel needs is
-    # pre-joined into ONE per-triangle row (3 vertex rows + the instance
-    # row) with T-sized gathers, so each pixel costs a single gather
-    # instead of five 2M-row gathers. Above the crossover (joining costs
-    # 4 T-row gathers) the per-pixel 5-gather form is kept.
+    # Per-pixel gathers cost ~25-55ns per ROW on this hardware regardless
+    # of row width (rows up to ~1 KB stay latency-bound), so everything a
+    # pixel needs lives in ONE pre-joined per-triangle row
+    # (scene.attr_rows, built once at scene build / transform update) and
+    # each pixel costs a single wide gather instead of five narrow 2M-row
+    # gathers. The DCE-proof in-frame ladder (batch 20) measured the
+    # 5-gather pixel path at ~136 ms at 1080p — the earlier isolated
+    # 9.0 ms reading (batch 14) was a DCE artifact. "pixel" stays as an
+    # env override for A/B probes.
     soup = scene.triangles
-    verts = scene.vertices
-    V = verts.position.shape[0]
-    vpack = jnp.concatenate([
-        verts.world_position,          # 0:3
-        verts.position,                # 3:6
-        verts.normal,                  # 6:9
-        verts.tangent,                 # 9:13
-        verts.uv,                      # 13:15
-        jnp.zeros((V, 1), jnp.float32),
-    ], axis=-1)                        # (V, 16)
-    T = soup.count
-
-    # instance row: normal matrix (9) + prev transform (12) + material (1)
-    N = scene.instances.count
-    ipack = jnp.concatenate([
-        scene.instances.normal_transform[:, :3, :3].reshape(N, 9),
-        scene.instances.prev_transform[:, :3, :4].reshape(N, 12),
-        scene.instances.material[:, None].astype(jnp.float32),
-    ], axis=-1)                        # (N, 22)
-
-    # On-chip A/B at 1080p stress (batch 14): pixel 9.0 ms vs join
-    # 45.8 ms — the per-frame (T, 71) join materialization plus the
-    # 284-byte/pixel gather rows lose to five narrow gathers at every
-    # measured size, so "auto" is the pixel path; "join" stays as an
-    # experimental override.
     fetch = os.environ.get("GBUFFER_FETCH", "auto")
-    join = fetch == "join"
-    if join:
-        # pre-joined per-triangle row: v0|v1|v2|instance (T, 70+1)
-        tattr = jnp.concatenate([
-            vpack[soup.i0], vpack[soup.i1], vpack[soup.i2],
-            ipack[soup.instance],
-            soup.instance[:, None].astype(jnp.float32),
-        ], axis=-1)
-        row = tattr[tri]                               # ONE gather
-        r0 = row[..., 0:16]
-        r1 = row[..., 16:32]
-        r2 = row[..., 32:48]
-        irow = row[..., 48:70]
-        inst_id = row[..., 70].astype(jnp.int32)
+    if fetch != "pixel" and scene.attr_rows is not None:
+        row = scene.attr_rows[tri]                     # ONE gather
+        r0 = row[..., 0:15]
+        r1 = row[..., 15:30]
+        r2 = row[..., 30:45]
+        irow = row[..., 45:67]
+        inst_id = row[..., 67].astype(jnp.int32)
     else:
+        verts = scene.vertices
+        vpack = jnp.concatenate([
+            verts.world_position,          # 0:3
+            verts.position,                # 3:6
+            verts.normal,                  # 6:9
+            verts.tangent,                 # 9:13
+            verts.uv,                      # 13:15
+        ], axis=-1)                        # (V, 15)
+        N = scene.instances.count
+        ipack = jnp.concatenate([
+            scene.instances.normal_transform[:, :3, :3].reshape(N, 9),
+            scene.instances.prev_transform[:, :3, :4].reshape(N, 12),
+            scene.instances.material[:, None].astype(jnp.float32),
+        ], axis=-1)                        # (N, 22)
         tpack = jnp.concatenate([
             soup.instance[:, None].astype(jnp.float32),
             soup.i0[:, None].astype(jnp.float32),

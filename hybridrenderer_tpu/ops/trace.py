@@ -17,6 +17,7 @@ consume (graph/rt_passes.py):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any
 
@@ -320,16 +321,23 @@ class SceneTracer:
         fetch of the reference's any-hit loop (common.glsl:139-148)."""
         soup = scene.triangles
         safe = jnp.clip(tri, 0, soup.count - 1)
-        inst = jnp.clip(soup.instance[safe], 0,
-                        scene.instances.material.shape[0] - 1)
-        mat = scene.instances.material[inst]
-        tex = scene.materials.colour_texture[mat]
-        is_mask = (scene.materials.alpha_mode[mat] == 1) & (tex >= 0)
         b1 = u[..., None]
         b2 = v[..., None]
-        uvs = scene.vertices.uv
-        uv = uvs[soup.i0[safe]] * (1.0 - b1 - b2) \
-            + uvs[soup.i1[safe]] * b1 + uvs[soup.i2[safe]] * b2
+        if scene.attr_rows is not None:
+            # one wide gather: uv of all three verts + material id
+            row = scene.attr_rows[safe]
+            uv = row[..., 13:15] * (1.0 - b1 - b2) \
+                + row[..., 28:30] * b1 + row[..., 43:45] * b2
+            mat = row[..., 66].astype(jnp.int32)
+        else:
+            inst = jnp.clip(soup.instance[safe], 0,
+                            scene.instances.material.shape[0] - 1)
+            mat = scene.instances.material[inst]
+            uvs = scene.vertices.uv
+            uv = uvs[soup.i0[safe]] * (1.0 - b1 - b2) \
+                + uvs[soup.i1[safe]] * b1 + uvs[soup.i2[safe]] * b2
+        tex = scene.materials.colour_texture[mat]
+        is_mask = (scene.materials.alpha_mode[mat] == 1) & (tex >= 0)
         rgba = texture.sample_bilinear(
             scene.textures.data, scene.textures.sizes, tex, uv,
             jnp.ones((4,), jnp.float32))
@@ -566,27 +574,47 @@ class SceneTracer:
         soup = sc.triangles
         safe = jnp.clip(tri, 0, soup.count - 1)
 
-        i0, i1, i2 = soup.i0[safe], soup.i1[safe], soup.i2[safe]
         b0 = (1.0 - u - v)[..., None]
         b1 = u[..., None]
         b2 = v[..., None]
-        verts = sc.vertices
-
         world_pos = o + d * t[..., None]
-        uv = verts.uv[i0] * b0 + verts.uv[i1] * b1 + verts.uv[i2] * b2
-        ln = verts.normal[i0] * b0 + verts.normal[i1] * b1 + verts.normal[i2] * b2
-        lt = verts.tangent[i0] * b0 + verts.tangent[i1] * b1 + verts.tangent[i2] * b2
 
-        inst = soup.instance[safe]
-        nmat = sc.instances.normal_transform[inst][..., :3, :3]
+        # Attribute fetch: ONE wide gather from the pre-joined per-
+        # triangle rows (scene.attr_rows) replaces ~12 narrow per-ray
+        # gathers (3 verts x 3 attrs + soup indices + instance rows) —
+        # per-ray row gathers cost ~25-55 ns each regardless of width
+        # (batch 21: _shade_hit was ~120 ms of a 187 ms radiance pass).
+        # SHADE_FETCH=pixel keeps the narrow path for A/B probes.
+        if os.environ.get("SHADE_FETCH", "auto") != "pixel" \
+                and sc.attr_rows is not None:
+            row = sc.attr_rows[safe]
+            # normal+tangent+uv sit at [6:15] of each 15-wide vertex
+            # block (scene/schema.py attr_rows layout)
+            lerp = row[..., 6:15] * b0 + row[..., 21:30] * b1 \
+                + row[..., 36:45] * b2
+            ln = lerp[..., 0:3]
+            lt = lerp[..., 3:7]
+            uv = lerp[..., 7:9]
+            nmat = row[..., 45:54].reshape(*safe.shape, 3, 3)
+            mat_id = row[..., 66].astype(jnp.int32)
+        else:
+            i0, i1, i2 = soup.i0[safe], soup.i1[safe], soup.i2[safe]
+            verts = sc.vertices
+            uv = verts.uv[i0] * b0 + verts.uv[i1] * b1 + verts.uv[i2] * b2
+            ln = verts.normal[i0] * b0 + verts.normal[i1] * b1 \
+                + verts.normal[i2] * b2
+            lt = verts.tangent[i0] * b0 + verts.tangent[i1] * b1 \
+                + verts.tangent[i2] * b2
+            inst = soup.instance[safe]
+            nmat = sc.instances.normal_transform[inst][..., :3, :3]
+            mat_id = sc.instances.material[inst]
+
         geo_n = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, ln))
         # face backfacing rays (closesthit.rchit:56)
         flip = maths.dot(geo_n, d, keepdims=True) > 0.0
         geo_n = jnp.where(flip, -geo_n, geo_n)
         wt3 = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, lt[..., :3]))
         wt = jnp.concatenate([wt3, lt[..., 3:4]], axis=-1)
-
-        mat_id = sc.instances.material[inst]
         mp = shade.get_material_point(sc.materials, mat_id, uv, sc.textures)
         n = shade.apply_normal_map(sc.materials, mat_id, geo_n, wt, uv,
                                    sc.textures)
@@ -618,8 +646,11 @@ class SceneTracer:
             lshadow = self.occluded(sc, shadow_origin, ldir, 1000.0,
                                     active=nee_act)
             s_inst = jnp.maximum(sampled_inst, 0)
-            s_mat = sc.instances.material[s_inst]
-            l_rad = sc.materials.emission[s_mat] * 5.0
+            # per-instance emission joined at N-table size so the sampled
+            # light costs ONE per-ray gather instead of two chained ones
+            inst_emission = sc.materials.emission[sc.instances.material] \
+                * 5.0
+            l_rad = inst_emission[s_inst]
             nee = shade.eval_pbr(mp.colour, 1.5, mp.roughness, mp.metallic,
                                  n, view, ldir) * l_rad
             ok = (has & (lshadow > 0.5) & (sampled_inst >= 0))[..., None]

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import schema
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -157,9 +159,15 @@ def update_transforms(data, maps: DynamicMaps, transforms,
         lights = dataclasses.replace(lights,
                                      cdf=(cs - base).astype(jnp.float32))
 
+    # pre-joined attribute rows depend on world positions + instance
+    # matrices — rebuild (4 T-row gathers, cheap next to the per-pixel
+    # gathers they save; see schema.build_attr_rows)
+    attr = None if data.attr_rows is None else schema.build_attr_rows(
+        new_verts, new_inst, new_soup)
+
     return dataclasses.replace(data, instances=new_inst,
                                vertices=new_verts, triangles=new_soup,
-                               lights=lights)
+                               lights=lights, attr_rows=attr)
 
 
 class DynamicScene:

@@ -30,6 +30,7 @@ from .schema import (
     MaterialTable,
     SceneData,
     SunLight,
+    build_attr_rows,
     TextureStack,
     TriangleSoup,
     VertexArrays,
@@ -199,15 +200,16 @@ class Scene:
         self._built = dict(rows=rows, mesh_voffset=mesh_voffset,
                            i0=i0, i1=i1, i2=i2, t_inst=t_inst)
 
+        vertices = VertexArrays(
+            position=jnp.asarray(positions),
+            world_position=jnp.asarray(pw),
+            normal=jnp.asarray(normals),
+            tangent=jnp.asarray(tangents), uv=jnp.asarray(uvs),
+        )
         return SceneData(
             materials=MaterialTable.build(self.materials),
             instances=instances,
-            vertices=VertexArrays(
-                position=jnp.asarray(positions),
-                world_position=jnp.asarray(pw),
-                normal=jnp.asarray(normals),
-                tangent=jnp.asarray(tangents), uv=jnp.asarray(uvs),
-            ),
+            vertices=vertices,
             indices=jnp.asarray(indices),
             triangles=soup,
             lights=lights,
@@ -219,6 +221,7 @@ class Scene:
                 m.alpha_mode == 1 and m.colour_texture >= 0
                 for m in self.materials),
             has_sky_texture=self.sky_texture != INVALID_ID,
+            attr_rows=build_attr_rows(vertices, instances, soup),
         )
 
 

@@ -274,7 +274,45 @@ class SceneData:
     # skip the gather entirely)
     has_sky_texture: bool = dataclasses.field(
         metadata=dict(static=True), default=False)
+    # derived: pre-joined per-triangle attribute rows (T, 68) f32 — see
+    # build_attr_rows. Per-pixel/per-ray row gathers cost ~25-55 ns per
+    # ROW on this hardware regardless of row width, so G-buffer build and
+    # hit shading fetch everything a pixel needs with ONE wide gather
+    # instead of ~6/~16 narrow ones. Rebuilt by dynamic.update_transforms.
+    attr_rows: Any = None
 
     @property
     def num_triangles(self) -> int:
         return self.triangles.count
+
+
+# attr_rows layout: vertex k of the triangle at offset 15*k —
+#   [0:3] world_position  [3:6] local position  [6:9] normal
+#   [9:13] tangent        [13:15] uv
+# instance block at 45 —
+#   [45:54] normal matrix (3x3 row-major)  [54:66] prev transform (3x4)
+#   [66] material id      [67] instance id
+ATTR_V0 = 0
+ATTR_V1 = 15
+ATTR_V2 = 30
+ATTR_INST = 45
+ATTR_MAT = 66
+ATTR_INST_ID = 67
+
+
+def build_attr_rows(vertices, instances, soup):
+    """Join vertex + instance attributes into one (T, 68) f32 row per
+    triangle (layout above). Pure jnp — runs once at scene build and
+    again inside dynamic.update_transforms when transforms change."""
+    vpack = jnp.concatenate([
+        vertices.world_position, vertices.position, vertices.normal,
+        vertices.tangent, vertices.uv], axis=-1)               # (V, 15)
+    n = instances.transform.shape[0]
+    ipack = jnp.concatenate([
+        instances.normal_transform[:, :3, :3].reshape(n, 9),
+        instances.prev_transform[:, :3, :4].reshape(n, 12),
+        instances.material[:, None].astype(jnp.float32)], axis=-1)
+    return jnp.concatenate([
+        vpack[soup.i0], vpack[soup.i1], vpack[soup.i2],
+        ipack[soup.instance],
+        soup.instance[:, None].astype(jnp.float32)], axis=-1)  # (T, 68)

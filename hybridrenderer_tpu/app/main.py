@@ -45,6 +45,21 @@ _PATHS = {"forward": RenderPathType.FORWARD, "hybrid": RenderPathType.HYBRID,
           "raytraced": RenderPathType.RAYTRACED}
 
 
+def parse_flags(spec, path) -> "RenderFlags":
+    """Comma-separated flag names → RenderFlags; None → per-path default.
+    ``path`` may be the CLI string or a RenderPathType."""
+    if spec is not None:
+        flags = RenderFlags.NONE
+        for name in spec.split(","):
+            if name:
+                flags |= RenderFlags[name.strip().upper()]
+        return flags
+    if path in ("hybrid", RenderPathType.HYBRID):
+        return RenderFlags.default_hybrid()
+    return (RenderFlags.LIGHT | RenderFlags.IBL | RenderFlags.TAA
+            | RenderFlags.EMISSIVE)
+
+
 def default_camera(scene_name: str, width: int, height: int) -> OrbitCamera:
     presets = {
         "cube": dict(distance=7.0, pitch=0.45, yaw=0.6, focal_point=(0, 0.7, 0)),
@@ -97,16 +112,7 @@ def main(argv=None):
     width = args.width or args.size
     height = args.height or args.size
 
-    if args.flags is not None:
-        flags = RenderFlags.NONE
-        for name in args.flags.split(","):
-            if name:
-                flags |= RenderFlags[name.strip().upper()]
-    elif args.path == "hybrid":
-        flags = RenderFlags.default_hybrid()
-    else:
-        flags = (RenderFlags.LIGHT | RenderFlags.IBL | RenderFlags.TAA
-                 | RenderFlags.EMISSIVE)
+    flags = parse_flags(args.flags, args.path)
 
     settings = RenderSettings(
         width=width, height=height, path=_PATHS[args.path], flags=flags,

@@ -20,8 +20,8 @@ def to_u8(img) -> np.ndarray:
     return a
 
 
-def write_png(path: str, img) -> str:
-    """Write (H, W, {1,3,4}) image (float [0,1] or uint8) as PNG."""
+def encode_png(img) -> bytes:
+    """Encode (H, W, {1,3,4}) image (float [0,1] or uint8) as PNG bytes."""
     a = to_u8(img)
     if a.ndim == 2:
         a = a[..., None]
@@ -34,10 +34,14 @@ def write_png(path: str, img) -> str:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img) -> str:
+    """Write (H, W, {1,3,4}) image (float [0,1] or uint8) as PNG."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(img))
     return path
 
 

@@ -235,6 +235,29 @@ class Renderer:
         self._fns = {}
         self.reset_history()
 
+    def apply_settings(self, **changes):
+        """Live settings change (flags / display mode / resolution — the
+        EditorLayer checkbox + combo analog, EditorLayer.cpp:182-540):
+        rebuild the pass stack for the new static settings, keep scene
+        and tracer, drop history. New flag combinations jit-compile on
+        first use, exactly like the reference's pipeline(-cache) misses."""
+        from ..core.types import RenderFlags, RenderPathType
+
+        _log().info("applying settings", **{
+            k: str(v) for k, v in changes.items()})
+        self.settings = self.settings.replace(**changes)
+        self.path = create_render_path(self.settings)
+        needs_rt = (self.settings.path == RenderPathType.RAYTRACED) or bool(
+            self.settings.flags & (RenderFlags.SHADOW | RenderFlags.AO
+                                   | RenderFlags.REFLECTION | RenderFlags.GI))
+        if needs_rt and self.tracer is None:
+            from ..ops import trace as trace_ops
+
+            self.tracer = trace_ops.SceneTracer.build(self.scene,
+                                                      self.settings)
+        self._fns = {}
+        self.reset_history()
+
     def reset_history(self):
         """Path switch / resize semantics (RenderPath.cpp:50-56): drop
         all carried history."""

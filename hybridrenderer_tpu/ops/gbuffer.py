@@ -80,7 +80,8 @@ def cutout_alpha_pass(vis: VisibilityBuffer, scene):
         row = scene.attr_rows[tri]
         uv = row[..., 13:15] * (1.0 - b1 - b2) + row[..., 28:30] * b1 \
             + row[..., 43:45] * b2
-        mat = row[..., 66].astype(jnp.int32)
+        tex = row[..., 77].astype(jnp.int32)    # colour texture id
+        cutoff = row[..., 82]                    # alpha cutoff
     else:
         uvs = scene.vertices.uv
         tpk = jnp.concatenate([
@@ -92,11 +93,12 @@ def cutout_alpha_pass(vis: VisibilityBuffer, scene):
         uv = row[..., 0:2] * (1.0 - b1 - b2) + row[..., 2:4] * b1 \
             + row[..., 4:6] * b2
         mat = row[..., 6].astype(jnp.int32)
+        tex = scene.materials.colour_texture[mat]
+        cutoff = scene.materials.alpha_cutoff[mat]
     rgba = texture.sample_bilinear(
-        scene.textures.data, scene.textures.sizes,
-        scene.materials.colour_texture[mat], uv,
+        scene.textures.data, scene.textures.sizes, tex, uv,
         jnp.ones((4,), jnp.float32))
-    return rgba[..., 3] >= scene.materials.alpha_cutoff[mat]
+    return rgba[..., 3] >= cutoff
 
 
 def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
@@ -118,13 +120,15 @@ def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
     # env override for A/B probes.
     soup = scene.triangles
     fetch = os.environ.get("GBUFFER_FETCH", "auto")
+    mrow = None
     if fetch != "pixel" and scene.attr_rows is not None:
         row = scene.attr_rows[tri]                     # ONE gather
         r0 = row[..., 0:15]
         r1 = row[..., 15:30]
         r2 = row[..., 30:45]
         irow = row[..., 45:67]
-        inst_id = row[..., 67].astype(jnp.int32)
+        mrow = row[..., 67:83]                         # packed material
+        inst_id = row[..., 83].astype(jnp.int32)
     else:
         verts = scene.vertices
         vpack = jnp.concatenate([
@@ -171,10 +175,18 @@ def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
     world_t3 = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, local_t[..., :3]))
     world_t = jnp.concatenate([world_t3, local_t[..., 3:4]], axis=-1)
 
-    # material point + normal mapping
-    mp = shade.get_material_point(scene.materials, mat_id, uv, scene.textures)
-    shading_n = shade.apply_normal_map(
-        scene.materials, mat_id, world_n, world_t, uv, scene.textures)
+    # material point + normal mapping (material row rides attr_rows —
+    # no extra per-pixel gather on the joined path)
+    if mrow is not None:
+        mp = shade.material_point_from_row(mrow, uv, scene.textures)
+        shading_n = shade.apply_normal_map(
+            scene.materials, mat_id, world_n, world_t, uv, scene.textures,
+            nrm_tex_id=mrow[..., 13].astype(jnp.int32))
+    else:
+        mp = shade.get_material_point(scene.materials, mat_id, uv,
+                                      scene.textures)
+        shading_n = shade.apply_normal_map(
+            scene.materials, mat_id, world_n, world_t, uv, scene.textures)
 
     # motion vectors (gbuffer.frag:56-63): unjittered cur/prev clip pos
     vp = jnp.asarray(cam.proj) @ jnp.asarray(cam.view)

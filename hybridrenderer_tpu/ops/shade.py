@@ -123,7 +123,8 @@ def _pack_materials(materials):
         materials.emission_texture[:, None].astype(jnp.float32),  # 11
         materials.roughness_texture[:, None].astype(jnp.float32),  # 12
         materials.normal_texture[:, None].astype(jnp.float32),     # 13
-        jnp.zeros((M, 2), jnp.float32),
+        materials.alpha_mode[:, None].astype(jnp.float32),         # 14
+        materials.alpha_cutoff[:, None],                           # 15
     ], axis=-1)
 
 
@@ -139,6 +140,13 @@ def get_material_point(materials, mat_id, uv, textures) -> MaterialPoint:
     squared-roughness floor (common.glsl:330-333).
     """
     row = _pack_materials(materials)[mat_id]  # one gather
+    return material_point_from_row(row, uv, textures)
+
+
+def material_point_from_row(row, uv, textures) -> MaterialPoint:
+    """get_material_point when the (..., 16) packed material row was
+    already fetched — e.g. joined into scene.attr_rows, where the
+    material ride-along makes the surface-point fetch gather-free."""
     base_colour = row[..., 0:3]
     base_opacity = row[..., 3]
     emission = row[..., 4:7]
@@ -177,11 +185,15 @@ def get_material_point(materials, mat_id, uv, textures) -> MaterialPoint:
     )
 
 
-def apply_normal_map(materials, mat_id, shading_normal, tangent, uv, textures):
-    """CalculateNormal (common.glsl:293-303): TBN-transformed normal map."""
+def apply_normal_map(materials, mat_id, shading_normal, tangent, uv,
+                     textures, nrm_tex_id=None):
+    """CalculateNormal (common.glsl:293-303): TBN-transformed normal map.
+    Pass ``nrm_tex_id`` when it was already fetched (joined material row)
+    to skip the per-point gather."""
     if not _has_textures(textures):
         return maths.normalize(shading_normal)
-    nrm_tex_id = materials.normal_texture[mat_id]
+    if nrm_tex_id is None:
+        nrm_tex_id = materials.normal_texture[mat_id]
     n = maths.normalize(shading_normal)
     t = maths.normalize(tangent[..., :3])
     t_len = maths.length(tangent[..., :3])

@@ -324,11 +324,14 @@ class SceneTracer:
         b1 = u[..., None]
         b2 = v[..., None]
         if scene.attr_rows is not None:
-            # one wide gather: uv of all three verts + material id
+            # one wide gather: uv of all three verts + packed material
+            # row (tex id / alpha mode / cutoff ride along — gather-free)
             row = scene.attr_rows[safe]
             uv = row[..., 13:15] * (1.0 - b1 - b2) \
                 + row[..., 28:30] * b1 + row[..., 43:45] * b2
-            mat = row[..., 66].astype(jnp.int32)
+            tex = row[..., 77].astype(jnp.int32)
+            is_mask = (row[..., 81].astype(jnp.int32) == 1) & (tex >= 0)
+            cutoff = row[..., 82]
         else:
             inst = jnp.clip(soup.instance[safe], 0,
                             scene.instances.material.shape[0] - 1)
@@ -336,12 +339,13 @@ class SceneTracer:
             uvs = scene.vertices.uv
             uv = uvs[soup.i0[safe]] * (1.0 - b1 - b2) \
                 + uvs[soup.i1[safe]] * b1 + uvs[soup.i2[safe]] * b2
-        tex = scene.materials.colour_texture[mat]
-        is_mask = (scene.materials.alpha_mode[mat] == 1) & (tex >= 0)
+            tex = scene.materials.colour_texture[mat]
+            is_mask = (scene.materials.alpha_mode[mat] == 1) & (tex >= 0)
+            cutoff = scene.materials.alpha_cutoff[mat]
         rgba = texture.sample_bilinear(
             scene.textures.data, scene.textures.sizes, tex, uv,
             jnp.ones((4,), jnp.float32))
-        return is_mask, rgba[..., 3], scene.materials.alpha_cutoff[mat]
+        return is_mask, rgba[..., 3], cutoff
 
     def _occluded_alpha(self, scene, origin, direction, tmin, tmax, active):
         """Occlusion with transparent (cut-out) surface skipping.
@@ -585,6 +589,7 @@ class SceneTracer:
         # per-ray row gathers cost ~25-55 ns each regardless of width
         # (batch 21: _shade_hit was ~120 ms of a 187 ms radiance pass).
         # SHADE_FETCH=pixel keeps the narrow path for A/B probes.
+        mrow = None
         if os.environ.get("SHADE_FETCH", "auto") != "pixel" \
                 and sc.attr_rows is not None:
             row = sc.attr_rows[safe]
@@ -597,6 +602,7 @@ class SceneTracer:
             uv = lerp[..., 7:9]
             nmat = row[..., 45:54].reshape(*safe.shape, 3, 3)
             mat_id = row[..., 66].astype(jnp.int32)
+            mrow = row[..., 67:83]                 # packed material row
         else:
             i0, i1, i2 = soup.i0[safe], soup.i1[safe], soup.i2[safe]
             verts = sc.vertices
@@ -615,9 +621,17 @@ class SceneTracer:
         geo_n = jnp.where(flip, -geo_n, geo_n)
         wt3 = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, lt[..., :3]))
         wt = jnp.concatenate([wt3, lt[..., 3:4]], axis=-1)
-        mp = shade.get_material_point(sc.materials, mat_id, uv, sc.textures)
-        n = shade.apply_normal_map(sc.materials, mat_id, geo_n, wt, uv,
-                                   sc.textures)
+        if mrow is not None:
+            # material row rides attr_rows — gather-free surface point
+            mp = shade.material_point_from_row(mrow, uv, sc.textures)
+            n = shade.apply_normal_map(
+                sc.materials, mat_id, geo_n, wt, uv, sc.textures,
+                nrm_tex_id=mrow[..., 13].astype(jnp.int32))
+        else:
+            mp = shade.get_material_point(sc.materials, mat_id, uv,
+                                          sc.textures)
+            n = shade.apply_normal_map(sc.materials, mat_id, geo_n, wt,
+                                       uv, sc.textures)
 
         view = -d
         light_on = bool(flags & RenderFlags.LIGHT)

@@ -163,7 +163,7 @@ def update_transforms(data, maps: DynamicMaps, transforms,
     # matrices — rebuild (4 T-row gathers, cheap next to the per-pixel
     # gathers they save; see schema.build_attr_rows)
     attr = None if data.attr_rows is None else schema.build_attr_rows(
-        new_verts, new_inst, new_soup)
+        new_verts, new_inst, new_soup, data.materials)
 
     return dataclasses.replace(data, instances=new_inst,
                                vertices=new_verts, triangles=new_soup,

@@ -206,8 +206,9 @@ class Scene:
             normal=jnp.asarray(normals),
             tangent=jnp.asarray(tangents), uv=jnp.asarray(uvs),
         )
+        materials = MaterialTable.build(self.materials)
         return SceneData(
-            materials=MaterialTable.build(self.materials),
+            materials=materials,
             instances=instances,
             vertices=vertices,
             indices=jnp.asarray(indices),
@@ -221,7 +222,7 @@ class Scene:
                 m.alpha_mode == 1 and m.colour_texture >= 0
                 for m in self.materials),
             has_sky_texture=self.sky_texture != INVALID_ID,
-            attr_rows=build_attr_rows(vertices, instances, soup),
+            attr_rows=build_attr_rows(vertices, instances, soup, materials),
         )
 
 

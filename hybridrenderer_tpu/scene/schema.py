@@ -274,11 +274,11 @@ class SceneData:
     # skip the gather entirely)
     has_sky_texture: bool = dataclasses.field(
         metadata=dict(static=True), default=False)
-    # derived: pre-joined per-triangle attribute rows (T, 68) f32 — see
+    # derived: pre-joined per-triangle attribute rows (T, 84) f32 — see
     # build_attr_rows. Per-pixel/per-ray row gathers cost ~25-55 ns per
     # ROW on this hardware regardless of row width, so G-buffer build and
     # hit shading fetch everything a pixel needs with ONE wide gather
-    # instead of ~6/~16 narrow ones. Rebuilt by dynamic.update_transforms.
+    # instead of ~7/~13 narrow ones. Rebuilt by dynamic.update_transforms.
     attr_rows: Any = None
 
     @property
@@ -291,28 +291,36 @@ class SceneData:
 #   [9:13] tangent        [13:15] uv
 # instance block at 45 —
 #   [45:54] normal matrix (3x3 row-major)  [54:66] prev transform (3x4)
-#   [66] material id      [67] instance id
+#   [66] material id      [67:83] packed material row
+#   (ops/shade._pack_materials: colour|opacity|emission|roughness|
+#    metallic|type|4 texture ids|pad2)      [83] instance id
 ATTR_V0 = 0
 ATTR_V1 = 15
 ATTR_V2 = 30
 ATTR_INST = 45
 ATTR_MAT = 66
-ATTR_INST_ID = 67
+ATTR_MROW = 67
+ATTR_INST_ID = 83
+ATTR_WIDTH = 84
 
 
-def build_attr_rows(vertices, instances, soup):
-    """Join vertex + instance attributes into one (T, 68) f32 row per
-    triangle (layout above). Pure jnp — runs once at scene build and
-    again inside dynamic.update_transforms when transforms change."""
+def build_attr_rows(vertices, instances, soup, materials):
+    """Join vertex + instance + material attributes into one (T, 84) f32
+    row per triangle (layout above). Pure jnp — runs once at scene build
+    and again inside dynamic.update_transforms when transforms change."""
+    from ..ops.shade import _pack_materials  # local: avoid import cycle
+
     vpack = jnp.concatenate([
         vertices.world_position, vertices.position, vertices.normal,
         vertices.tangent, vertices.uv], axis=-1)               # (V, 15)
     n = instances.transform.shape[0]
+    mat_ids = instances.material
     ipack = jnp.concatenate([
         instances.normal_transform[:, :3, :3].reshape(n, 9),
         instances.prev_transform[:, :3, :4].reshape(n, 12),
-        instances.material[:, None].astype(jnp.float32)], axis=-1)
+        mat_ids[:, None].astype(jnp.float32),
+        _pack_materials(materials)[mat_ids]], axis=-1)         # (N, 38)
     return jnp.concatenate([
         vpack[soup.i0], vpack[soup.i1], vpack[soup.i2],
         ipack[soup.instance],
-        soup.instance[:, None].astype(jnp.float32)], axis=-1)  # (T, 68)
+        soup.instance[:, None].astype(jnp.float32)], axis=-1)  # (T, 84)

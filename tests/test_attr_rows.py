@@ -37,7 +37,7 @@ def test_gbuffer_join_matches_pixel():
     sc = scene_mod.cube_scene()
     data = sc.build()
     assert data.attr_rows is not None
-    assert data.attr_rows.shape == (data.triangles.count, 68)
+    assert data.attr_rows.shape == (data.triangles.count, 84)
     cam = OrbitCamera(width=64, height=64, distance=6.0, pitch=0.5,
                       focal_point=(0, 0.75, 0))
     state = cam.step()
@@ -107,7 +107,7 @@ def test_attr_rows_refresh_on_transform_update():
                                   np.asarray(new.triangles.v1))
     # a full host-side rejoin agrees
     rebuilt = schema.build_attr_rows(new.vertices, new.instances,
-                                     new.triangles)
+                                     new.triangles, new.materials)
     np.testing.assert_array_equal(np.asarray(new.attr_rows),
                                   np.asarray(rebuilt))
     # and the moved instance actually moved

@@ -1214,6 +1214,9 @@ def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
     isolated shadow 63.6/57.1/49.2 Mrays/s at 8/16/24 → default 8)."""
     if chunk_steps is None:
         chunk_steps = int(_os.environ.get("WIDE_CHUNK_STEPS", "8"))
+    kw.setdefault("packets_per_program",
+                  int(_os.environ.get("WIDE_NPK",
+                                      str(WIDE_PACKETS_PER_PROGRAM))))
     return _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin,
                                   tmax, chunk_steps=chunk_steps,
                                   chunk_unroll=chunk_unroll, **kw)

@@ -68,6 +68,18 @@ class RenderSettings:
     # reference traces AO full-res (rt_shadow.rgen); this is the
     # standard half-res ray-effect tradeoff, off by default for parity.
     ao_half_res: bool = False
+    # Interleaved GI bounce sampling — the AO trick applied to the
+    # diffuse-GI cosine rays (diffuse_gi.rgen:30-40 draws per-pixel):
+    # one bounce direction per 8×8 block pattern per frame, decorrelated
+    # from AO by seed salt; SVGF temporal accumulation integrates the
+    # per-frame pattern rotations exactly as for AO. Unbounded random
+    # cosine rays measured ~2.5 Mrays/s (batch 24) — direction-coherent
+    # packets are what make full-res GI affordable. False reproduces
+    # the reference's per-pixel draw.
+    gi_interleaved: bool = True
+    # Packet layout for interleaved-GI rays: "tile" | "pattern"
+    # (trace_radiance relayout; see ao_layout for the tradeoff).
+    gi_layout: str = "tile"
 
     # Reflection roughness cutoff (reflection.rgen:55-63)
     reflection_roughness_cutoff: float = 0.6

@@ -71,6 +71,7 @@ class RS:
     EMISSIVE = "Emissive"
     DEPTH = "Depth"
     CUR_COLOR = "ShadowAO"       # packed shadow+AO signal
+    AO_RAW = "AORaw"             # standalone RTAOPass demo output
     REFLECTION_RAW = "ReflectionRaw"
     GI_RAW = "GIRaw"
     FINAL_COLOR = "FinalColor"

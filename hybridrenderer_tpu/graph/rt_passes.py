@@ -149,7 +149,16 @@ def make_rt_gi_pass(settings):
         params = ctx.params
 
         def trace_gi(nrm, wpos, bgm, hh, ww):
-            if settings.use_blue_noise:
+            layout = "tile"
+            if settings.gi_interleaved:
+                # one bounce direction per 8×8 block pattern per frame
+                # (the AO sampler, salted to decorrelate) — direction-
+                # coherent packets make full-res GI affordable (random
+                # cosine rays measured ~2.5 Mrays/s, batch 24)
+                ray_dir = sampling.interleaved_cos_hemisphere(
+                    params.frame_index, nrm, salt=0x7D1E6100)
+                layout = settings.gi_layout
+            elif settings.use_blue_noise:
                 # blue-noise 1-spp draws (raygen.rgen:29-31 semantics);
                 # zw channels so the GI bounce decorrelates from AO
                 bn = sampling.blue_noise_uniforms(
@@ -164,7 +173,7 @@ def make_rt_gi_pass(settings):
                 ray_dir, _ = sampling.cos_hemisphere_sample(seed, nrm)
             origin = sampling.offset_ray(wpos, nrm)
             rad, _ = ctx.trace_radiance(origin, ray_dir, ctx, 0,
-                                        active=~bgm)
+                                        active=~bgm, layout=layout)
             return rad
 
         if settings.gi_half_res:
@@ -231,3 +240,105 @@ def make_primary_rt_pass(settings):
         return {RS.FINAL_COLOR: rgb, RS.MOTION: motion}
 
     return fn, (), (RS.FINAL_COLOR, RS.MOTION), {}
+
+
+# ---------------------------------------------------------------------------
+# Demo passes (unused by the default paths in the reference too)
+# ---------------------------------------------------------------------------
+
+def make_rtao_pass(settings):
+    """RTAOPass (RTAOPass.cpp:11-31 / rt_ao.rgen:11-48): standalone 1-spp
+    cosine-hemisphere AO at a fixed 2-unit radius, written to its own
+    AORaw plane. The default hybrid path packs AO with shadow inside
+    RTShadowPass instead — this is the reference's AO-only demo.
+    Background pixels get 1.0 (rt_ao.rgen:17-20); visibility semantics
+    match the rgen's terminate-on-first-hit + miss-shader flip."""
+
+    def fn(reg, ctx):
+        gb = reg["_GBuffer"]
+        H, W = gb.depth.shape
+        ones = jnp.ones((H, W), jnp.float32)
+        if ctx.shadow_query is None:
+            ao = ones
+        else:
+            params = ctx.params
+            ys = jnp.arange(H, dtype=jnp.uint32)[:, None]
+            xs = jnp.arange(W, dtype=jnp.uint32)[None, :]
+            seed = sampling.init_random_seed(ys * jnp.uint32(W) + xs,
+                                             params.frame_index)
+            ao_dir, _ = sampling.cos_hemisphere_sample(seed, gb.normal)
+            ao = ctx.shadow_query(gb.world_pos, gb.normal, ao_dir, 2.0,
+                                  active=~gb.background)
+            ao = jnp.where(gb.background, 1.0, ao)
+        zeros = jnp.zeros_like(ao)
+        return {RS.AO_RAW: jnp.stack([ao, zeros, zeros,
+                                      jnp.ones_like(ao)], axis=-1)}
+
+    return fn, ("_GBuffer",), (RS.AO_RAW,), {}
+
+
+def make_rayquery_pass(settings):
+    """RayQueryPass (RayQueryPass.cpp:18-50 / rayquery.frag:16-56): the
+    forward-raster + per-fragment ray-query-shadow demo. Deferred
+    formulation over the G-buffer; the demo's deltas vs ForwardPass are
+    kept faithful: the shadow origin offsets along the screen-space FACE
+    normal (dFdx x dFdy, rayquery.frag:26-30), the query runs to tMax
+    10000 (rayquery.frag:33), and it runs unconditionally when a tracer
+    is wired (no SHADOW flag gate)."""
+    from ..ops import shade
+
+    def fn(reg, ctx):
+        gb = reg["_GBuffer"]
+        sc, cam, params = ctx.scene, ctx.cam, ctx.params
+        bg = gb.background
+        n = maths.normalize(jnp.where(bg[..., None],
+                                      jnp.array([0.0, 1.0, 0.0]),
+                                      gb.normal))
+        v = maths.normalize(cam.position - gb.world_pos)
+        l = maths.normalize(-params.sun_direction)
+        intensity = params.sun_color * params.sun_intensity
+
+        # dFdx/dFdy face normal (rayquery.frag:26-29), deferred analog
+        ddx = jnp.diff(gb.world_pos, axis=1, append=gb.world_pos[:, -1:])
+        ddy = jnp.diff(gb.world_pos, axis=0, append=gb.world_pos[-1:, :])
+        face_n = maths.normalize(maths.cross(ddx, ddy))
+        flip = maths.dot(face_n, v, keepdims=True) < 0.0
+        face_n = jnp.where(flip, -face_n, face_n)
+
+        if ctx.shadow_query is not None:
+            shadow = ctx.shadow_query(
+                gb.world_pos, face_n,
+                jnp.broadcast_to(l, gb.world_pos.shape), 10000.0,
+                active=~bg)
+        else:
+            shadow = jnp.ones_like(gb.depth)
+
+        rough = gb.material[..., 0]
+        metal = gb.material[..., 1]
+        direct = shade.eval_pbr(gb.albedo, 1.5, rough, metal, n, v, l) \
+            * shadow[..., None] * intensity
+
+        # ambient: IBL when a sky texture exists, else flat
+        # (rayquery.frag:40-53 gates on skyboxIdx >= 0)
+        if sc.has_sky_texture:
+            r = maths.reflect(-v, n)
+            env_spec = sky.sample_environment(r, sc.sky_texture,
+                                              sc.textures, True,
+                                              sc.has_sky_texture)
+            env_diff = sky.sample_environment(n, sc.sky_texture,
+                                              sc.textures, True,
+                                              sc.has_sky_texture)
+            f0 = maths.mix(jnp.full_like(gb.albedo, 0.04), gb.albedo,
+                           metal[..., None])
+            f = shade.fresnel_schlick(f0, n, v)
+            kd = (1.0 - f) * (1.0 - metal[..., None])
+            ambient = (kd * env_diff * gb.albedo + f * env_spec) \
+                * params.ambient_strength
+        else:
+            ambient = params.ambient_strength * gb.albedo
+
+        color = ambient + direct + gb.emissive
+        color = jnp.where(bg[..., None], 0.0, color)
+        return {RS.FINAL_COLOR: color}
+
+    return fn, ("_GBuffer",), (RS.FINAL_COLOR,), {}

@@ -86,7 +86,7 @@ def cos_hemisphere_sample(seed, normal):
 
 
 def interleaved_cos_hemisphere(frame_index, normal, block: int = 8,
-                               grid: int = 4):
+                               grid: int = 4, salt: int = 0x51AB7000):
     """Interleaved-pattern cosine hemisphere directions over an (H, W)
     screen — the TPU-coherent AO sampler.
 
@@ -107,7 +107,9 @@ def interleaved_cos_hemisphere(frame_index, normal, block: int = 8,
     H, W = normal.shape[:2]
     P = grid * grid
     pat = jnp.arange(P, dtype=jnp.uint32)
-    seed = init_random_seed(pat + _U32(0x51AB7000), frame_index)
+    # ``salt`` decorrelates consumers (AO vs GI) drawing per-pattern
+    # uniforms in the same frame
+    seed = init_random_seed(pat + _U32(salt), frame_index)
     r1, seed = random_float(seed)
     r2, seed = random_float(seed)
 

@@ -492,7 +492,7 @@ class SceneTracer:
 
     # --- radiance (closesthit.rchit + miss.rmiss) -----------------------
     def trace_radiance(self, scene, origin, direction, ctx, depth: int = 0,
-                       active=None, pix_offset=0):
+                       active=None, pix_offset=0, layout: str = "tile"):
         """Trace + shade closest hits. origin/direction (..., 3); returns
         (rgb (..., 3), hit distance (...,) with -1 on miss).
 
@@ -500,7 +500,11 @@ class SceneTracer:
         is the sky/miss value — callers mask afterwards anyway, e.g.
         the reflection pass's roughness cutoff). (H, W) inputs are
         relayouted tile-major so traversal packets get compact origin
-        footprints (same reasoning as shadow_query layout="tile").
+        footprints (same reasoning as shadow_query layout="tile");
+        ``layout="pattern"`` groups by interleave pattern instead — for
+        rays whose directions were drawn with
+        sampling.interleaved_cos_hemisphere, each packet then carries
+        essentially ONE local direction (the AO trick, applied to GI).
         ``pix_offset`` shifts the NEE seed pixel index — shard_map
         callers pass the shard's global row offset so sharded output
         matches single-device exactly."""
@@ -508,16 +512,18 @@ class SceneTracer:
         img_mode = len(lead) == 2
         if img_mode:
             H, W = lead
-            o, _ = img_ops.to_tile_major(origin)
-            d, _ = img_ops.to_tile_major(direction)
+            relay = (img_ops.to_pattern_major if layout == "pattern"
+                     else img_ops.to_tile_major)
+            o, _ = relay(origin)
+            d, _ = relay(direction)
             act = None
             if active is not None:
-                act, _ = img_ops.to_tile_major(active)
+                act, _ = relay(active)
             # NEE seeds follow the ORIGINAL pixel index so the result is
             # layout-independent (and matches the pre-relayout goldens)
             pix = (jnp.arange(H * W, dtype=jnp.uint32).reshape(H, W)
                    + jnp.asarray(pix_offset, jnp.uint32))
-            ray_idx, _ = img_ops.to_tile_major(pix)
+            ray_idx, _ = relay(pix)
         else:
             o = origin.reshape(-1, 3)
             d = direction.reshape(-1, 3)
@@ -562,8 +568,9 @@ class SceneTracer:
         rgb = jnp.where(hit[..., None], rgb_hit, rgb_miss)
         dist = jnp.where(hit, t, -1.0)
         if img_mode:
-            return (img_ops.from_tile_major(rgb, H, W),
-                    img_ops.from_tile_major(dist, H, W))
+            unrelay = (img_ops.from_pattern_major if layout == "pattern"
+                       else img_ops.from_tile_major)
+            return unrelay(rgb, H, W), unrelay(dist, H, W)
         return rgb.reshape(*lead, 3), dist.reshape(lead)
 
     def _shade_hit(self, scene, o, d, t, tri, u, v, ctx, active=None,

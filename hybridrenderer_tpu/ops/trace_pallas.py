@@ -416,7 +416,11 @@ WIDE_CHUNK_STEPS = int(_os0.environ.get("WIDE_CHUNK_STEPS", "16"))
 # packet termination. Batch 14 retuned the ORDERED DIRECT kernel:
 # isolated shadow 8/16/24/32 = 63.6/57.1/49.2/... Mrays/s — env knob
 # for the in-frame A/B before flipping the default.
-WIDE_PACKETS_PER_PROGRAM = 4
+# npk sweep on the ordered direct kernel (batch 25, one session):
+# shadow 27.6/34.1/48.1 ms, AO 474.6/537.1/588.3, GI 707.6/815.7/892.3
+# at npk 2/4/8 — npk=2 wins every ray type (+13..23% over the old
+# npk=4, which was tuned on the r1 compressed kernel). Env: WIDE_NPK.
+WIDE_PACKETS_PER_PROGRAM = 2
 # Unroll factor for the chunk fori_loop: per-ITERATION loop machinery
 # measured ~2.4 us regardless of body (micro_traversal nop at 8 chains
 # ~2.5 us/step ≈ the real kernel's per-step cost at npk=4) — unrolling

@@ -130,7 +130,8 @@ class ShardedRenderer:
                             out_specs=img, check_rep=False,
                         )(scene, tracer, p, n, d, active)
 
-                    def trace_radiance(o, d, c, dep, active=None):
+                    def trace_radiance(o, d, c, dep, active=None,
+                                       layout="tile"):
                         if active is None:
                             active = jax.numpy.ones(o.shape[:-1], bool)
 
@@ -150,7 +151,8 @@ class ShardedRenderer:
                                    ).astype(jax.numpy.uint32)
                             return tr_.trace_radiance(sc_, o_, d_, ctx_,
                                                       dep, active=a_,
-                                                      pix_offset=off)
+                                                      pix_offset=off,
+                                                      layout=layout)
 
                         return shard_map(
                             local, mesh=mesh,
@@ -162,9 +164,9 @@ class ShardedRenderer:
                         return tracer.shadow_query(scene, p, n, d, t,
                                                    active=active, **kw)
 
-                    def trace_radiance(o, d, c, dep, active=None):
+                    def trace_radiance(o, d, c, dep, active=None, **kw):
                         return tracer.trace_radiance(scene, o, d, c, dep,
-                                                     active=active)
+                                                     active=active, **kw)
             ctx = FrameContext(
                 scene=scene, cam=cam_state, params=params, settings=settings,
                 state=state, history_valid=history_valid,

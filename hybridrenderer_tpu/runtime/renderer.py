@@ -94,9 +94,9 @@ class Renderer:
                     return tracer.shadow_query(scene, p, n, d, t,
                                                active=active, **kw)
 
-                def trace_radiance(o, d, c, dep, active=None):
+                def trace_radiance(o, d, c, dep, active=None, **kw):
                     return tracer.trace_radiance(scene, o, d, c, dep,
-                                                 active=active)
+                                                 active=active, **kw)
             ctx = FrameContext(
                 scene=scene, cam=cam_state, params=params, settings=settings,
                 state=state, history_valid=history_valid,

@@ -80,6 +80,14 @@ class RenderSettings:
     # Packet layout for interleaved-GI rays: "tile" | "pattern"
     # (trace_radiance relayout; see ao_layout for the tradeoff).
     gi_layout: str = "tile"
+    # Interleave block size (pixels) for the AO / GI pattern samplers.
+    # A 32×32-pixel traversal packet spans (32/block)² patterns: block=8
+    # → 16 distinct directions per packet, block=32 → ONE direction per
+    # packet (fastest; coarser spatial noise structure that SVGF
+    # temporal/spatial integrates, same argument as interleaving
+    # itself). Goldens pin block=8.
+    ao_block: int = 8
+    gi_block: int = 8
 
     # Reflection roughness cutoff (reflection.rgen:55-63)
     reflection_roughness_cutoff: float = 0.6

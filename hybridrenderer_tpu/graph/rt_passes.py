@@ -61,7 +61,7 @@ def make_rt_shadow_pass(settings):
             def trace_ao(nrm, wpos, bgm, hh, ww, sd=None):
                 if settings.ao_interleaved:
                     ao_dir = sampling.interleaved_cos_hemisphere(
-                        params.frame_index, nrm)
+                        params.frame_index, nrm, block=settings.ao_block)
                     return ctx.shadow_query(wpos, nrm, ao_dir,
                                             settings.ao_radius, active=~bgm,
                                             layout=settings.ao_layout)
@@ -156,7 +156,8 @@ def make_rt_gi_pass(settings):
                 # coherent packets make full-res GI affordable (random
                 # cosine rays measured ~2.5 Mrays/s, batch 24)
                 ray_dir = sampling.interleaved_cos_hemisphere(
-                    params.frame_index, nrm, salt=0x7D1E6100)
+                    params.frame_index, nrm, block=settings.gi_block,
+                    salt=0x7D1E6100)
                 layout = settings.gi_layout
             elif settings.use_blue_noise:
                 # blue-noise 1-spp draws (raygen.rgen:29-31 semantics);

@@ -154,24 +154,28 @@ def material_point_from_row(row, uv, textures) -> MaterialPoint:
     metallic = row[..., 8]
     mat_type = row[..., 9].astype(jnp.int32)
 
+    # STATIC slot gating: a slot no material binds skips its gather
+    # entirely (sample_bilinear clamps invalid ids and gathers anyway —
+    # the discarded fetch costs the same as a real one)
+    used = getattr(textures, "slot_usage", (True, True, True, True))
+    colour = base_colour
+    opacity = base_opacity
     if _has_textures(textures):
-        albedo_tex = tex_ops.sample_bilinear(
-            textures.data, textures.sizes, row[..., 10].astype(jnp.int32),
-            uv, jnp.ones((4,), jnp.float32))
-        colour = base_colour * albedo_tex[..., :3]
-        opacity = base_opacity * albedo_tex[..., 3]
-        em_tex = tex_ops.sample_bilinear(
-            textures.data, textures.sizes, row[..., 11].astype(jnp.int32),
-            uv, jnp.ones((4,), jnp.float32))
-        emission = emission * em_tex[..., :3]
-        mr_tex = tex_ops.sample_bilinear(
-            textures.data, textures.sizes, row[..., 12].astype(jnp.int32),
-            uv, jnp.ones((4,), jnp.float32))
-        roughness = roughness * mr_tex[..., 1]
-        metallic = metallic * mr_tex[..., 2]
-    else:
-        colour = base_colour
-        opacity = base_opacity
+        ones = jnp.ones((4,), jnp.float32)
+        if used[0]:
+            albedo_tex = tex_ops.sample_stack(
+                textures, row[..., 10].astype(jnp.int32), uv, ones)
+            colour = base_colour * albedo_tex[..., :3]
+            opacity = base_opacity * albedo_tex[..., 3]
+        if used[1]:
+            em_tex = tex_ops.sample_stack(
+                textures, row[..., 11].astype(jnp.int32), uv, ones)
+            emission = emission * em_tex[..., :3]
+        if used[2]:
+            mr_tex = tex_ops.sample_stack(
+                textures, row[..., 12].astype(jnp.int32), uv, ones)
+            roughness = roughness * mr_tex[..., 1]
+            metallic = metallic * mr_tex[..., 2]
 
     r2 = roughness * roughness
     r2 = jnp.where(r2 < MIN_ROUGHNESS, 0.0, r2)
@@ -190,7 +194,8 @@ def apply_normal_map(materials, mat_id, shading_normal, tangent, uv,
     """CalculateNormal (common.glsl:293-303): TBN-transformed normal map.
     Pass ``nrm_tex_id`` when it was already fetched (joined material row)
     to skip the per-point gather."""
-    if not _has_textures(textures):
+    used = getattr(textures, "slot_usage", (True, True, True, True))
+    if not _has_textures(textures) or not used[3]:
         return maths.normalize(shading_normal)
     if nrm_tex_id is None:
         nrm_tex_id = materials.normal_texture[mat_id]
@@ -199,8 +204,8 @@ def apply_normal_map(materials, mat_id, shading_normal, tangent, uv,
     t_len = maths.length(tangent[..., :3])
     w = tangent[..., 3]
     b = maths.cross(n, t) * jnp.where(jnp.abs(w) < 0.001, 1.0, w)[..., None]
-    nm = tex_ops.sample_bilinear(
-        textures.data, textures.sizes, nrm_tex_id, uv,
+    nm = tex_ops.sample_stack(
+        textures, nrm_tex_id, uv,
         jnp.array([0.5, 0.5, 1.0, 1.0], jnp.float32))[..., :3] * 2.0 - 1.0
     mapped = maths.normalize(
         t * nm[..., 0:1] + b * nm[..., 1:2] + n * nm[..., 2:3]

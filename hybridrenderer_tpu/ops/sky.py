@@ -50,7 +50,6 @@ def sample_environment(direction, sky_texture, textures, ibl_enabled: bool,
         return procedural_sky(direction)
     uv = sample_equirectangular_uv(direction)
     tid = jnp.broadcast_to(sky_texture, direction.shape[:-1])
-    env = tex_ops.sample_bilinear(
-        textures.data, textures.sizes, tid, uv, jnp.zeros((4,), jnp.float32)
-    )[..., :3]
+    env = tex_ops.sample_stack(
+        textures, tid, uv, jnp.zeros((4,), jnp.float32))[..., :3]
     return jnp.where((tid >= 0)[..., None], env, procedural_sky(direction))

@@ -4,10 +4,42 @@ Replaces `sampler2D textureArray[]` bindless access (common.glsl:30,
 GetAlbedo/CalculateNormal/GetEmissive common.glsl:286-311) with gather-
 based bilinear filtering over the padded (N, H, W, 4) stack. Wrap mode is
 REPEAT (the reference's sampler default).
+
+Row-gather cost model (BENCH.md): a gathered row costs ~25-55 ns on this
+hardware regardless of row width, so the classic 4-tap bilinear fetch is
+4 separately-priced gathers per sample. The quad-texel layout
+(``build_quads``) bakes each texel's 2x2 bilinear footprint — REPEAT
+wrap included — into one (.., 16) row so a bilinear sample is ONE gather
+plus vector lerps. 4x the texture memory, 4x fewer gathers.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def build_quads(data, sizes):
+    """Bake the 2x2 bilinear footprint of every texel into one 16-float
+    row: quads[n, y, x] = concat(T[y,x], T[y,x+1], T[y+1,x], T[y+1,x+1])
+    with the +1 neighbors wrapped by each texture's TRUE size (REPEAT) —
+    so the quad path is bit-exact vs the 4-tap path. Host-side, runs
+    once at scene build.
+
+    Args: data (N, TH, TW, 4) f32; sizes (N, 2) i32. Returns
+    (N, TH, TW, 16) f32.
+    """
+    d = np.asarray(data)
+    sz = np.asarray(sizes)
+    n, th, tw, _ = d.shape
+    out = np.zeros((n, th, tw, 16), d.dtype)
+    for i in range(n):
+        h, w = int(sz[i, 0]), int(sz[i, 1])
+        t = d[i, :h, :w]
+        x1 = np.roll(t, -1, axis=1)
+        y1 = np.roll(t, -1, axis=0)
+        xy1 = np.roll(x1, -1, axis=0)
+        out[i, :h, :w] = np.concatenate([t, x1, y1, xy1], axis=-1)
+    return jnp.asarray(out)
 
 
 def sample_bilinear(stack_data, stack_sizes, tex_id, uv, default):
@@ -47,6 +79,47 @@ def sample_bilinear(stack_data, stack_sizes, tex_id, uv, default):
 
     valid = (tex_id >= 0)[..., None]
     return jnp.where(valid, out, jnp.broadcast_to(default, out.shape))
+
+
+def sample_bilinear_quad(quads, stack_sizes, tex_id, uv, default):
+    """Bilinear sample from the quad-texel layout: ONE row gather per
+    sample (vs 4 for :func:`sample_bilinear`); bit-exact same result.
+
+    Args:
+      quads: (N, TH, TW, 16) f32 from :func:`build_quads`
+      stack_sizes / tex_id / uv / default: as :func:`sample_bilinear`
+    Returns: (..., 4) f32
+    """
+    tid = jnp.maximum(tex_id, 0)
+    h = stack_sizes[tid, 0].astype(jnp.float32)
+    w = stack_sizes[tid, 1].astype(jnp.float32)
+
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    xi = jnp.mod(x0.astype(jnp.int32), w.astype(jnp.int32))
+    yi = jnp.mod(y0.astype(jnp.int32), h.astype(jnp.int32))
+
+    q = quads[tid, yi, xi]                      # the one gather
+    top = q[..., 0:4] * (1 - fx) + q[..., 4:8] * fx
+    bot = q[..., 8:12] * (1 - fx) + q[..., 12:16] * fx
+    out = top * (1 - fy) + bot * fy
+
+    valid = (tex_id >= 0)[..., None]
+    return jnp.where(valid, out, jnp.broadcast_to(default, out.shape))
+
+
+def sample_stack(textures, tex_id, uv, default):
+    """Bilinear sample a TextureStack; takes the one-gather quad path
+    when the stack carries baked quads (scene build default)."""
+    if getattr(textures, "quads", None) is not None:
+        return sample_bilinear_quad(
+            textures.quads, textures.sizes, tex_id, uv, default)
+    return sample_bilinear(textures.data, textures.sizes, tex_id, uv,
+                           default)
 
 
 def sample_nearest(stack_data, stack_sizes, tex_id, uv, default):

@@ -342,9 +342,8 @@ class SceneTracer:
             tex = scene.materials.colour_texture[mat]
             is_mask = (scene.materials.alpha_mode[mat] == 1) & (tex >= 0)
             cutoff = scene.materials.alpha_cutoff[mat]
-        rgba = texture.sample_bilinear(
-            scene.textures.data, scene.textures.sizes, tex, uv,
-            jnp.ones((4,), jnp.float32))
+        rgba = texture.sample_stack(
+            scene.textures, tex, uv, jnp.ones((4,), jnp.float32))
         return is_mask, rgba[..., 3], cutoff
 
     def _occluded_alpha(self, scene, origin, direction, tmin, tmax, active):

@@ -164,10 +164,13 @@ def update_transforms(data, maps: DynamicMaps, transforms,
     # gathers they save; see schema.build_attr_rows)
     attr = None if data.attr_rows is None else schema.build_attr_rows(
         new_verts, new_inst, new_soup, data.materials)
+    rattr = None if data.raster_rows is None else schema.build_raster_rows(
+        new_verts, new_inst, new_soup, data.materials)
 
     return dataclasses.replace(data, instances=new_inst,
                                vertices=new_verts, triangles=new_soup,
-                               lights=lights, attr_rows=attr)
+                               lights=lights, attr_rows=attr,
+                               raster_rows=rattr)
 
 
 class DynamicScene:

@@ -31,6 +31,7 @@ from .schema import (
     SceneData,
     SunLight,
     build_attr_rows,
+    build_raster_rows,
     TextureStack,
     TriangleSoup,
     VertexArrays,
@@ -58,6 +59,9 @@ class Scene:
         self.sun = SunLight.default()
         self.sky_texture: int = INVALID_ID
         self.textures: Optional[TextureStack] = None
+        # bake the one-gather quad-texel layout at build (4x texture
+        # memory; disable for very large texture sets)
+        self.texture_quads: bool = True
         self._blue_noise_seed = 7
 
     # --- building blocks -------------------------------------------------
@@ -214,7 +218,9 @@ class Scene:
             indices=jnp.asarray(indices),
             triangles=soup,
             lights=lights,
-            textures=self.textures if self.textures is not None else TextureStack.empty(),
+            textures=(self.textures if self.textures is not None
+                      else TextureStack.empty()).finalized(
+                          self.materials, bake_quads=self.texture_quads),
             sun=self.sun,
             sky_texture=jnp.int32(self.sky_texture),
             blue_noise=_generate_blue_noise(64, self._blue_noise_seed),
@@ -223,6 +229,8 @@ class Scene:
                 for m in self.materials),
             has_sky_texture=self.sky_texture != INVALID_ID,
             attr_rows=build_attr_rows(vertices, instances, soup, materials),
+            raster_rows=build_raster_rows(vertices, instances, soup,
+                                          materials),
         )
 
 

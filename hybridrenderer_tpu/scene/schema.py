@@ -180,10 +180,23 @@ class TextureStack:
 
     Textures are padded into one (N, H, W, 4) f32 stack; per-texture true
     sizes drive UV wrap and bilinear footprint in ops/texture.py.
+
+    ``quads`` is the optional quad-texel layout (ops/texture.build_quads):
+    each texel row carries its baked 2x2 bilinear footprint so a sample
+    is ONE row gather instead of 4 (the row-gather cost model, BENCH.md).
+    Scene.build() bakes it by default; 4x texture memory.
+
+    ``slot_usage`` is STATIC: whether any material binds a
+    (colour, emission, roughness, normal) texture — unused slots skip
+    their full-screen gathers entirely at trace time (a clamped-id
+    gather whose result is discarded costs the same as a real one).
     """
 
     data: Any   # (N, H, W, 4) f32, linear color
     sizes: Any  # (N, 2) i32 (height, width) actually used
+    quads: Any = None  # (N, H, W, 16) f32 baked bilinear footprints
+    slot_usage: tuple = dataclasses.field(
+        metadata=dict(static=True), default=(True, True, True, True))
 
     @property
     def count(self) -> int:
@@ -194,7 +207,26 @@ class TextureStack:
         return TextureStack(
             data=jnp.zeros((1, 1, 1, 4), jnp.float32),
             sizes=jnp.ones((1, 2), jnp.int32),
+            slot_usage=(False, False, False, False),
         )
+
+    def finalized(self, materials, bake_quads: bool = True) -> "TextureStack":
+        """Scene-build finalization: derive ``slot_usage`` from the host
+        material list and bake the quad layout (skipped for the empty
+        placeholder stack)."""
+        from ..ops.texture import build_quads  # local: avoid import cycle
+        usage = (
+            any(m.colour_texture >= 0 for m in materials),
+            any(m.emission_texture >= 0 for m in materials),
+            any(m.roughness_texture >= 0 for m in materials),
+            any(m.normal_texture >= 0 for m in materials),
+        )
+        nontrivial = self.data.shape[1] > 1 or self.data.shape[2] > 1
+        quads = self.quads
+        if bake_quads and nontrivial and quads is None:
+            quads = build_quads(self.data, self.sizes)
+        return TextureStack(data=self.data, sizes=self.sizes, quads=quads,
+                            slot_usage=usage)
 
 
 @jax.tree_util.register_dataclass
@@ -280,6 +312,13 @@ class SceneData:
     # hit shading fetch everything a pixel needs with ONE wide gather
     # instead of ~7/~13 narrow ones. Rebuilt by dynamic.update_transforms.
     attr_rows: Any = None
+    # derived: per-triangle G-buffer attribute rows in the raster record
+    # layout (T, 72) f32 — see build_raster_rows. Rides the binned raster
+    # record stream so the Pallas tile kernel emits the winner's
+    # interpolated attributes directly (one-hot MXU picks), replacing the
+    # per-pixel attr_rows gather entirely (~48 ms at 1080p). Rebuilt by
+    # dynamic.update_transforms.
+    raster_rows: Any = None
 
     @property
     def num_triangles(self) -> int:
@@ -324,3 +363,55 @@ def build_attr_rows(vertices, instances, soup, materials):
         vpack[soup.i0], vpack[soup.i1], vpack[soup.i2],
         ipack[soup.instance],
         soup.instance[:, None].astype(jnp.float32)], axis=-1)  # (T, 84)
+
+
+# raster_rows layout (T, 72): vertex k of the triangle at offset 16*k —
+#   [0:3] world position   [3:6] PREV world position (prev_transform·local)
+#   [6:9] world-space normal (normal_transform·n, UNnormalized — the
+#         kernel lerps then build_gbuffer normalizes; linear, so
+#         normalize(lerp(M·n_k)) == normalize(M·lerp(n_k)))
+#   [9:12] world-space tangent xyz  [12] tangent w  [13:15] uv + 1 pad
+# constants at 48 (one one-hot MXU pick in the kernel) —
+#   [48:64] packed material row (ops/shade._pack_materials)
+#   [64] material id  [65] instance id  [66:72] pad
+RATTR_V0 = 0
+RATTR_V1 = 16
+RATTR_V2 = 32
+RATTR_CONST = 48
+RATTR_MROW = 48
+RATTR_MAT = 64
+RATTR_INST_ID = 65
+RATTR_WIDTH = 72
+
+
+def build_raster_rows(vertices, instances, soup, materials):
+    """Join per-triangle G-buffer attributes into the raster ride-along
+    layout above — everything instance-dependent (world normal/tangent,
+    prev world position) is pre-applied per VERTEX so the tile kernel's
+    barycentric lerp is the only per-pixel math left. Pure jnp — runs at
+    scene build and inside dynamic.update_transforms."""
+    from ..ops.shade import _pack_materials  # local: avoid import cycle
+
+    inst = soup.instance
+    nmat = instances.normal_transform[inst][:, :3, :3]      # (T, 3, 3)
+    ptf = instances.prev_transform[inst][:, :3, :]          # (T, 3, 4)
+    T = inst.shape[0]
+
+    def vert(ik):
+        lp = vertices.position[ik]                          # (T, 3)
+        wn = jnp.einsum("tij,tj->ti", nmat, vertices.normal[ik])
+        tg = vertices.tangent[ik]
+        wt = jnp.einsum("tij,tj->ti", nmat, tg[:, :3])
+        pwp = jnp.einsum("tij,tj->ti", ptf[..., :3], lp) + ptf[..., 3]
+        return jnp.concatenate([
+            vertices.world_position[ik], pwp, wn, wt, tg[:, 3:4],
+            vertices.uv[ik], jnp.zeros((T, 1), jnp.float32)], axis=-1)
+
+    mat_ids = instances.material[inst]                      # (T,)
+    const = jnp.concatenate([
+        _pack_materials(materials)[mat_ids],
+        mat_ids[:, None].astype(jnp.float32),
+        inst[:, None].astype(jnp.float32),
+        jnp.zeros((T, 6), jnp.float32)], axis=-1)           # (T, 24)
+    return jnp.concatenate(
+        [vert(soup.i0), vert(soup.i1), vert(soup.i2), const], axis=-1)

@@ -67,3 +67,62 @@ def test_textured_forward_render():
     r_flat = center[..., 0].ravel()
     g_flat = center[..., 1].ravel()
     assert np.corrcoef(r_flat, g_flat)[0, 1] < -0.3
+
+
+def _rand_stack(rng, n_tex=3, size=16):
+    """Random stack with per-texture TRUE sizes below the padded size."""
+    data = np.zeros((n_tex, size, size, 4), np.float32)
+    sizes = np.zeros((n_tex, 2), np.int32)
+    for i in range(n_tex):
+        h = int(rng.integers(4, size + 1))
+        w = int(rng.integers(4, size + 1))
+        data[i, :h, :w] = rng.random((h, w, 4))
+        sizes[i] = (h, w)
+    return TextureStack(data=jnp.asarray(data),
+                        sizes=jnp.asarray(sizes))
+
+
+def test_quad_layout_matches_four_tap():
+    """The one-gather quad path is bit-exact vs the 4-tap path, REPEAT
+    wrap at each texture's true size included."""
+    rng = np.random.default_rng(3)
+    stack = _rand_stack(rng)
+    quads = tex_ops.build_quads(stack.data, stack.sizes)
+    # uv far outside [0,1) exercises wrap; include exact texel corners
+    uv = jnp.asarray(rng.random((257, 2)) * 6.0 - 3.0, jnp.float32)
+    tid = jnp.asarray(rng.integers(-1, 3, 257), jnp.int32)
+    dflt = jnp.asarray([9.0, 8.0, 7.0, 1.0], jnp.float32)
+    ref = np.asarray(tex_ops.sample_bilinear(
+        stack.data, stack.sizes, tid, uv, dflt))
+    out = np.asarray(tex_ops.sample_bilinear_quad(
+        quads, stack.sizes, tid, uv, dflt))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sample_stack_dispatch():
+    """sample_stack picks the quad path when quads are present and the
+    4-tap path otherwise — identical results either way."""
+    rng = np.random.default_rng(5)
+    stack = _rand_stack(rng)
+    uv = jnp.asarray(rng.random((64, 2)), jnp.float32)
+    tid = jnp.asarray(rng.integers(0, 3, 64), jnp.int32)
+    dflt = jnp.zeros((4,), jnp.float32)
+    base = np.asarray(tex_ops.sample_stack(stack, tid, uv, dflt))
+    import dataclasses as dc
+    with_quads = dc.replace(
+        stack, quads=tex_ops.build_quads(stack.data, stack.sizes))
+    np.testing.assert_array_equal(
+        np.asarray(tex_ops.sample_stack(with_quads, tid, uv, dflt)), base)
+
+
+def test_scene_build_finalizes_textures():
+    """Scene.build derives static slot_usage from materials and bakes
+    quads; only the colour slot is used by the stress scene."""
+    from hybridrenderer_tpu.scene.scene import stress_scene
+    data = stress_scene(num_objects=4, textured=True).build()
+    assert data.textures.slot_usage == (True, False, False, False)
+    assert data.textures.quads is not None
+    assert data.textures.quads.shape == data.textures.data.shape[:3] + (16,)
+    plain = stress_scene(num_objects=4).build()
+    assert plain.textures.slot_usage == (False, False, False, False)
+    assert plain.textures.quads is None

@@ -9,6 +9,7 @@ FrameState.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -63,6 +64,27 @@ def _cull_mask(settings, sc):
     return sc.triangles.single_sided
 
 
+def _clip_scene(sc, settings, vp, jit2, mask):
+    """World → clip → near-plane-clipped candidates. Default transforms
+    the soup's per-corner tables directly (3 small matmuls, ZERO
+    vertex gathers); RASTER_CLIP=gather restores the shared-vertex path
+    (1 matmul + three T-row gathers) for A/B probes."""
+    if os.environ.get("RASTER_CLIP", "soup") == "soup":
+        corners = jnp.stack(
+            [raster_ops.transform_to_clip(sc.triangles.v0, vp, jit2),
+             raster_ops.transform_to_clip(sc.triangles.v1, vp, jit2),
+             raster_ops.transform_to_clip(sc.triangles.v2, vp, jit2)],
+            axis=1)
+        return raster_ops.clip_triangles(
+            None, None, None, None, settings.width, settings.height,
+            mask, _cull_mask(settings, sc), corners=corners)
+    clip = raster_ops.transform_to_clip(
+        sc.vertices.world_position, vp, jit2)
+    return raster_ops.clip_triangles(
+        clip, sc.triangles.i0, sc.triangles.i1, sc.triangles.i2,
+        settings.width, settings.height, mask, _cull_mask(settings, sc))
+
+
 def make_depth_prepass(settings):
     """DepthPrepass (DepthPrepass.cpp:16-77): depth-only raster for the
     ray-traced path — the visibility-buffer raster WITHOUT the deferred
@@ -84,12 +106,7 @@ def make_depth_prepass(settings):
             from ..ops import raster_pallas
 
             jit2 = jnp.asarray(cam.jitter) if jitter_on else None
-            clip = raster_ops.transform_to_clip(
-                sc.vertices.world_position, proj @ view, jit2)
-            tris = raster_ops.clip_triangles(
-                clip, sc.triangles.i0, sc.triangles.i1, sc.triangles.i2,
-                settings.width, settings.height, tri_mask,
-                _cull_mask(settings, sc))
+            tris = _clip_scene(sc, settings, proj @ view, jit2, tri_mask)
             vis = raster_pallas.rasterize_binned(
                 tris, settings.width, settings.height,
                 tile_h=settings.tile_h, tile_w=settings.tile_w)
@@ -125,25 +142,29 @@ def make_gbuffer_pass(settings):
         jitter_on = bool(settings.flags & RenderFlags.TAA) or \
             bool(settings.flags & RenderFlags.SVGF)
 
+        # G-buffer attribute ride-along (raster_pallas attr streams): the
+        # kernel interpolates the winner's attributes — no per-pixel
+        # gather in build_gbuffer. GBUFFER_FETCH=join/pixel opt out.
+        fetch = os.environ.get("GBUFFER_FETCH", "auto")
+        ride_attrs = (pallas_raster and sc.raster_rows is not None
+                      and fetch in ("auto", "kernel"))
+
         def raster(mask):
             if pallas_raster:
                 from ..ops import raster_pallas
 
                 jit2 = jnp.asarray(cam.jitter) if jitter_on else None
-                clip = raster_ops.transform_to_clip(
-                    sc.vertices.world_position, proj @ view, jit2)
-                tris = raster_ops.clip_triangles(
-                    clip, sc.triangles.i0, sc.triangles.i1, sc.triangles.i2,
-                    settings.width, settings.height, mask,
-                    _cull_mask(settings, sc))
-                return raster_pallas.rasterize_binned(
+                tris = _clip_scene(sc, settings, proj @ view, jit2, mask)
+                out = raster_pallas.rasterize_binned(
                     tris, settings.width, settings.height,
-                    tile_h=settings.tile_h, tile_w=settings.tile_w)
-            return raster_ops.rasterize_scene(
+                    tile_h=settings.tile_h, tile_w=settings.tile_w,
+                    attr_table=sc.raster_rows if ride_attrs else None)
+                return out if ride_attrs else (out, None)
+            return (raster_ops.rasterize_scene(
                 sc.vertices.world_position, sc.triangles.i0, sc.triangles.i1,
                 sc.triangles.i2, cam, settings.width, settings.height,
                 jitter_enabled=jitter_on, tri_mask=mask,
-                single_sided=_cull_mask(settings, sc))
+                single_sided=_cull_mask(settings, sc)), None)
 
         if sc.has_alpha_test:
             # gbuffer.frag:33 alpha-test discard, deferred formulation:
@@ -156,9 +177,10 @@ def make_gbuffer_pass(settings):
             mat_of_tri = sc.instances.material[sc.triangles.instance]
             tri_cut = (sc.materials.alpha_mode[mat_of_tri] == 1) \
                 & (sc.materials.colour_texture[mat_of_tri] >= 0)
-            vis_op = raster(tri_mask & ~tri_cut)
-            vis_cut = raster(tri_mask & tri_cut)
-            alpha_ok = gbuffer_ops.cutout_alpha_pass(vis_cut, sc)
+            vis_op, attrs_op = raster(tri_mask & ~tri_cut)
+            vis_cut, attrs_cut = raster(tri_mask & tri_cut)
+            alpha_ok = gbuffer_ops.cutout_alpha_pass(
+                vis_cut, sc, kernel_attrs=attrs_cut)
             keep = (vis_cut.tri_id >= 0) & alpha_ok \
                 & (vis_cut.depth > vis_op.depth)
             vis = raster_ops.VisibilityBuffer(
@@ -167,12 +189,17 @@ def make_gbuffer_pass(settings):
                 bary2=jnp.where(keep, vis_cut.bary2, vis_op.bary2),
                 depth=jnp.where(keep, vis_cut.depth, vis_op.depth),
             )
+            attrs = None if attrs_op is None else jnp.where(
+                keep[..., None], attrs_cut, attrs_op)
         else:
-            vis = raster(tri_mask)
+            vis, attrs = raster(tri_mask)
         # materialize the visibility buffer: its unflatten transposes
         # otherwise fuse-duplicate into every G-buffer gather chain
-        vis = jax.lax.optimization_barrier(vis)
-        gb = gbuffer_ops.build_gbuffer(vis, sc, cam)
+        if attrs is None:
+            vis = jax.lax.optimization_barrier(vis)
+        else:
+            vis, attrs = jax.lax.optimization_barrier((vis, attrs))
+        gb = gbuffer_ops.build_gbuffer(vis, sc, cam, kernel_attrs=attrs)
         # FrameStats (Application.h:49-54 / GBufferPass.cpp:131-138):
         # instance drawn/culled counts, cheap device-side reduction
         drawn = jnp.sum((~culled).astype(jnp.int32))

@@ -64,11 +64,20 @@ def screen_gradients(img):
     return dx, dy
 
 
-def cutout_alpha_pass(vis: VisibilityBuffer, scene):
+def cutout_alpha_pass(vis: VisibilityBuffer, scene, kernel_attrs=None):
     """Alpha test of the cut-out raster layer's winning texels
     (gbuffer.frag:33 `discard`, deferred): True where the pixel's
     triangle samples alpha >= cutoff."""
     from . import texture
+
+    if kernel_attrs is not None:
+        # uv / colour-texture id / cutoff all ride the kernel attrs
+        uv = kernel_attrs[..., 13:15]
+        tex = kernel_attrs[..., 26].astype(jnp.int32)
+        cutoff = kernel_attrs[..., 31]
+        rgba = texture.sample_stack(
+            scene.textures, tex, uv, jnp.ones((4,), jnp.float32))
+        return rgba[..., 3] >= cutoff
 
     soup = scene.triangles
     tri = jnp.maximum(vis.tri_id, 0)
@@ -95,19 +104,30 @@ def cutout_alpha_pass(vis: VisibilityBuffer, scene):
         mat = row[..., 6].astype(jnp.int32)
         tex = scene.materials.colour_texture[mat]
         cutoff = scene.materials.alpha_cutoff[mat]
-    rgba = texture.sample_bilinear(
-        scene.textures.data, scene.textures.sizes, tex, uv,
-        jnp.ones((4,), jnp.float32))
+    rgba = texture.sample_stack(
+        scene.textures, tex, uv, jnp.ones((4,), jnp.float32))
     return rgba[..., 3] >= cutoff
 
 
-def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
-    """Visibility buffer + scene + camera → full G-buffer."""
+def build_gbuffer(vis: VisibilityBuffer, scene, cam,
+                  kernel_attrs=None) -> GBuffer:
+    """Visibility buffer + scene + camera → full G-buffer.
+
+    ``kernel_attrs`` is the raster kernel's (H, W, 40) interpolated
+    attribute image (raster_pallas attr ride-along): the per-pixel
+    row gather AND the instance-matrix transforms are already done
+    (world-space normals/tangents and prev-world positions were baked
+    per vertex, scene/schema.py build_raster_rows) — only the
+    elementwise shading math runs here."""
     H, W = vis.depth.shape
     tri = jnp.maximum(vis.tri_id, 0)
     bg = vis.tri_id < 0
     b1, b2 = vis.bary1, vis.bary2
     b0 = 1.0 - b1 - b2
+
+    if kernel_attrs is not None:
+        return _gbuffer_from_kernel_attrs(vis, scene, cam, kernel_attrs,
+                                          bg, H, W)
 
     # Per-pixel gathers cost ~25-55ns per ROW on this hardware regardless
     # of row width (rows up to ~1 KB stay latency-bound), so everything a
@@ -174,6 +194,8 @@ def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
     world_n = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, local_n))
     world_t3 = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, local_t[..., :3]))
     world_t = jnp.concatenate([world_t3, local_t[..., 3:4]], axis=-1)
+    prev_world = jnp.einsum("...ij,...j->...i", prev_tf34[..., :3, :3],
+                            local_pos) + prev_tf34[..., :3, 3]
 
     # material point + normal mapping (material row rides attr_rows —
     # no extra per-pixel gather on the joined path)
@@ -188,12 +210,39 @@ def build_gbuffer(vis: VisibilityBuffer, scene, cam) -> GBuffer:
         shading_n = shade.apply_normal_map(
             scene.materials, mat_id, world_n, world_t, uv, scene.textures)
 
+    return _finish_gbuffer(vis, cam, bg, H, W, world_pos, prev_world,
+                           uv, inst_id, mp, shading_n)
+
+
+def _gbuffer_from_kernel_attrs(vis, scene, cam, a, bg, H, W) -> GBuffer:
+    """G-buffer from the raster kernel's interpolated attribute image
+    (channel layout: scene/schema.py raster_rows → raster_pallas
+    ATTR_OUT planes). Purely elementwise — zero per-pixel gathers when
+    no texture slot is bound."""
+    world_pos = a[..., 0:3]
+    prev_world = a[..., 3:6]
+    world_n = maths.normalize(a[..., 6:9])
+    world_t = jnp.concatenate(
+        [maths.normalize(a[..., 9:12]), a[..., 12:13]], axis=-1)
+    uv = a[..., 13:15]
+    mrow = a[..., 16:32]
+    mat_id = a[..., 32].astype(jnp.int32)
+    inst_id = a[..., 33].astype(jnp.int32)
+
+    mp = shade.material_point_from_row(mrow, uv, scene.textures)
+    shading_n = shade.apply_normal_map(
+        scene.materials, mat_id, world_n, world_t, uv, scene.textures,
+        nrm_tex_id=mrow[..., 13].astype(jnp.int32))
+    return _finish_gbuffer(vis, cam, bg, H, W, world_pos, prev_world,
+                           uv, inst_id, mp, shading_n)
+
+
+def _finish_gbuffer(vis, cam, bg, H, W, world_pos, prev_world, uv,
+                    inst_id, mp, shading_n) -> GBuffer:
     # motion vectors (gbuffer.frag:56-63): unjittered cur/prev clip pos
     vp = jnp.asarray(cam.proj) @ jnp.asarray(cam.view)
     prev_vp = jnp.asarray(cam.prev_proj) @ jnp.asarray(cam.prev_view)
     cur_clip = maths.transform_point_h(vp, world_pos)
-    prev_world = jnp.einsum("...ij,...j->...i", prev_tf34[..., :3, :3],
-                            local_pos) + prev_tf34[..., :3, 3]
     prev_clip = maths.transform_point_h(prev_vp, prev_world)
 
     def to_uv(clip):

@@ -85,7 +85,8 @@ _PERM = _np.array(
 
 
 def clip_triangles(clip_verts, i0, i1, i2, width, height,
-                   tri_mask=None, single_sided=None) -> ClippedTriangles:
+                   tri_mask=None, single_sided=None,
+                   corners=None) -> ClippedTriangles:
     """Near-plane (w >= W_CLIP) clip producing 2 static output slots per
     input triangle. Clipped vertices carry original-triangle barycentrics
     so downstream interpolation is clip-agnostic.
@@ -97,8 +98,16 @@ def clip_triangles(clip_verts, i0, i1, i2, width, height,
     by never marking cut-out materials single-sided). For closed opaque
     meshes the image is identical and live raster candidates roughly
     halve."""
-    T = i0.shape[0]
-    v = jnp.stack([clip_verts[i0], clip_verts[i1], clip_verts[i2]], axis=1)  # (T,3,4)
+    if corners is not None:
+        # gather-free path: per-corner clip positions were computed from
+        # the triangle soup's corner tables (soup.v0/v1/v2), skipping
+        # three T-row vertex gathers (~25-55 ns/row each)
+        v = corners                                              # (T,3,4)
+        T = v.shape[0]
+    else:
+        T = i0.shape[0]
+        v = jnp.stack([clip_verts[i0], clip_verts[i1], clip_verts[i2]],
+                      axis=1)                                    # (T,3,4)
     seed_bary = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (T, 3, 3))
 
     w = v[..., 3]

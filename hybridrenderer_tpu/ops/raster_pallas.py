@@ -62,9 +62,29 @@ _R_ZR = 24   # rows 24-26: depth numerator coeffs  (Σ z_i·f_i)
 _R_N1 = 32   # rows 32-34: bary1 numerator coeffs  (Σ B[i,1]·f_i)
 _R_N2 = 40   # rows 40-42: bary2 numerator coeffs  (Σ B[i,2]·f_i)
 
+# G-buffer attribute ride-along (scene/schema.py raster_rows, 72 rows
+# appended after the raster core): the kernel lerps the winner's vertex
+# packs with one-hot-masked bary-numerator MXU matmuls and picks the
+# constant block with a plain one-hot matmul — the G-buffer pass then
+# needs NO per-pixel attribute gather (the reference's MRT raster
+# interpolators, gbuffer.vert/frag, done the TPU way).
+_R_A0 = 48       # rows 48-63: vertex-0 pack (wp, prev-wp, wn, wt, uv)
+_R_A1 = 64       # rows 64-79: vertex-1 pack
+_R_A2 = 80       # rows 80-95: vertex-2 pack
+_R_AC = 96       # rows 96-119: const block (mrow 16, mat, inst, pad)
+VPACK_ROWS = 16  # rows per vertex pack
+CONST_ROWS = 24
+ATTR_OUT = VPACK_ROWS + CONST_ROWS  # 40 output channels per pixel
+ATTR_RECORD_ROWS = RECORD_ROWS + 3 * VPACK_ROWS + CONST_ROWS  # 120
 
-def pack_candidates(tris: ClippedTriangles):
-    """ClippedTriangles → (T2, 48) records (row layout above) + bboxes."""
+
+def pack_candidates(tris: ClippedTriangles, attr_table=None):
+    """ClippedTriangles → (T2, 48) records (row layout above) + bboxes.
+
+    With ``attr_table`` (scene.raster_rows, (T, 72)) the per-candidate
+    attribute rows are joined onto the records → (T2, 120); the sorted
+    entry streams then carry them to the kernel for free (row gathers
+    are row-count- not width-priced)."""
     p0, p1, p2 = tris.sxy[:, 0], tris.sxy[:, 1], tris.sxy[:, 2]
     a0, b0, g0 = _edge_coeffs(p1, p2)
     a1, b1, g1 = _edge_coeffs(p2, p0)
@@ -110,12 +130,15 @@ def pack_candidates(tris: ClippedTriangles):
     xs = tris.sxy[..., 0]
     ys = tris.sxy[..., 1]
     bbox = jnp.stack([xs.min(1), xs.max(1), ys.min(1), ys.max(1)], axis=-1)
+    if attr_table is not None:
+        rec = jnp.concatenate(
+            [rec, attr_table[jnp.maximum(tris.tri_id, 0)]], axis=-1)
     return rec, bbox, valid
 
 
 def _to_blocks(flat):
     """(E, R) → (E/128, R, 128) record-blocked transposed layout."""
-    return flat.reshape(-1, BLOCK, RECORD_ROWS).transpose(0, 2, 1)
+    return flat.reshape(-1, BLOCK, flat.shape[1]).transpose(0, 2, 1)
 
 
 def _bucket_order(keys, n_segments, cap, chunk: int = 8192):
@@ -273,7 +296,8 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     ov_rank = jnp.cumsum(cls_c.astype(jnp.int32)) - 1
     ov_slot = jnp.where(cls_c, jnp.minimum(ov_rank, overflow_cap - 1),
                         overflow_cap)
-    overflow = jnp.zeros((overflow_cap + BLOCK, RECORD_ROWS), jnp.float32)
+    overflow = jnp.zeros((overflow_cap + BLOCK, packed.shape[1]),
+                         jnp.float32)
     overflow = overflow.at[ov_slot].set(packed, mode="drop")
     n_overflow = jnp.minimum(jnp.sum(cls_c.astype(jnp.int32)), overflow_cap)
 
@@ -284,16 +308,18 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     )
 
 
-def _raster_kernel(ntx, tile_h, tile_w, eval_mode,
+def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
                    # scalar prefetch
                    starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
                    novf_ref,
                    # inputs
                    stream_a_hbm, stream_b_hbm, overflow_ref,
-                   # outputs
-                   z_ref, tri_ref, b1_ref, b2_ref,
-                   # scratch
-                   rec_ref, sem_ref):
+                   # outputs (z, tri, b1, b2[, attr]) then scratch
+                   *refs):
+    if has_attrs:
+        z_ref, tri_ref, b1_ref, b2_ref, attr_ref, rec_ref, sem_ref = refs
+    else:
+        z_ref, tri_ref, b1_ref, b2_ref, rec_ref, sem_ref = refs
     t = pl.program_id(0)
     ty = t // ntx
     tx = t % ntx
@@ -310,9 +336,9 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode,
     txf = jnp.float32(tx)
 
     def eval_block_v1(rec, lo, hi, carry):
-        """rec: (48, BLOCK); lanes alive when lo <= lane < hi and the
+        """rec: (48|120, BLOCK); lanes alive when lo <= lane < hi and the
         record's tile-column extent covers this tile."""
-        z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry
+        z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry[:5]
         alive = (lane >= lo) & (lane < hi) \
             & (rec[_R_TX0:_R_TX0 + 1, :] <= txf) \
             & (rec[_R_TX1:_R_TX1 + 1, :] >= txf)
@@ -350,7 +376,39 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode,
         n1_acc = jnp.where(take, sel(N1), n1_acc)
         n2_acc = jnp.where(take, sel(N2), n2_acc)
         s_acc = jnp.where(take, sel(S), s_acc)
-        return z_acc, tri_acc, n1_acc, n2_acc, s_acc
+        out = (z_acc, tri_acc, n1_acc, n2_acc, s_acc)
+        if not has_attrs:
+            return out
+
+        # --- attribute ride-along: lerp + const pick, all transposed
+        # (C, P) so results land channel-major without relayouts ---
+        lerpT, constT, sT = carry[5:]
+        oh = onehot * jnp.where(take, 1.0, 0.0)          # (P, BLOCK)
+        W1 = N1 * oh
+        W2 = N2 * oh
+        W0 = S * oh - W1 - W2                            # bary0 numerator
+
+        def pickT(r0, n, w):  # rows (n, BLOCK) ·ᵀ w (P, BLOCK) → (n, P)
+            return jax.lax.dot_general(
+                rec[r0:r0 + n, :], w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        new_lerp = pickT(_R_A0, VPACK_ROWS, W0) \
+            + pickT(_R_A1, VPACK_ROWS, W1) + pickT(_R_A2, VPACK_ROWS, W2)
+        new_const = pickT(_R_AC, CONST_ROWS, oh)
+        ones_row = jnp.ones((1, BLOCK), jnp.float32)
+
+        def rowT(m):  # (P, BLOCK) → (1, P) lane-sum via MXU (transpose)
+            return jax.lax.dot_general(
+                ones_row, m, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        keep = 1.0 - rowT(oh)                            # (1, P) ∈ {0,1}
+        lerpT = lerpT * keep + new_lerp
+        constT = constT * keep + new_const
+        sT = sT * keep + rowT(S * oh)
+        return out + (lerpT, constT, sT)
 
     def eval_block_v2(rec, lo, hi, carry):
         """Cheaper resolve: the v1 block spends most of its vector time
@@ -475,6 +533,10 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode,
 
     zeros = jnp.zeros((P, 1), jnp.float32)
     carry = (zeros, zeros - 1.0, zeros, zeros, jnp.ones((P, 1), jnp.float32))
+    if has_attrs:
+        carry = carry + (jnp.zeros((VPACK_ROWS, P), jnp.float32),
+                         jnp.zeros((CONST_ROWS, P), jnp.float32),
+                         jnp.ones((1, P), jnp.float32))
 
     def run_stream(hbm, start, count, carry):
         """Walk [start, start+count) of a blocked stream, block-aligned
@@ -515,13 +577,18 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode,
 
     carry = jax.lax.fori_loop(0, n_ovf_blocks, ovf_body, carry)
 
-    z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry
+    z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry[:5]
     miss = tri_acc < 0.0
     s_safe = jnp.where(jnp.abs(s_acc) < 1e-20, 1e-20, s_acc)
     z_ref[...] = jnp.where(miss, 0.0, z_acc)
     tri_ref[...] = jnp.where(miss, -1.0, tri_acc).astype(jnp.int32)
     b1_ref[...] = jnp.where(miss, 0.0, n1_acc / s_safe)
     b2_ref[...] = jnp.where(miss, 0.0, n2_acc / s_safe)
+    if has_attrs:
+        lerpT, constT, sT = carry[5:]
+        sT_safe = jnp.where(jnp.abs(sT) < 1e-20, 1e-20, sT)
+        attr_ref[...] = jnp.concatenate(
+            [lerpT / sT_safe, constT], axis=0)[None]
 
 
 @functools.partial(jax.jit,
@@ -536,6 +603,29 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
+    rows = bins["stream_a"].shape[1]
+    has_attrs = rows > RECORD_ROWS
+    if has_attrs:
+        eval_mode = "v1"  # attr ride-along shares v1's winner logic
+
+    P = tile_h * tile_w
+    out_specs = [
+        pl.BlockSpec((P, 1), lambda t, *_: (t, 0)),
+        pl.BlockSpec((P, 1), lambda t, *_: (t, 0)),
+        pl.BlockSpec((P, 1), lambda t, *_: (t, 0)),
+        pl.BlockSpec((P, 1), lambda t, *_: (t, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.int32),
+        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
+    ]
+    if has_attrs:
+        out_specs.append(
+            pl.BlockSpec((1, ATTR_OUT, P), lambda t, *_: (t, 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((ntiles, ATTR_OUT, P), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -545,27 +635,15 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
             pl.BlockSpec(memory_space=pl.ANY),      # stream B (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # class-C list
         ],
-        out_specs=[
-            pl.BlockSpec((tile_h * tile_w, 1), lambda t, *_: (t, 0)),
-            pl.BlockSpec((tile_h * tile_w, 1), lambda t, *_: (t, 0)),
-            pl.BlockSpec((tile_h * tile_w, 1), lambda t, *_: (t, 0)),
-            pl.BlockSpec((tile_h * tile_w, 1), lambda t, *_: (t, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, RECORD_ROWS, BLOCK), jnp.float32),
+            pltpu.VMEM((2, rows, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    P = tile_h * tile_w
-    out_shape = [
-        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
-        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.int32),
-        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
-        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
-    ]
     kernel = functools.partial(_raster_kernel, ntx, tile_h, tile_w,
-                               eval_mode)
-    z, tri, b1, b2 = pl.pallas_call(
+                               eval_mode, has_attrs)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -578,25 +656,38 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
     )(bins["starts_a"], bins["counts_a"], bins["starts_b"], bins["counts_b"],
       bins["n_overflow"][None],
       bins["stream_a"], bins["stream_b"], bins["overflow"])
+    z, tri, b1, b2 = outs[:4]
 
     def unflatten(x):
         img = x.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
         return img.reshape(nty * tile_h, ntx * tile_w)[:height, :width]
 
-    return VisibilityBuffer(
+    vis = VisibilityBuffer(
         tri_id=unflatten(tri),
         bary1=unflatten(b1),
         bary2=unflatten(b2),
         depth=unflatten(z),
     )
+    if not has_attrs:
+        return vis
+    # (ntiles, C, P) → (H, W, C): one channel-last relayout feeding the
+    # (elementwise) G-buffer math — replaces the 2M-row attr gather
+    a = outs[4].reshape(nty, ntx, ATTR_OUT, tile_h, tile_w)
+    a = a.transpose(0, 3, 1, 4, 2).reshape(
+        nty * tile_h, ntx * tile_w, ATTR_OUT)[:height, :width]
+    return vis, a
 
 
 def rasterize_binned(tris: ClippedTriangles, width: int, height: int,
                      tile_h: int = 8, tile_w: int = 128,
                      max_span: int = 4, max_rows: int = 16,
-                     interpret: bool = False, **bin_kw) -> VisibilityBuffer:
-    """Full binned pipeline: pack → 3-class bin → Pallas tile raster."""
-    packed, bbox, valid = pack_candidates(tris)
+                     interpret: bool = False, attr_table=None, **bin_kw):
+    """Full binned pipeline: pack → 3-class bin → Pallas tile raster.
+
+    Returns a VisibilityBuffer, or ``(vis, attrs)`` with ``attrs``
+    (H, W, 40) interpolated G-buffer attributes when ``attr_table``
+    (scene.raster_rows) rides along."""
+    packed, bbox, valid = pack_candidates(tris, attr_table=attr_table)
     bins = bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
                           max_span=max_span, max_rows=max_rows, **bin_kw)
     return raster_tiles(bins, width, height, tile_h=tile_h, tile_w=tile_w,

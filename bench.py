@@ -158,6 +158,44 @@ def main():
             "forward_taa_ms": round(fwd_ms, 1),
             "hybrid_ao_half_res_ms": round(half_ms, 1),
         }
+        # dynamic-scene rung (SURVEY §5 / Scene::OnUpdate parity): one
+        # entity rotates every frame → on-device transform re-sync +
+        # BVH refit + render. Single-dispatch (commit between frames).
+        try:
+            import numpy as np
+
+            from hybridrenderer_tpu.core.camera import OrbitCamera
+            from hybridrenderer_tpu.runtime.renderer import Renderer
+            from hybridrenderer_tpu.scene.dynamic import DynamicScene
+
+            dr = Renderer.for_scene(
+                settings_for(RenderPathType.HYBRID, hybrid_flags), data)
+            dyn = DynamicScene(host, dr)
+            dcam = OrbitCamera(width=width, height=height, **cam_kw)
+
+            def rot_y(a):
+                c, s = float(np.cos(a)), float(np.sin(a))
+                return np.array([[c, 0, s, 0], [0, 1, 0, 0],
+                                 [-s, 0, c, 0], [0, 0, 0, 1]], np.float32)
+
+            def dframe(a):
+                dyn.set_entity_transform(0, rot_y(a))
+                dyn.commit()
+                return dr.render(dcam.step(taa_enabled=True))
+
+            out = dframe(0.05)
+            out = dframe(0.10)
+            _ = np.asarray(out[0, 0])
+            t0 = time.perf_counter()
+            nd = 4
+            for i in range(nd):
+                out = dframe(0.15 + 0.05 * i)
+            _ = np.asarray(out[0, 0])
+            extra["breakdown"]["dynamic_ms"] = round(
+                1000.0 * (time.perf_counter() - t0) / nd, 1)
+        except Exception as e:
+            extra["breakdown"]["dynamic_ms"] = f"error: {e!r}"[:120]
+
         # Sponza-scale rung: the BASELINE.json north star is 1080p
         # *Sponza* (~262k tris); the headline stress scene is 65k.
         # Same hybrid config on a 4x-larger procedural scene (~261k

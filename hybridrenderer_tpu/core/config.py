@@ -85,9 +85,12 @@ class RenderSettings:
     # → 16 distinct directions per packet, block=32 → ONE direction per
     # packet (fastest; coarser spatial noise structure that SVGF
     # temporal/spatial integrates, same argument as interleaving
-    # itself). Goldens pin block=8.
-    ao_block: int = 8
-    gi_block: int = 8
+    # itself). Default 32: −11% headline / −15% full graph (batch 27)
+    # for +22% relative converged-AO error (0.0175 vs 0.0144 mean-abs
+    # on the 0-1 AO signal) and ~+30% residual flicker — both measured
+    # small (benchmarks/quality_ao_block2.py).
+    ao_block: int = 32
+    gi_block: int = 32
 
     # Reflection roughness cutoff (reflection.rgen:55-63)
     reflection_roughness_cutoff: float = 0.6

@@ -267,30 +267,47 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     cls_b = wide & (span_h <= max_rows) & (wrank < ncb)
     cls_c = wide & ~cls_b   # spill: over-cap or over-tall wides
 
-    # --- class A: exact tile entries ---
+    # --- class A: exact tile entries (keys [0, ntiles)) ---
+    dead = ntiles + nty
     k = jnp.arange(max_span, dtype=jnp.int32)[None, :]
     kx = tx0[:half, None] + k % jnp.maximum(span_w[:half], 1)[:, None]
     ky = ty0[:half, None] + k // jnp.maximum(span_w[:half], 1)[:, None]
     in_span = (k < span[:half, None]) & cls_a[:half, None]
-    tile_id = jnp.where(in_span, ky * ntx + kx, ntiles)
+    tile_id = jnp.where(in_span, ky * ntx + kx, dead)
     cand_a = jnp.broadcast_to(
         jnp.arange(half, dtype=jnp.int32)[:, None], tile_id.shape)
-    stream_a, starts_a, counts_a = _sorted_stream(
-        packed, tile_id.reshape(-1), cand_a.reshape(-1), ntiles, cap_a,
-        method=sort_method)
 
-    # --- class B: compact candidates, then per-row entries ---
-    bkey = jnp.where(cls_b, jnp.arange(T2, dtype=jnp.int32), T2)
-    border = jnp.argsort(bkey)[:ncb]
-    b_alive = cls_b[border]
+    # --- class B: compact candidates, then per-row entries (keys
+    # [ntiles, ntiles+nty)) ---
+    # compaction by scatter: wrank already ranks the live wides, so a
+    # drop-mode scatter replaces the T2-length argsort (sorts are
+    # latency-priced ~3.5 ms each regardless of volume, batch 13)
+    bslot = jnp.where(cls_b, wrank, ncb)
+    border = jnp.full((ncb,), T2, jnp.int32).at[bslot].set(
+        jnp.arange(T2, dtype=jnp.int32), mode="drop")
+    b_alive = border < T2
+    border = jnp.minimum(border, T2 - 1)
     kr = jnp.arange(max_rows, dtype=jnp.int32)[None, :]
     row = ty0[border][:, None] + kr
     in_row = (kr < span_h[border][:, None]) & b_alive[:, None]
-    row_id = jnp.where(in_row, row, nty)
+    row_id = jnp.where(in_row, ntiles + row, dead)
     cand_b = jnp.broadcast_to(border[:, None], row_id.shape)
-    stream_b, starts_b, counts_b = _sorted_stream(
-        packed, row_id.reshape(-1), cand_b.reshape(-1), nty, cap_b,
-        method=sort_method)
+
+    # ONE combined sort over both key spaces (A tiles then B rows then
+    # dead) — sorts are latency- not volume-priced, so merging the two
+    # entry sorts saves a whole sort; the kernel reads the same blocked
+    # stream through both its stream refs, with B segment offsets in
+    # the [ntiles, ntiles+nty) key range. Caps pool: class A overflow
+    # can eat into B's budget (both far above stress-scene volumes;
+    # class C remains the spill ladder).
+    stream, starts, counts = _sorted_stream(
+        packed,
+        jnp.concatenate([tile_id.reshape(-1), row_id.reshape(-1)]),
+        jnp.concatenate([cand_a.reshape(-1), cand_b.reshape(-1)]),
+        dead, cap_a + cap_b, method=sort_method)
+    starts_a, counts_a = starts[:ntiles], counts[:ntiles]
+    starts_b, counts_b = starts[ntiles:], counts[ntiles:]
+    stream_a = stream_b = stream
 
     # --- class C: global list (huge triangles; rare) ---
     ov_rank = jnp.cumsum(cls_c.astype(jnp.int32)) - 1

@@ -646,9 +646,21 @@ class SceneTracer:
             jnp.zeros((3,), jnp.float32)
 
         shadow_origin = sampling.offset_ray(world_pos, geo_n)
-        sun_shadow = self.occluded(sc, shadow_origin,
-                                   jnp.broadcast_to(sun_dir, d.shape),
-                                   1000.0, active=active)
+        gate = os.environ.get("SHADE_OCC_GATE", "1") != "0"
+        if light_on:
+            # hits facing away from the sun get zero BRDF — skip their
+            # occlusion traversal (inactive rays return shadow=0, same
+            # final contribution, no traversal steps)
+            sun_facing = maths.dot(geo_n, jnp.broadcast_to(
+                sun_dir, d.shape)) > 0.0 if gate else \
+                jnp.ones(d.shape[:-1], bool)
+            sun_act = sun_facing if active is None else \
+                (sun_facing & active)
+            sun_shadow = self.occluded(sc, shadow_origin,
+                                       jnp.broadcast_to(sun_dir, d.shape),
+                                       1000.0, active=sun_act)
+        else:
+            sun_shadow = jnp.zeros(d.shape[:-1], jnp.float32)
         direct = shade.eval_pbr(mp.colour, 1.5, mp.roughness, mp.metallic,
                                 n, view, sun_dir) * \
             sun_shadow[..., None] * sun_int
@@ -662,6 +674,8 @@ class SceneTracer:
             ldir, sampled_inst, seed = sampling.sample_lights(
                 sc, world_pos, seed)
             has = maths.length(ldir) > 0.001
+            if gate:
+                has = has & (maths.dot(geo_n, ldir) > 0.0)
             nee_act = has if active is None else (has & active)
             lshadow = self.occluded(sc, shadow_origin, ldir, 1000.0,
                                     active=nee_act)

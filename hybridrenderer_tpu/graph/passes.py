@@ -354,6 +354,35 @@ def make_postprocess_pass(settings, input_name):
     return fn, (input_name,), (RS.RENDER_OUTPUT,), {}
 
 
+def make_skybox_pass(settings):
+    """SkyboxPass (SkyboxPass.cpp:9-31 / postprocess/skybox.frag:8-26):
+    standalone fullscreen sky write into FinalColor — unused by the
+    reference's default paths (sky is composited in composition.frag /
+    forward.frag instead), kept as the same demo. Directions are
+    reconstructed at the far plane (reversed-Z 0.0, skybox.frag:17-19).
+    Delta vs the reference: with no sky texture it falls back to the
+    procedural gradient (miss.rmiss semantics) rather than the UBO
+    clear color — our sky module's one no-texture story."""
+
+    def fn(reg, ctx: FrameContext):
+        H, W = settings.height, settings.width
+        cam = ctx.cam
+        uv = img_ops.pixel_uv_grid(H, W)
+        ndc = jnp.concatenate(
+            [uv * 2.0 - 1.0, jnp.zeros((H, W, 1)), jnp.ones((H, W, 1))], -1)
+        far_h = ndc @ cam.view_proj_inverse.T
+        far_pt = far_h[..., :3] / jnp.where(
+            jnp.abs(far_h[..., 3:4]) < 1e-12, 1e-12, far_h[..., 3:4])
+        direction = maths.normalize(far_pt - cam.position)
+        rgb = sky.sample_environment(
+            direction, ctx.scene.sky_texture, ctx.scene.textures,
+            bool(settings.flags & RenderFlags.IBL),
+            has_sky=ctx.scene.has_sky_texture)
+        return {RS.FINAL_COLOR: rgb}
+
+    return fn, (), (RS.FINAL_COLOR,), {}
+
+
 # ---------------------------------------------------------------------------
 # SVGF chains (SVGFPass compound)
 # ---------------------------------------------------------------------------

@@ -68,6 +68,22 @@ def test_rtao_pass_no_tracer_is_neutral():
     np.testing.assert_array_equal(ao[..., 0], 1.0)
 
 
+def test_skybox_pass():
+    from hybridrenderer_tpu.graph import passes as g_passes
+
+    gb, ctx, settings = _setup()
+    fn, reads, writes, _ = g_passes.make_skybox_pass(settings)
+    assert reads == () and writes == (RS.FINAL_COLOR,)
+    out = fn({}, ctx)
+    color = np.asarray(out[RS.FINAL_COLOR])
+    assert color.shape == (48, 48, 3)
+    assert np.isfinite(color).all()
+    # procedural gradient: sky above (top rows) differs from ground fade
+    assert abs(color[:8].mean() - color[-8:].mean()) > 1e-3
+    # a fullscreen pass ignores geometry: all pixels written
+    assert (color >= 0.0).all() and color.mean() > 0.01
+
+
 def test_rayquery_pass():
     gb, ctx, settings = _setup()
     fn, reads, writes, _ = rt_passes.make_rayquery_pass(settings)

@@ -27,6 +27,13 @@ class RenderSettings:
 
     # SVGF structure (SVGFPass.h:82-101: Config{atrousIterations=3, ...})
     svgf_atrous_iterations: int = 3
+    # Pallas stencil tile (h, w) for the SVGF spatial kernels; None →
+    # env SVGF_TILE → "32x128". Each stencil program DMAs a
+    # (th+16, tw+256) halo window, so wider tiles amortize the fixed
+    # ±(8 row, 128 col) alignment halo (batch 35: chain 23.5 → 21.3 ms,
+    # full graph −5.8; th ≥ 64 fails remote compile). Results are
+    # tile-invariant (tests/test_stencil_pallas.py).
+    svgf_tile: tuple = (32, 384)
 
     # Raster kernel selection: "jnp" reference or "pallas" tiled kernel.
     raster_backend: str = "auto"

@@ -343,6 +343,10 @@ class SVGFConfig:
     use_albedo_demod: bool = False
     backend: str = "auto"   # "auto" | "jnp" | "pallas" spatial kernels
     temporal_gather: str = "auto"  # "auto" | "pixel" | "tile" | "tile_interpret"
+    # Pallas stencil tile (h, w); None → env SVGF_TILE → "32x128".
+    # Bigger tiles amortize the ±(8, 128) alignment halo each program
+    # over-fetches (batch 34/35).
+    tile: tuple = None
 
 
 def _spatial_pallas(config: SVGFConfig) -> bool:
@@ -369,8 +373,15 @@ def denoise(cur_signal, albedo, gb_motion_plane, normal, object_id,
     new_hist_moments = history.moments
 
     pallas_spatial = _spatial_pallas(config)
+    edges = None
     if pallas_spatial:
         from . import stencil_pallas
+
+        # the static edge-stopping planes are padded ONCE and shared by
+        # the moments filter and every atrous iteration (callers reuse
+        # it across all three signal chains via make_svgf_chain)
+        edges = stencil_pallas.edge_stack(normal, gb_motion_plane,
+                                          config.tile)
 
     if config.temporal_enabled:
         signal, moments = temporal(
@@ -381,8 +392,10 @@ def denoise(cur_signal, albedo, gb_motion_plane, normal, object_id,
         new_hist_moments = moments
         if pallas_spatial:
             signal, moments = stencil_pallas.filter_moments(
-                signal, moments, normal, gb_motion_plane, svgf_phi)
-            moments = stencil_pallas.variance_blur(moments)
+                signal, moments, normal, gb_motion_plane, svgf_phi,
+                tile=config.tile, edges=edges)
+            moments = stencil_pallas.variance_blur(moments,
+                                                   tile=config.tile)
         else:
             signal, moments = filter_moments(
                 signal, moments, normal, gb_motion_plane, svgf_phi)
@@ -397,7 +410,8 @@ def denoise(cur_signal, albedo, gb_motion_plane, normal, object_id,
             step = 1 << i
             if pallas_spatial and 2 * step <= 8:
                 signal = stencil_pallas.atrous(
-                    signal, normal, gb_motion_plane, step, svgf_phi)
+                    signal, normal, gb_motion_plane, step, svgf_phi,
+                    tile=config.tile, edges=edges)
             else:
                 signal = atrous(signal, moments, normal, gb_motion_plane,
                                 step, svgf_phi)

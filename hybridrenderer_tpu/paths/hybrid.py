@@ -58,7 +58,7 @@ class HybridRenderPath(RenderPath):
                 return SVGFConfig(
                     prefix=prefix, atrous_iterations=s.svgf_atrous_iterations,
                     temporal_enabled=temporal, spatial_enabled=spatial,
-                    use_albedo_demod=demod)
+                    use_albedo_demod=demod, tile=s.svgf_tile)
 
             if shadow_name:
                 self.add(graph, "SVGF_ShadowAO",

@@ -47,3 +47,38 @@ def test_background_passthrough():
     mp = mp.at[..., 2].set(0.0)  # all background
     out = stencil_pallas.atrous(sig, nrm, mp, 1, PHI, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(sig), atol=1e-6)
+
+
+def test_tile_size_invariance():
+    """Results are identical for any (th, tw) tiling — the tile size is
+    a pure perf knob (halo over-fetch amortization, batch 34/35)."""
+    sig, mp, nrm, mom = _inputs(4)
+    base = stencil_pallas.atrous(sig, nrm, mp, 2, PHI, interpret=True,
+                                 tile=(32, 128))
+    for tile in ((8, 128), (64, 256), (64, 512)):
+        out = stencil_pallas.atrous(sig, nrm, mp, 2, PHI, interpret=True,
+                                    tile=tile)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-6)
+    ref_s, ref_m = stencil_pallas.filter_moments(sig, mom, nrm, mp, PHI,
+                                                 interpret=True,
+                                                 tile=(32, 128))
+    out_s, out_m = stencil_pallas.filter_moments(sig, mom, nrm, mp, PHI,
+                                                 interpret=True,
+                                                 tile=(64, 256))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref_m),
+                               atol=1e-6)
+
+
+def test_shared_edge_stack_matches_inline():
+    """edge_stack passed explicitly == built internally (the frame
+    builds it once and shares it across chains/iterations)."""
+    sig, mp, nrm, _ = _inputs(5)
+    edges = stencil_pallas.edge_stack(nrm, mp, (32, 128))
+    out = stencil_pallas.atrous(sig, nrm, mp, 1, PHI, interpret=True,
+                                tile=(32, 128), edges=edges)
+    ref = stencil_pallas.atrous(sig, nrm, mp, 1, PHI, interpret=True,
+                                tile=(32, 128))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.0)

@@ -434,6 +434,68 @@ def make_svgf_chain(settings, config: svgf_ops.SVGFConfig, input_name,
     return fn, reads, writes, history
 
 
+def make_svgf_multi_pass(settings, chains):
+    """All active SVGF signal chains as ONE pass (svgf.denoise_multi).
+
+    ``chains``: [(SVGFConfig, input_name, output_name)]. Per-signal
+    semantics match make_svgf_chain exactly (equality-pinned by
+    tests/test_denoise.py); the fused pass shares the temporal
+    reprojection sweep and the stencil edge stack across signals —
+    the batched analog of the reference's 3× SVGFPass::Add
+    (HybridRenderPath.cpp:57-87)."""
+
+    def fn(reg, ctx: FrameContext):
+        gb = reg["_GBuffer"]
+        prev_normal = ctx.state.get(RS.NORMAL, gb.normal)
+        prev_motion = ctx.state.get(RS.MOTION, gb.motion_plane())
+        prev_oid = ctx.state.get(RS.OBJECT_ID, gb.object_id)
+
+        signals, histories, configs, all_ok = [], [], [], True
+        for config, input_name, _ in chains:
+            hist_sig = ctx.state.get(config.prefix)
+            hist_mom = ctx.state.get(config.prefix + "Moments")
+            if hist_sig is None or not ctx.history_valid:
+                hist = svgf_ops.SVGFSignalHistory.create(settings.height,
+                                                         settings.width)
+                all_ok = False
+            else:
+                hist = svgf_ops.SVGFSignalHistory(signal=hist_sig,
+                                                  moments=hist_mom)
+            signal = reg[input_name]
+            if signal.shape[-1] == 3:
+                signal = jnp.concatenate(
+                    [signal, jnp.ones_like(signal[..., :1])], axis=-1)
+            signals.append(signal)
+            histories.append(hist)
+            configs.append(config)
+
+        results = svgf_ops.denoise_multi(
+            signals, gb.albedo, gb.motion_plane(), gb.normal, gb.object_id,
+            histories, prev_normal, prev_motion[..., 2], prev_oid,
+            configs, ctx.params.svgf_phi,
+            history_valid=ctx.history_valid and all_ok)
+
+        out = {}
+        for (config, _, output_name), (res, new_hist, var_dbg) in zip(
+                chains, results):
+            out[output_name] = res
+            out[config.prefix + "_HistSignal"] = new_hist.signal
+            out[config.prefix + "_HistMoments"] = new_hist.moments
+            out[config.prefix + "_Variance"] = var_dbg
+        return out
+
+    reads = tuple(dict.fromkeys(
+        [c[1] for c in chains] + ["_GBuffer"]))
+    writes, history = [], {}
+    for config, _, output_name in chains:
+        writes += [output_name, config.prefix + "_HistSignal",
+                   config.prefix + "_HistMoments",
+                   config.prefix + "_Variance"]
+        history[config.prefix + "_HistSignal"] = config.prefix
+        history[config.prefix + "_HistMoments"] = config.prefix + "Moments"
+    return fn, reads, tuple(writes), history
+
+
 # ---------------------------------------------------------------------------
 # Composition (CompositionPass, composition.frag)
 # ---------------------------------------------------------------------------

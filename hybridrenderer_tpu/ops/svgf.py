@@ -57,28 +57,50 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
              gather: str = "auto"):
     """temporal.comp: returns (accumulated signal (H,W,4), moments (H,W,4)).
 
+    Single-signal wrapper over temporal_multi (see there for the
+    ``gather`` strategies)."""
+    (out,) = temporal_multi(
+        [cur_signal], albedo, motion_plane, normal, object_id, [history],
+        prev_normal, prev_lin_depth, prev_object_id, [use_albedo_demod],
+        history_valid, gather=gather)
+    return out
+
+
+def temporal_multi(cur_signals, albedo, motion_plane, normal, object_id,
+                   histories, prev_normal, prev_lin_depth, prev_object_id,
+                   demod_flags, history_valid: bool, gather: str = "auto"):
+    """Fused temporal.comp for K signals sharing one motion/geometry
+    frame — returns [(accumulated signal (H,W,4), moments (H,W,4))]×K.
+
+    The footprint bases, bilinear weights, and is_valid_reprojection
+    tests depend only on motion and the previous-frame geometry —
+    identical for every signal — so the hybrid path's 3 SVGF chains
+    resolve their history in ONE candidate sweep (batch 36/37).
+
     ``gather`` selects the history-fetch strategy:
-      "pixel" — one packed-row gather per pixel (reference semantics;
-                row gathers cost ~26-55 ns *per row* regardless of row
-                width: ~203 ms in-frame for 2M rows at 1080p; an XLA
-                2×2-block-gather variant measured WORSE, 259 ms — see
-                benchmarks/temporal_pieces.py)
-      "tile"  — windowed Pallas kernel (ops/temporal_pallas.py): one
-                history window per 32×128 tile + static candidate-roll
-                bilinear resolve. Exact wherever a pixel's footprint
-                base is within RANGE(=8) px of its tile's minimum.
-                Outliers fall back to "no history"; usually those are
-                motion discontinuities where the ID/depth/normal
-                validation rejects history anyway, but smooth
-                high-gradient motion (fast zoom/rotation: base offset
-                can vary >8 px across a 32×128 tile) also exceeds the
-                window and silently drops *valid* history — a quality
-                (not correctness) regression vs "pixel". Pass
-                gather="pixel" for fast-motion frames if that matters.
+      "pixel" — one packed-row gather per pixel per signal (reference
+                semantics; row gathers cost ~26-55 ns *per row*
+                regardless of row width: ~203 ms in-frame for 2M rows
+                at 1080p; an XLA 2×2-block-gather variant measured
+                WORSE, 259 ms — see benchmarks/temporal_pieces.py)
+      "tile"  — fused windowed Pallas kernel (ops/temporal_pallas.py):
+                one history window per 32×128 tile + static
+                candidate-roll bilinear resolve. Exact wherever a
+                pixel's footprint base is within RANGE(=8) px of its
+                tile's minimum. Outliers fall back to "no history";
+                usually those are motion discontinuities where the
+                ID/depth/normal validation rejects history anyway, but
+                smooth high-gradient motion (fast zoom/rotation: base
+                offset can vary >8 px across a 32×128 tile) also
+                exceeds the window and silently drops *valid* history —
+                a quality (not correctness) regression vs "pixel".
+                Pass gather="pixel" for fast-motion frames if that
+                matters.
       "tile_interpret" — "tile" in Pallas interpret mode (CPU tests).
       "auto"  — "tile" on TPU, else "pixel".
     """
     H, W = object_id.shape
+    K = len(cur_signals)
     if gather == "auto":
         from . import temporal_pallas
 
@@ -90,42 +112,32 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
     motion = motion_plane[..., :2]
     cur_depth = motion_plane[..., 2]
 
-    cur = cur_signal
-    if use_albedo_demod:
-        dem = jnp.maximum(albedo, 0.01)
-        cur = cur.at[..., :3].set(cur[..., :3] / dem)
-    cur_luma = luminance(cur[..., :3])
-
-    prev_uv = uv - motion
+    curs, lumas = [], []
+    for cur, demod in zip(cur_signals, demod_flags):
+        if demod:
+            dem = jnp.maximum(albedo, 0.01)
+            cur = cur.at[..., :3].set(cur[..., :3] / dem)
+        curs.append(cur)
+        lumas.append(luminance(cur[..., :3]))
 
     if not history_valid:
-        m1 = cur_luma
-        m2 = cur_luma * cur_luma
-        moments = jnp.stack([m1, m2, jnp.zeros_like(m1), jnp.ones_like(m1)],
-                            axis=-1)
-        return cur, moments
+        outs = []
+        for cur, cur_luma in zip(curs, lumas):
+            m1 = cur_luma
+            m2 = cur_luma * cur_luma
+            moments = jnp.stack(
+                [m1, m2, jnp.zeros_like(m1), jnp.ones_like(m1)], axis=-1)
+            outs.append((cur, moments))
+        return outs
 
-    # manual validated 2×2 bilinear (temporal.comp:95-113). All history
-    # planes are packed into one (H, W, 12) array, then the 2×2 tap
-    # neighborhood is pre-packed into 48-float rows so the whole bilinear
-    # footprint is ONE row gather (per-row gather cost is flat ~25 ns on
-    # this hardware regardless of row width — 4 separate tap gathers cost
-    # 4x this kernel's total).
+    prev_uv = uv - motion
+    # manual validated 2×2 bilinear (temporal.comp:95-113)
     prev_pix = prev_uv * jnp.array([W, H], jnp.float32) - 0.5
     # clamp the footprint base to the last full 2×2 window and re-derive
     # the fractions — identical bilinear for any on-screen sample point
     base = jnp.clip(jnp.floor(prev_pix), 0.0,
                     jnp.array([W - 2, H - 2], jnp.float32))
     f = prev_pix - base
-
-    hpack = jnp.concatenate([
-        history.signal,                            # 0:4
-        history.moments[..., :2],                  # 4:6
-        history.moments[..., 3:4],                 # 6
-        prev_normal,                               # 7:10
-        prev_lin_depth[..., None],                 # 10
-        prev_object_id[..., None].astype(jnp.float32),  # 11
-    ], axis=-1)
     oid_f = object_id.astype(jnp.float32)
     bx = base[..., 0].astype(jnp.int32)
     by = base[..., 1].astype(jnp.int32)
@@ -135,69 +147,97 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
     footprint_ok = (prev_pix[..., 0] >= 0) & (prev_pix[..., 0] <= W - 1) \
         & (prev_pix[..., 1] >= 0) & (prev_pix[..., 1] <= H - 1)
 
-    def validate(row, nrm, z, oid):
-        # is_valid_reprojection (temporal.comp:45-62)
-        ok = row[..., 11] == oid
-        ok = ok & (jnp.sum(row[..., 7:10] * nrm, axis=-1) >= 0.95)
-        ok = ok & (jnp.abs(z - row[..., 10]) / (z + 1e-6) <= 0.05)
-        return ok
-
+    fetched = []  # per signal: (hist_sig, hist_mom, hist_len, weight_sum)
     if gather == "pixel":
-        # all 4 taps of the 2×2 footprint pre-packed into 48-float rows
-        # so the whole bilinear footprint is ONE row gather
-        right = jnp.concatenate([hpack[:, 1:], hpack[:, -1:]], axis=1)
-        down = jnp.concatenate([hpack[1:], hpack[-1:]], axis=0)
-        down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
-        hpack4 = jnp.concatenate([hpack, right, down, down_right],
-                                 axis=-1).reshape(H * W, 48)
-
-        hist_sig = jnp.zeros((H, W, 4), jnp.float32)
-        hist_mom = jnp.zeros((H, W, 2), jnp.float32)
-        hist_len = jnp.zeros((H, W), jnp.float32)
-        weight_sum = jnp.zeros((H, W), jnp.float32)
+        # per signal: all 4 taps of the 2×2 footprint pre-packed into
+        # 48-float rows so the whole bilinear footprint is ONE row
+        # gather (per-row gather cost is flat ~25 ns on this hardware
+        # regardless of row width — 4 separate tap gathers cost 4x)
+        def validate(row, nrm, z, oid):
+            # is_valid_reprojection (temporal.comp:45-62)
+            ok = row[..., 11] == oid
+            ok = ok & (jnp.sum(row[..., 7:10] * nrm, axis=-1) >= 0.95)
+            ok = ok & (jnp.abs(z - row[..., 10]) / (z + 1e-6) <= 0.05)
+            return ok
 
         weights = [
             (1 - f[..., 0]) * (1 - f[..., 1]), f[..., 0] * (1 - f[..., 1]),
             (1 - f[..., 0]) * f[..., 1], f[..., 0] * f[..., 1],
         ]
-        rows4 = hpack4[by * W + bx]                    # (H, W, 48)
+        for history in histories:
+            hpack = jnp.concatenate([
+                history.signal,                            # 0:4
+                history.moments[..., :2],                  # 4:6
+                history.moments[..., 3:4],                 # 6
+                prev_normal,                               # 7:10
+                prev_lin_depth[..., None],                 # 10
+                prev_object_id[..., None].astype(jnp.float32),  # 11
+            ], axis=-1)
+            right = jnp.concatenate([hpack[:, 1:], hpack[:, -1:]], axis=1)
+            down = jnp.concatenate([hpack[1:], hpack[-1:]], axis=0)
+            down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
+            hpack4 = jnp.concatenate([hpack, right, down, down_right],
+                                     axis=-1).reshape(H * W, 48)
 
-        for tap, w8 in enumerate(weights):
-            row = rows4[..., 12 * tap:12 * tap + 12]
-            ok = footprint_ok & validate(row, normal, cur_depth, oid_f)
-            w_eff = jnp.where(ok, w8, 0.0)
-            hist_sig = hist_sig + w_eff[..., None] * row[..., 0:4]
-            hist_mom = hist_mom + w_eff[..., None] * row[..., 4:6]
-            hist_len = hist_len + w_eff * row[..., 6]
-            weight_sum = weight_sum + w_eff
+            hist_sig = jnp.zeros((H, W, 4), jnp.float32)
+            hist_mom = jnp.zeros((H, W, 2), jnp.float32)
+            hist_len = jnp.zeros((H, W), jnp.float32)
+            weight_sum = jnp.zeros((H, W), jnp.float32)
+            rows4 = hpack4[by * W + bx]                    # (H, W, 48)
+            for tap, w8 in enumerate(weights):
+                row = rows4[..., 12 * tap:12 * tap + 12]
+                ok = footprint_ok & validate(row, normal, cur_depth, oid_f)
+                w_eff = jnp.where(ok, w8, 0.0)
+                hist_sig = hist_sig + w_eff[..., None] * row[..., 0:4]
+                hist_mom = hist_mom + w_eff[..., None] * row[..., 4:6]
+                hist_len = hist_len + w_eff * row[..., 6]
+                weight_sum = weight_sum + w_eff
+            fetched.append((hist_sig, hist_mom, hist_len, weight_sum))
     else:
-        # "tile": windowed Pallas reprojection (ops/temporal_pallas.py)
+        # "tile": fused windowed Pallas reprojection (temporal_pallas)
         from . import temporal_pallas
 
-        hpack_pm = jnp.moveaxis(hpack, -1, 0)
-        hist_sig, hist_mom, hist_len, weight_sum = temporal_pallas.reproject(
-            hpack_pm, by, bx, f[..., 1], f[..., 0], footprint_ok,
-            normal, cur_depth, oid_f, interpret=(gather == "tile_interpret"))
+        val_pm = jnp.stack([
+            prev_normal[..., 0], prev_normal[..., 1], prev_normal[..., 2],
+            prev_lin_depth, prev_object_id.astype(jnp.float32)], axis=0)
+        sig_pms = [
+            jnp.stack([h.signal[..., 0], h.signal[..., 1],
+                       h.signal[..., 2], h.signal[..., 3],
+                       h.moments[..., 0], h.moments[..., 1],
+                       h.moments[..., 3]], axis=0)
+            for h in histories]
+        results, weight_sum = temporal_pallas.reproject_multi(
+            val_pm, sig_pms, by, bx, f[..., 1], f[..., 0], footprint_ok,
+            normal, cur_depth, oid_f,
+            interpret=(gather == "tile_interpret"))
+        fetched = [(hs, hm, hl, weight_sum) for hs, hm, hl in results]
 
-    valid = weight_sum > 0.01
-    ws = jnp.maximum(weight_sum, 1e-6)[..., None]
-    hist_sig = hist_sig / ws
-    hist_mom = hist_mom / ws
-    hist_len = hist_len / ws[..., 0]
+    outs = []
+    for cur, cur_luma, (hist_sig, hist_mom, hist_len, weight_sum) in zip(
+            curs, lumas, fetched):
+        valid = weight_sum > 0.01
+        ws = jnp.maximum(weight_sum, 1e-6)[..., None]
+        hist_sig = hist_sig / ws
+        hist_mom = hist_mom / ws
+        hist_len = hist_len / ws[..., 0]
 
-    out_hlen = jnp.where(valid, jnp.minimum(32.0, hist_len + 1.0), 1.0)
-    alpha = 1.0 / out_hlen
+        out_hlen = jnp.where(valid, jnp.minimum(32.0, hist_len + 1.0), 1.0)
+        alpha = 1.0 / out_hlen
 
-    accum = jnp.where(valid[..., None],
-                      hist_sig + (cur - hist_sig) * alpha[..., None], cur)
-    m1 = jnp.where(valid, hist_mom[..., 0] + (cur_luma - hist_mom[..., 0]) * alpha,
-                   cur_luma)
-    m2 = jnp.where(valid,
-                   hist_mom[..., 1] + (cur_luma * cur_luma - hist_mom[..., 1]) * alpha,
-                   cur_luma * cur_luma)
-    var = jnp.maximum(0.0, m2 - m1 * m1)
-    moments = jnp.stack([m1, m2, var, out_hlen], axis=-1)
-    return accum, moments
+        accum = jnp.where(valid[..., None],
+                          hist_sig + (cur - hist_sig) * alpha[..., None],
+                          cur)
+        m1 = jnp.where(
+            valid, hist_mom[..., 0] + (cur_luma - hist_mom[..., 0]) * alpha,
+            cur_luma)
+        m2 = jnp.where(
+            valid,
+            hist_mom[..., 1] + (cur_luma * cur_luma - hist_mom[..., 1]) * alpha,
+            cur_luma * cur_luma)
+        var = jnp.maximum(0.0, m2 - m1 * m1)
+        moments = jnp.stack([m1, m2, var, out_hlen], axis=-1)
+        outs.append((accum, moments))
+    return outs
 
 
 def _edge_weight(depth_c, depth_p, phi_depth, normal_c, normal_p, phi_normal,
@@ -367,59 +407,89 @@ def denoise(cur_signal, albedo, gb_motion_plane, normal, object_id,
 
     Returns (denoised (H,W,4), new SVGFSignalHistory, variance_debug (H,W)).
     """
-    signal = cur_signal
-    moments = None
-    new_hist_signal = history.signal
-    new_hist_moments = history.moments
+    (out,) = denoise_multi(
+        [cur_signal], albedo, gb_motion_plane, normal, object_id,
+        [history], prev_normal, prev_lin_depth, prev_object_id, [config],
+        svgf_phi, history_valid)
+    return out
 
-    pallas_spatial = _spatial_pallas(config)
+
+def denoise_multi(cur_signals, albedo, gb_motion_plane, normal, object_id,
+                  histories, prev_normal, prev_lin_depth, prev_object_id,
+                  configs, svgf_phi, history_valid: bool):
+    """Fused SVGF chains for K signals over ONE frame's geometry.
+
+    The reference instantiates 3 independent chains (SVGFPass::Add ×3,
+    HybridRenderPath.cpp:57-87); semantics here are identical per
+    signal, but the temporal history fetches share one windowed
+    reprojection sweep (temporal_multi) and the spatial filters share
+    one pre-padded edge stack — the batched TPU formulation.
+
+    Returns [(denoised (H,W,4), new SVGFSignalHistory, variance (H,W))]×K.
+    """
+    K = len(cur_signals)
+    signals = list(cur_signals)
+    moments = [None] * K
+    new_hist_signals = [h.signal for h in histories]
+    new_hist_moments = [h.moments for h in histories]
+
+    pallas_spatial = _spatial_pallas(configs[0])
     edges = None
     if pallas_spatial:
         from . import stencil_pallas
 
         # the static edge-stopping planes are padded ONCE and shared by
-        # the moments filter and every atrous iteration (callers reuse
-        # it across all three signal chains via make_svgf_chain)
+        # the moments filter and every atrous iteration of every chain
         edges = stencil_pallas.edge_stack(normal, gb_motion_plane,
-                                          config.tile)
+                                          configs[0].tile)
 
-    if config.temporal_enabled:
-        signal, moments = temporal(
-            cur_signal, albedo, gb_motion_plane, normal, object_id, history,
+    t_idx = [k for k in range(K) if configs[k].temporal_enabled]
+    if t_idx:
+        fetched = temporal_multi(
+            [cur_signals[k] for k in t_idx], albedo, gb_motion_plane,
+            normal, object_id, [histories[k] for k in t_idx],
             prev_normal, prev_lin_depth, prev_object_id,
-            config.use_albedo_demod, history_valid,
-            gather=config.temporal_gather)
-        new_hist_moments = moments
-        if pallas_spatial:
-            signal, moments = stencil_pallas.filter_moments(
-                signal, moments, normal, gb_motion_plane, svgf_phi,
-                tile=config.tile, edges=edges)
-            moments = stencil_pallas.variance_blur(moments,
-                                                   tile=config.tile)
-        else:
-            signal, moments = filter_moments(
-                signal, moments, normal, gb_motion_plane, svgf_phi)
-            moments = variance_blur(moments)
-
-    if config.spatial_enabled:
-        if moments is None:
-            zero = jnp.zeros_like(cur_signal)
-            moments = zero
-            signal = cur_signal
-        for i in range(config.atrous_iterations):
-            step = 1 << i
-            if pallas_spatial and 2 * step <= 8:
-                signal = stencil_pallas.atrous(
-                    signal, normal, gb_motion_plane, step, svgf_phi,
-                    tile=config.tile, edges=edges)
+            [configs[k].use_albedo_demod for k in t_idx], history_valid,
+            gather=configs[0].temporal_gather)
+        for k, (sig, mom) in zip(t_idx, fetched):
+            new_hist_moments[k] = mom
+            if pallas_spatial:
+                sig, mom = stencil_pallas.filter_moments(
+                    sig, mom, normal, gb_motion_plane, svgf_phi,
+                    tile=configs[k].tile, edges=edges)
+                mom = stencil_pallas.variance_blur(mom,
+                                                   tile=configs[k].tile)
             else:
-                signal = atrous(signal, moments, normal, gb_motion_plane,
-                                step, svgf_phi)
-            if i == 0:
-                new_hist_signal = signal  # SVGFPass.cpp:207-214 SaveAsHistory
+                sig, mom = filter_moments(
+                    sig, mom, normal, gb_motion_plane, svgf_phi)
+                mom = variance_blur(mom)
+            signals[k] = sig
+            moments[k] = mom
 
-    variance_debug = signal[..., 3]
-    out = combine(signal, albedo, config.use_albedo_demod)
-    new_history = SVGFSignalHistory(signal=new_hist_signal,
-                                    moments=new_hist_moments)
-    return out, new_history, variance_debug
+    results = []
+    for k in range(K):
+        config = configs[k]
+        signal, mom = signals[k], moments[k]
+        if config.spatial_enabled:
+            if mom is None:
+                mom = jnp.zeros_like(cur_signals[k])
+                signal = cur_signals[k]
+            for i in range(config.atrous_iterations):
+                step = 1 << i
+                if pallas_spatial and 2 * step <= 8:
+                    signal = stencil_pallas.atrous(
+                        signal, normal, gb_motion_plane, step, svgf_phi,
+                        tile=config.tile, edges=edges)
+                else:
+                    signal = atrous(signal, mom, normal, gb_motion_plane,
+                                    step, svgf_phi)
+                if i == 0:
+                    # SVGFPass.cpp:207-214 SaveAsHistory
+                    new_hist_signals[k] = signal
+
+        variance_debug = signal[..., 3]
+        out = combine(signal, albedo, config.use_albedo_demod)
+        new_history = SVGFSignalHistory(signal=new_hist_signals[k],
+                                        moments=new_hist_moments[k])
+        results.append((out, new_history, variance_debug))
+    return results

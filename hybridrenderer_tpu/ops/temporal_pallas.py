@@ -52,13 +52,19 @@ def _lane_tap(w, dx: int):
     return w[:, :, :TILE_W]
 
 
-def _kernel(
+def _kernel(K: int,
             # scalar prefetch
             y0_ref, x0_ref,
             # inputs
             win_ref, fields_ref,
-            # outputs: sig0..3, m1, m2, hlen, wsum
+            # outputs: K × (sig0..3, m1, m2, hlen), then shared wsum
             *out_refs):
+    """K-signal fused reprojection. Window plane order: the 5 shared
+    validation planes (prev nx, ny, nz, z, oid) then K 7-plane signal
+    packs (sig0..3, m1, m2, hlen). The candidate sweep, bilinear
+    weights, and is_valid_reprojection tests depend only on motion and
+    the shared planes — identical for every signal — so fusing the
+    SVGF chains' temporal fetches computes them ONCE (batch 36/37)."""
     t = pl.program_id(0)
     f = fields_ref[0]
     by = f[0]
@@ -84,7 +90,8 @@ def _kernel(
 
     w32 = win_ref[0]
 
-    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(8)]
+    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for _ in range(7 * K + 1)]
     for dy_c in range(RANGE + 1):
         wy = jnp.where(rdy == dy_c, 1.0 - fy, 0.0) \
             + jnp.where(rdy + 1.0 == dy_c, fy, 0.0)
@@ -96,36 +103,47 @@ def _kernel(
             wx = jnp.where(rdx == dx_c, 1.0 - fx, 0.0) \
                 + jnp.where(rdx + 1.0 == dx_c, fx, 0.0)
             tap = _lane_tap(wrow, dx_c)
-            # is_valid_reprojection (temporal.comp:45-62)
-            ndot = tap[7] * nx + tap[8] * ny + tap[9] * nz
-            okv = (tap[11] == oid_c) & (ndot >= 0.95) \
-                & (jnp.abs(z_c - tap[10]) / (z_c + 1e-6) <= 0.05)
+            # is_valid_reprojection (temporal.comp:45-62) — once per
+            # candidate, shared by all K signals
+            ndot = tap[0] * nx + tap[1] * ny + tap[2] * nz
+            okv = (tap[4] == oid_c) & (ndot >= 0.95) \
+                & (jnp.abs(z_c - tap[3]) / (z_c + 1e-6) <= 0.05)
             w_eff = jnp.where(in_range & okv, wy * wx, 0.0)
-            for c in range(7):
-                accs[c] = accs[c] + w_eff * tap[c]
-            accs[7] = accs[7] + w_eff
+            for k in range(K):
+                base = 5 + 7 * k
+                for c in range(7):
+                    accs[7 * k + c] = accs[7 * k + c] + w_eff * tap[base + c]
+            accs[7 * K] = accs[7 * K] + w_eff
 
-    for c in range(8):
+    for c in range(7 * K + 1):
         out_refs[c][...] = accs[c]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def reproject(hpack_pm, by, bx, fy, fx, ok, normal, z, oid,
-              interpret: bool = False):
-    """Windowed bilinear history reprojection.
+def reproject_multi(val_pm, sig_pms, by, bx, fy, fx, ok, normal, z, oid,
+                    interpret: bool = False):
+    """Fused windowed bilinear history reprojection for K signals.
 
-    hpack_pm: (NP, H, W) f32 plane-major packed history.
-    by/bx: per-pixel footprint base (i32, clamped to [0, dim-2]).
-    fy/fx: bilinear fractions. ok: footprint fully on-screen.
-    normal (H, W, 3), z (H, W), oid (H, W) — current-frame validation.
+    val_pm: (5, H, W) f32 shared validation planes (prev normal xyz,
+    prev linear depth, prev object id). sig_pms: list of K (7, H, W)
+    per-signal packs (sig0..3, m1, m2, hlen). by/bx: per-pixel
+    footprint base (i32, clamped to [0, dim-2]); fy/fx: bilinear
+    fractions; ok: footprint fully on-screen. normal (H, W, 3),
+    z (H, W), oid (H, W) — current-frame validation.
 
-    Returns (hist_sig (H,W,4), hist_mom (H,W,2), hist_len, weight_sum).
+    The footprint bases, bilinear weights, and validation depend only
+    on motion + the shared planes, so all K signals resolve in ONE
+    candidate sweep (the SVGF chains' temporal fetch, batch 36/37).
+
+    Returns ([K × (hist_sig (H,W,4), hist_mom (H,W,2), hist_len)],
+    weight_sum).
     """
+    K = len(sig_pms)
     H, W = by.shape
     nty = -(-H // TILE_H)
     ntx = -(-W // TILE_W)
     nt = nty * ntx
     Hp, Wp = nty * TILE_H, ntx * TILE_W
+    NPK = 5 + 7 * K
 
     def pad2(x, fill):
         return jnp.pad(x, ((0, Hp - H), (0, Wp - W)), constant_values=fill)
@@ -152,13 +170,14 @@ def reproject(hpack_pm, by, bx, fy, fx, ok, normal, z, oid,
 
     # per-tile history windows: batched dynamic-slice. f32: Mosaic has
     # no f16, and bf16's 8-bit mantissa would alias object ids > 256.
+    hpack_pm = jnp.concatenate([val_pm] + list(sig_pms), axis=0)
     hq = jnp.pad(hpack_pm,
                  ((0, 0), (TILE_H, Hp + WIN_H - H), (TILE_W, Wp + WIN_W - W)),
                  mode="edge")
     windows = jax.vmap(
         lambda y, x: jax.lax.dynamic_slice(
-            hq, (0, y + TILE_H, x + TILE_W), (NP, WIN_H, WIN_W))
-    )(y0, x0)                                    # (nt, NP, WIN_H, WIN_W)
+            hq, (0, y + TILE_H, x + TILE_W), (NPK, WIN_H, WIN_W))
+    )(y0, x0)                                    # (nt, NPK, WIN_H, WIN_W)
 
     fields = jnp.stack([
         pad2(by, big).astype(jnp.float32),
@@ -170,21 +189,22 @@ def reproject(hpack_pm, by, bx, fy, fx, ok, normal, z, oid,
         pad2(z, 0.0), pad2(oid.astype(jnp.float32), -1.0),
     ], axis=0)                                   # (10, Hp, Wp)
 
+    n_out = 7 * K + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, NP, WIN_H, WIN_W), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, NPK, WIN_H, WIN_W), lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, 10, TILE_H, TILE_W),
                          lambda t, *_: (0, 0, t // ntx, t % ntx)),
         ],
         out_specs=[pl.BlockSpec((TILE_H, TILE_W),
-                                lambda t, *_: (t // ntx, t % ntx))] * 8,
+                                lambda t, *_: (t // ntx, t % ntx))] * n_out,
     )
     outs = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, K),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)] * 8,
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)] * n_out,
         interpret=interpret,
         # the unrolled 81-candidate body's temporaries exceed the 16 MB
         # default scoped-vmem budget; v5e has 128 MB of VMEM
@@ -193,9 +213,29 @@ def reproject(hpack_pm, by, bx, fy, fx, ok, normal, z, oid,
     )(y0, x0, windows, fields[None])
 
     outs = [o[:H, :W] for o in outs]
-    hist_sig = jnp.stack(outs[0:4], axis=-1)
-    hist_mom = jnp.stack(outs[4:6], axis=-1)
-    return hist_sig, hist_mom, outs[6], outs[7]
+    results = []
+    for k in range(K):
+        o = outs[7 * k:7 * k + 7]
+        results.append((jnp.stack(o[0:4], axis=-1),
+                        jnp.stack(o[4:6], axis=-1), o[6]))
+    return results, outs[7 * K]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def reproject(hpack_pm, by, bx, fy, fx, ok, normal, z, oid,
+              interpret: bool = False):
+    """Single-signal wrapper over reproject_multi (back-compat).
+
+    hpack_pm: (12, H, W) f32 plane-major packed history in the legacy
+    order sig0..3, m1, m2, hlen, nx, ny, nz, z, oid.
+
+    Returns (hist_sig (H,W,4), hist_mom (H,W,2), hist_len, weight_sum).
+    """
+    results, wsum = reproject_multi(
+        hpack_pm[7:12], [hpack_pm[0:7]], by, bx, fy, fx, ok, normal, z,
+        oid, interpret=interpret)
+    hist_sig, hist_mom, hist_len = results[0]
+    return hist_sig, hist_mom, hist_len, wsum
 
 
 def _sample_kernel(P: int,

@@ -60,25 +60,28 @@ class HybridRenderPath(RenderPath):
                     temporal_enabled=temporal, spatial_enabled=spatial,
                     use_albedo_demod=demod, tile=s.svgf_tile)
 
+            # all active chains run as ONE fused pass: per-signal
+            # semantics are identical (equality-pinned), but the
+            # temporal reprojection sweep and the stencil edge stack
+            # are computed once and shared (the batched TPU analog of
+            # the reference's 3× SVGFPass::Add)
+            chains = []
             if shadow_name:
-                self.add(graph, "SVGF_ShadowAO",
-                         passes.make_svgf_chain(s, cfg("SVGF_ShadowAO", False),
-                                                shadow_name, "ShadowAO_Denoised"),
-                         "compute")
+                chains.append((cfg("SVGF_ShadowAO", False), shadow_name,
+                               "ShadowAO_Denoised"))
                 shadow_name = "ShadowAO_Denoised"
                 variance_name = "SVGF_ShadowAO_Variance"
             if refl_name:
-                self.add(graph, "SVGF_Reflection",
-                         passes.make_svgf_chain(s, cfg("SVGF_Refl", True),
-                                                refl_name, "Reflection_Denoised"),
-                         "compute")
+                chains.append((cfg("SVGF_Refl", True), refl_name,
+                               "Reflection_Denoised"))
                 refl_name = "Reflection_Denoised"
             if gi_name:
-                self.add(graph, "SVGF_GI",
-                         passes.make_svgf_chain(s, cfg("SVGF_GI", True),
-                                                gi_name, "GI_Denoised"),
-                         "compute")
+                chains.append((cfg("SVGF_GI", True), gi_name,
+                               "GI_Denoised"))
                 gi_name = "GI_Denoised"
+            if chains:
+                self.add(graph, "SVGFPass",
+                         passes.make_svgf_multi_pass(s, chains), "compute")
 
         self.add(graph, "CompositionPass",
                  passes.make_composition_pass(

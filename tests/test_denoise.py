@@ -251,3 +251,47 @@ def test_taa_tile_gather_fast_motion_fallback():
     out = taa.resolve(cur, hist, motion, depth, j, j, history_valid=True,
                       gather="tile_interpret")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_denoise_multi_matches_single():
+    """The fused K-signal chain (denoise_multi / temporal_multi /
+    reproject_multi) is pixel-identical to K independent chains, for
+    both gather strategies."""
+    rng = np.random.default_rng(21)
+    Ht, Wt = 64, 256
+    normal = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (Ht, Wt, 1))
+    mp = jnp.zeros((Ht, Wt, 4)).at[..., 2].set(5.0).at[..., :2].set(0.003)
+    oid = jnp.zeros((Ht, Wt), jnp.int32)
+    albedo = jnp.asarray(rng.random((Ht, Wt, 3)).astype(np.float32)) + 0.1
+
+    sigs, hists, cfgs = [], [], []
+    for k, demod in enumerate((False, True, True)):
+        sigs.append(jnp.asarray(rng.random((Ht, Wt, 4)).astype(np.float32)))
+        hists.append(svgf.SVGFSignalHistory(
+            signal=jnp.asarray(rng.random((Ht, Wt, 4)).astype(np.float32)),
+            moments=jnp.asarray(
+                rng.random((Ht, Wt, 4)).astype(np.float32)) + 0.5))
+        cfgs.append(svgf.SVGFConfig(prefix=f"S{k}", use_albedo_demod=demod,
+                                    backend="jnp"))
+
+    for backend, gather in (("jnp", "pixel"), ("jnp", "tile_interpret")):
+        cfgs_g = [svgf.SVGFConfig(prefix=c.prefix,
+                                  use_albedo_demod=c.use_albedo_demod,
+                                  backend=backend, temporal_gather=gather)
+                  for c in cfgs]
+        multi = svgf.denoise_multi(
+            sigs, albedo, mp, normal, oid, hists, normal, mp[..., 2], oid,
+            cfgs_g, PHI, history_valid=True)
+        for k in range(3):
+            out_s, hist_s, var_s = svgf.denoise(
+                sigs[k], albedo, mp, normal, oid, hists[k], normal,
+                mp[..., 2], oid, cfgs_g[k], PHI, history_valid=True)
+            out_m, hist_m, var_m = multi[k]
+            np.testing.assert_array_equal(np.asarray(out_m),
+                                          np.asarray(out_s))
+            np.testing.assert_array_equal(np.asarray(hist_m.signal),
+                                          np.asarray(hist_s.signal))
+            np.testing.assert_array_equal(np.asarray(hist_m.moments),
+                                          np.asarray(hist_s.moments))
+            np.testing.assert_array_equal(np.asarray(var_m),
+                                          np.asarray(var_s))

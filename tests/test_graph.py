@@ -34,9 +34,10 @@ def test_hybrid_graph_structure():
     names = [p.name for p in path.graph.passes]
     assert names[0] == "GBufferPass"
     assert "RTShadowPass" in names
-    assert "SVGF_ShadowAO" in names
+    # all active SVGF chains run as ONE fused pass (make_svgf_multi_pass)
+    assert "SVGFPass" in names
     assert names[-1] == "PostProcessPass"
-    assert names.index("RTShadowPass") < names.index("SVGF_ShadowAO") \
+    assert names.index("RTShadowPass") < names.index("SVGFPass") \
         < names.index("CompositionPass")
 
 

@@ -334,9 +334,9 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
                    # outputs (z, tri, b1, b2[, attr]) then scratch
                    *refs):
     if has_attrs:
-        z_ref, tri_ref, b1_ref, b2_ref, attr_ref, rec_ref, sem_ref = refs
+        vis_ref, attr_ref, rec_ref, sem_ref = refs
     else:
-        z_ref, tri_ref, b1_ref, b2_ref, rec_ref, sem_ref = refs
+        vis_ref, rec_ref, sem_ref = refs
     t = pl.program_id(0)
     ty = t // ntx
     tx = t % ntx
@@ -597,10 +597,26 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
     z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry[:5]
     miss = tri_acc < 0.0
     s_safe = jnp.where(jnp.abs(s_acc) < 1e-20, 1e-20, s_acc)
-    z_ref[...] = jnp.where(miss, 0.0, z_acc)
-    tri_ref[...] = jnp.where(miss, -1.0, tri_acc).astype(jnp.int32)
-    b1_ref[...] = jnp.where(miss, 0.0, n1_acc / s_safe)
-    b2_ref[...] = jnp.where(miss, 0.0, n2_acc / s_safe)
+
+    # Pack the four visibility planes into ONE (4, P) block, P on the
+    # lane dim. Separate (P, 1) outputs tile-pad their unit lane dim
+    # 128× in HBM (the CLAUDE.md small-trailing-dim gotcha): at 1080p
+    # that is ~4.4 GB of padded write traffic per frame and was the
+    # entire ~19 ms per-program floor batch 38 measured (empty streams
+    # cost the same as real ones). (P, 1) → (1, P) rides the MXU as a
+    # K=1 contraction (Mosaic cannot relayout-reshape vectors).
+    ones11 = jnp.ones((1, 1), jnp.float32)
+
+    def rowT1(v):
+        return jax.lax.dot_general(
+            ones11, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    vis_ref[...] = jnp.concatenate(
+        [rowT1(jnp.where(miss, 0.0, z_acc)),
+         rowT1(jnp.where(miss, -1.0, tri_acc)),
+         rowT1(jnp.where(miss, 0.0, n1_acc / s_safe)),
+         rowT1(jnp.where(miss, 0.0, n2_acc / s_safe))], axis=0)[None]
     if has_attrs:
         lerpT, constT, sT = carry[5:]
         sT_safe = jnp.where(jnp.abs(sT) < 1e-20, 1e-20, sT)
@@ -626,17 +642,13 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
         eval_mode = "v1"  # attr ride-along shares v1's winner logic
 
     P = tile_h * tile_w
+    # one packed (4, P) visibility block per tile — P on the lane dim
+    # (separate (P, 1) planes pad 128× in HBM; see kernel comment)
     out_specs = [
-        pl.BlockSpec((P, 1), lambda t, *_: (t, 0)),
-        pl.BlockSpec((P, 1), lambda t, *_: (t, 0)),
-        pl.BlockSpec((P, 1), lambda t, *_: (t, 0)),
-        pl.BlockSpec((P, 1), lambda t, *_: (t, 0)),
+        pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
-        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.int32),
-        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
-        jax.ShapeDtypeStruct((ntiles * P, 1), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles, 4, P), jnp.float32),
     ]
     if has_attrs:
         out_specs.append(
@@ -673,23 +685,23 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
     )(bins["starts_a"], bins["counts_a"], bins["starts_b"], bins["counts_b"],
       bins["n_overflow"][None],
       bins["stream_a"], bins["stream_b"], bins["overflow"])
-    z, tri, b1, b2 = outs[:4]
+    packed_vis = outs[0]                            # (ntiles, 4, P)
 
     def unflatten(x):
         img = x.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
         return img.reshape(nty * tile_h, ntx * tile_w)[:height, :width]
 
     vis = VisibilityBuffer(
-        tri_id=unflatten(tri),
-        bary1=unflatten(b1),
-        bary2=unflatten(b2),
-        depth=unflatten(z),
+        tri_id=unflatten(packed_vis[:, 1]).astype(jnp.int32),
+        bary1=unflatten(packed_vis[:, 2]),
+        bary2=unflatten(packed_vis[:, 3]),
+        depth=unflatten(packed_vis[:, 0]),
     )
     if not has_attrs:
         return vis
     # (ntiles, C, P) → (H, W, C): one channel-last relayout feeding the
     # (elementwise) G-buffer math — replaces the 2M-row attr gather
-    a = outs[4].reshape(nty, ntx, ATTR_OUT, tile_h, tile_w)
+    a = outs[1].reshape(nty, ntx, ATTR_OUT, tile_h, tile_w)
     a = a.transpose(0, 3, 1, 4, 2).reshape(
         nty * tile_h, ntx * tile_w, ATTR_OUT)[:height, :width]
     return vis, a

@@ -108,8 +108,6 @@ def clip_triangles(clip_verts, i0, i1, i2, width, height,
         T = i0.shape[0]
         v = jnp.stack([clip_verts[i0], clip_verts[i1], clip_verts[i2]],
                       axis=1)                                    # (T,3,4)
-    seed_bary = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (T, 3, 3))
-
     w = v[..., 3]
     infront = w >= W_CLIP  # (T, 3)
     m = (infront[:, 0].astype(jnp.int32)
@@ -118,8 +116,14 @@ def clip_triangles(clip_verts, i0, i1, i2, width, height,
     n_in = jnp.sum(infront, axis=1)
 
     perm = jnp.asarray(_PERM)[m]  # (T, 3)
-    u = jnp.take_along_axis(v, perm[..., None], axis=1)          # (T,3,4)
-    ub = jnp.take_along_axis(seed_bary, perm[..., None], axis=1)  # (T,3,3)
+    # gather-free permutation: perm only takes 3 values per slot, so the
+    # corner pick is a one-hot contraction (take_along_axis = a T-row
+    # gather at ~25-55 ns/row; 2 of them cost ~real ms at stress scale)
+    oh = (perm[:, :, None]
+          == jnp.arange(3, dtype=perm.dtype)[None, None, :])     # (T,3,3)
+    u = jnp.einsum("tkj,tjc->tkc", oh.astype(v.dtype), v)        # (T,3,4)
+    # the permuted seed barycentric rows ARE the one-hot rows (eye[perm])
+    ub = oh.astype(jnp.float32)                                  # (T,3,3)
 
     def lerp_to_plane(a, ab, b, bb):
         # intersect edge a→b with w = W_CLIP

@@ -186,6 +186,7 @@ def _sorted_stream(packed, entry_key, entry_cand, n_segments, cap,
     if method == "chunked":
         order_cap, starts, counts = _bucket_order(entry_key, n_segments, cap)
         idx = entry_cand[order_cap]
+        n_live = jnp.sum((entry_key < n_segments).astype(jnp.int32))
     else:
         order = jnp.argsort(entry_key)
         sorted_key = entry_key[order]
@@ -197,15 +198,16 @@ def _sorted_stream(packed, entry_key, entry_cand, n_segments, cap,
         # [start, start+count) and padded blocks are only touched by the
         # kernel's over-fetch lanes (masked) — no extra kill needed.
         idx = entry_cand[order[:cap]]
+        n_live = bounds[-1]
     stream = packed[idx]
     pad = (-stream.shape[0]) % BLOCK + BLOCK
     stream = jnp.pad(stream, ((0, pad), (0, 0)))
-    return _to_blocks(stream), starts, counts
+    return _to_blocks(stream), starts, counts, n_live
 
 
 def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
                    max_span: int = 4, max_rows: int = None,
-                   cap_a: int = 262144, cap_b: int = 32768,
+                   cap_a: int = None, cap_b: int = None,
                    overflow_cap: int = 1024, b_cand_cap: int = None,
                    sort_method: str = None):
     """Three-class binning; see module docstring.
@@ -236,6 +238,18 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     ntiles = ntx * nty
     if max_rows is None:
         max_rows = nty
+    # The post-sort stream gather is CAP-sized: cap_a + cap_b rows are
+    # gathered EVERY frame regardless of live entries (~29 ns/row — the
+    # bin stage's biggest piece, batch 41). Caps therefore scale with
+    # the candidate count (T2 class-A entries is ≥2× the live volume on
+    # every measured scene; Sponza-scale saturates at the old fixed
+    # 262144). bins["n_dropped"] counts truncated live entries — the
+    # spill observability the fixed caps lacked.
+    T2_ = packed.shape[0]
+    if cap_a is None:
+        cap_a = max(8192, min(262144, -(-T2_ // BLOCK) * BLOCK))
+    if cap_b is None:
+        cap_b = max(2048, min(32768, -(-T2_ // (8 * BLOCK)) * BLOCK))
     if b_cand_cap is None:
         b_cand_cap = max(2048, -(-262144 // max_rows))
 
@@ -300,7 +314,7 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     # the [ntiles, ntiles+nty) key range. Caps pool: class A overflow
     # can eat into B's budget (both far above stress-scene volumes;
     # class C remains the spill ladder).
-    stream, starts, counts = _sorted_stream(
+    stream, starts, counts, n_live = _sorted_stream(
         packed,
         jnp.concatenate([tile_id.reshape(-1), row_id.reshape(-1)]),
         jnp.concatenate([cand_a.reshape(-1), cand_b.reshape(-1)]),
@@ -308,6 +322,7 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     starts_a, counts_a = starts[:ntiles], counts[:ntiles]
     starts_b, counts_b = starts[ntiles:], counts[ntiles:]
     stream_a = stream_b = stream
+    n_dropped = jnp.maximum(0, n_live - (cap_a + cap_b))
 
     # --- class C: global list (huge triangles; rare) ---
     ov_rank = jnp.cumsum(cls_c.astype(jnp.int32)) - 1
@@ -322,6 +337,7 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
         stream_a=stream_a, starts_a=starts_a, counts_a=counts_a,
         stream_b=stream_b, starts_b=starts_b, counts_b=counts_b,
         overflow=_to_blocks(overflow[:overflow_cap]), n_overflow=n_overflow,
+        n_dropped=n_dropped,
     )
 
 

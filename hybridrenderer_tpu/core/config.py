@@ -34,6 +34,16 @@ class RenderSettings:
     # full graph −5.8; th ≥ 64 fails remote compile). Results are
     # tile-invariant (tests/test_stencil_pallas.py).
     svgf_tile: tuple = (32, 384)
+    # Temporal-reprojection sweep radius (px) for the windowed Pallas
+    # kernel; 8 is exact for smooth motion, 4 quarters the candidate
+    # sweep at the cost of more history drops under fast motion
+    # (quality probe: benchmarks/quality_temporal_range.py).
+    svgf_temporal_range: int = 8
+    # Temporal history-fetch strategy: "auto" (tile kernel on TPU,
+    # per-pixel row gathers elsewhere), "pixel" (reference semantics —
+    # also the fast-motion fallback the tile window can't cover),
+    # "tile", "tile_interpret" (CPU tests/probes).
+    svgf_temporal_gather: str = "auto"
 
     # Raster kernel selection: "jnp" reference or "pallas" tiled kernel.
     raster_backend: str = "auto"

@@ -642,9 +642,9 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "tile_h", "tile_w",
-                                    "interpret", "eval_mode"))
+                                    "interpret", "eval_mode", "raw"))
 def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
-                 eval_mode: str = None):
+                 eval_mode: str = None, raw: bool = False):
     if eval_mode is None:
         import os
 
@@ -701,6 +701,8 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
     )(bins["starts_a"], bins["counts_a"], bins["starts_b"], bins["counts_b"],
       bins["n_overflow"][None],
       bins["stream_a"], bins["stream_b"], bins["overflow"])
+    if raw:  # perf probes: kernel outputs without the (H, W) relayout
+        return outs
     packed_vis = outs[0]                            # (ntiles, 4, P)
 
     def unflatten(x):

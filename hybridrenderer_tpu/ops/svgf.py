@@ -68,7 +68,8 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
 
 def temporal_multi(cur_signals, albedo, motion_plane, normal, object_id,
                    histories, prev_normal, prev_lin_depth, prev_object_id,
-                   demod_flags, history_valid: bool, gather: str = "auto"):
+                   demod_flags, history_valid: bool, gather: str = "auto",
+                   temporal_range: int = 8):
     """Fused temporal.comp for K signals sharing one motion/geometry
     frame — returns [(accumulated signal (H,W,4), moments (H,W,4))]×K.
 
@@ -209,7 +210,8 @@ def temporal_multi(cur_signals, albedo, motion_plane, normal, object_id,
         results, weight_sum = temporal_pallas.reproject_multi(
             val_pm, sig_pms, by, bx, f[..., 1], f[..., 0], footprint_ok,
             normal, cur_depth, oid_f,
-            interpret=(gather == "tile_interpret"))
+            interpret=(gather == "tile_interpret"),
+            range_px=temporal_range)
         fetched = [(hs, hm, hl, weight_sum) for hs, hm, hl in results]
 
     outs = []
@@ -387,6 +389,11 @@ class SVGFConfig:
     # Bigger tiles amortize the ±(8, 128) alignment halo each program
     # over-fetches (batch 34/35).
     tile: tuple = None
+    # Windowed temporal-reprojection sweep radius in pixels (the tile
+    # kernel resolves footprint-base residuals in [0, range)). 8 = the
+    # exact-for-smooth-motion default; 4 quarters the candidate sweep
+    # (quality-gated: more history drops under fast motion).
+    temporal_range: int = 8
 
 
 def _spatial_pallas(config: SVGFConfig) -> bool:
@@ -450,7 +457,8 @@ def denoise_multi(cur_signals, albedo, gb_motion_plane, normal, object_id,
             normal, object_id, [histories[k] for k in t_idx],
             prev_normal, prev_lin_depth, prev_object_id,
             [configs[k].use_albedo_demod for k in t_idx], history_valid,
-            gather=configs[0].temporal_gather)
+            gather=configs[0].temporal_gather,
+            temporal_range=configs[0].temporal_range)
         for k, (sig, mom) in zip(t_idx, fetched):
             new_hist_moments[k] = mom
             if pallas_spatial:

@@ -52,7 +52,7 @@ def _lane_tap(w, dx: int):
     return w[:, :, :TILE_W]
 
 
-def _kernel(K: int,
+def _kernel(K: int, rng: int,
             # scalar prefetch
             y0_ref, x0_ref,
             # inputs
@@ -86,20 +86,20 @@ def _kernel(K: int,
         .astype(jnp.float32)
     rdy = by - y0_ref[t].astype(jnp.float32) - iy
     rdx = bx - x0_ref[t].astype(jnp.float32) - ix
-    in_range = (rdy >= 0) & (rdy < RANGE) & (rdx >= 0) & (rdx < RANGE) & ok
+    in_range = (rdy >= 0) & (rdy < rng) & (rdx >= 0) & (rdx < rng) & ok
 
     w32 = win_ref[0]
 
     accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
             for _ in range(7 * K + 1)]
-    for dy_c in range(RANGE + 1):
+    for dy_c in range(rng + 1):
         wy = jnp.where(rdy == dy_c, 1.0 - fy, 0.0) \
             + jnp.where(rdy + 1.0 == dy_c, fy, 0.0)
         wrow = pltpu.roll(w32, (-dy_c) % WIN_H, 1) if dy_c else w32
         # slice to tile height before the lane rolls: shrinks the
         # per-candidate temporaries the unrolled body keeps live
         wrow = wrow[:, :TILE_H, :]
-        for dx_c in range(RANGE + 1):
+        for dx_c in range(rng + 1):
             wx = jnp.where(rdx == dx_c, 1.0 - fx, 0.0) \
                 + jnp.where(rdx + 1.0 == dx_c, fx, 0.0)
             tap = _lane_tap(wrow, dx_c)
@@ -120,7 +120,7 @@ def _kernel(K: int,
 
 
 def reproject_multi(val_pm, sig_pms, by, bx, fy, fx, ok, normal, z, oid,
-                    interpret: bool = False):
+                    interpret: bool = False, range_px: int = RANGE):
     """Fused windowed bilinear history reprojection for K signals.
 
     val_pm: (5, H, W) f32 shared validation planes (prev normal xyz,
@@ -201,8 +201,9 @@ def reproject_multi(val_pm, sig_pms, by, bx, fy, fx, ok, normal, z, oid,
         out_specs=[pl.BlockSpec((TILE_H, TILE_W),
                                 lambda t, *_: (t // ntx, t % ntx))] * n_out,
     )
+    assert 0 < range_px <= RANGE
     outs = pl.pallas_call(
-        functools.partial(_kernel, K),
+        functools.partial(_kernel, K, range_px),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)] * n_out,
         interpret=interpret,
@@ -221,9 +222,9 @@ def reproject_multi(val_pm, sig_pms, by, bx, fy, fx, ok, normal, z, oid,
     return results, outs[7 * K]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "range_px"))
 def reproject(hpack_pm, by, bx, fy, fx, ok, normal, z, oid,
-              interpret: bool = False):
+              interpret: bool = False, range_px: int = RANGE):
     """Single-signal wrapper over reproject_multi (back-compat).
 
     hpack_pm: (12, H, W) f32 plane-major packed history in the legacy
@@ -233,7 +234,7 @@ def reproject(hpack_pm, by, bx, fy, fx, ok, normal, z, oid,
     """
     results, wsum = reproject_multi(
         hpack_pm[7:12], [hpack_pm[0:7]], by, bx, fy, fx, ok, normal, z,
-        oid, interpret=interpret)
+        oid, interpret=interpret, range_px=range_px)
     hist_sig, hist_mom, hist_len = results[0]
     return hist_sig, hist_mom, hist_len, wsum
 

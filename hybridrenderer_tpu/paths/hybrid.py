@@ -58,7 +58,9 @@ class HybridRenderPath(RenderPath):
                 return SVGFConfig(
                     prefix=prefix, atrous_iterations=s.svgf_atrous_iterations,
                     temporal_enabled=temporal, spatial_enabled=spatial,
-                    use_albedo_demod=demod, tile=s.svgf_tile)
+                    use_albedo_demod=demod, tile=s.svgf_tile,
+                    temporal_range=s.svgf_temporal_range,
+                    temporal_gather=s.svgf_temporal_gather)
 
             # all active chains run as ONE fused pass: per-signal
             # semantics are identical (equality-pinned), but the

@@ -109,7 +109,8 @@ def make_depth_prepass(settings):
             tris = _clip_scene(sc, settings, proj @ view, jit2, tri_mask)
             vis = raster_pallas.rasterize_binned(
                 tris, settings.width, settings.height,
-                tile_h=settings.tile_h, tile_w=settings.tile_w)
+                tile_h=settings.tile_h, tile_w=settings.tile_w,
+                eval_mode=settings.raster_eval)
         else:
             vis = raster_ops.rasterize_scene(
                 sc.vertices.world_position, sc.triangles.i0,
@@ -158,7 +159,8 @@ def make_gbuffer_pass(settings):
                 out = raster_pallas.rasterize_binned(
                     tris, settings.width, settings.height,
                     tile_h=settings.tile_h, tile_w=settings.tile_w,
-                    attr_table=sc.raster_rows if ride_attrs else None)
+                    attr_table=sc.raster_rows if ride_attrs else None,
+                    eval_mode=settings.raster_eval)
                 return out if ride_attrs else (out, None)
             return (raster_ops.rasterize_scene(
                 sc.vertices.world_position, sc.triangles.i0, sc.triangles.i1,

@@ -640,6 +640,190 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
             [lerpT / sT_safe, constT], axis=0)[None]
 
 
+def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs,
+                     # scalar prefetch
+                     starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
+                     novf_ref,
+                     # inputs
+                     stream_a_hbm, stream_b_hbm, overflow_ref,
+                     # outputs (packed vis[, attr]) then scratch
+                     *refs):
+    """Transposed ("v4") block eval: every per-program value lives in
+    (1, P) / (rows, P) layout — pixels ALWAYS on the lane dimension.
+
+    The v1/v2/v3 kernels carry five (P, 1) accumulators through the
+    stream loop; Mosaic lays a (1024, 1) f32 out as 128 vregs with one
+    live lane each, so carry init + the per-block where-updates + the
+    final (P, 1) -> (1, P) output transposes are ~all of the measured
+    ~6 us/program fixed cost (batch 38/39: EMPTY streams cost the same
+    as the real workload). Here a carry is 8 vregs, the winner pick is
+    ONE (rows, BLOCK) x (BLOCK, P) MXU matmul, and the packed output
+    write needs no transposes.
+
+    Candidate-lane masking rides the depth coefficients: dead lanes
+    (outside [lo, hi) or outside the record's tile-column extent) get
+    their Z triple scaled to 0 and the constant coefficient shifted to
+    -2, so the affine eval lands at Z = -2 and fails the cover test —
+    no (BLOCK, 1)-shaped mask relayouts needed. Winner selection uses
+    the v2 integer key (17-bit quantized reversed-Z << 7 | lane; the
+    depth STORED is the winner's exact affine eval), so v4 output is
+    v2-tie-compatible by construction."""
+    if has_attrs:
+        vis_ref, attr_ref, rec_ref, sem_ref = refs
+    else:
+        vis_ref, rec_ref, sem_ref = refs
+    t = pl.program_id(0)
+    ty = t // ntx
+    tx = t % ntx
+    P = tile_h * tile_w
+
+    # pixel coefficient rows (3, P): px / py / 1 at pixel centers
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    pxr = (pidx % tile_w).astype(jnp.float32) + (tx * tile_w) + 0.5
+    pyr = (pidx // tile_w).astype(jnp.float32) + (ty * tile_h) + 0.5
+    pixT = jnp.concatenate([pxr, pyr, jnp.ones_like(pxr)], axis=0)  # (3, P)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    cand = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
+    txf = jnp.float32(tx)
+
+    def eval_block(rec, lo, hi, carry):
+        zT, triT, n1T, n2T, sT = carry[:5]
+        ind = ((lane >= lo) & (lane < hi)
+               & (rec[_R_TX0:_R_TX0 + 1, :] <= txf)
+               & (rec[_R_TX1:_R_TX1 + 1, :] >= txf)).astype(jnp.float32)
+        # dead-lane kill via the Z triple: Z' = ind·Z - 2·(1 - ind)
+        zr = rec[_R_ZR:_R_ZR + 3, :] * ind
+        zr = jnp.concatenate(
+            [zr[0:2], zr[2:3] - 2.0 * (1.0 - ind)], axis=0)
+        pieces = [rec[_R_F0:_R_F0 + 3, :], rec[_R_F1:_R_F1 + 3, :],
+                  rec[_R_F2:_R_F2 + 3, :], zr]
+        if has_attrs:
+            pieces += [rec[_R_N1:_R_N1 + 3, :], rec[_R_N2:_R_N2 + 3, :]]
+        rhs = jnp.concatenate(pieces, axis=1)           # (3, k·BLOCK)
+        ALL = jax.lax.dot_general(                       # (k·BLOCK, P)
+            rhs, pixT, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        F0 = ALL[0 * BLOCK:1 * BLOCK]
+        F1 = ALL[1 * BLOCK:2 * BLOCK]
+        F2 = ALL[2 * BLOCK:3 * BLOCK]
+        Z = ALL[3 * BLOCK:4 * BLOCK]
+        cover = (F0 >= 0.0) & (F1 >= 0.0) & (F2 >= 0.0) \
+            & (Z >= 0.0) & (Z <= 1.0)
+        ki = (jnp.clip(Z * 131071.0, 0.0, 131071.0).astype(jnp.int32)
+              << 7) | jnp.broadcast_to(cand, Z.shape)
+        ki = jnp.where(cover, ki, -1)
+        win = jnp.max(ki, axis=0, keepdims=True)         # (1, P)
+        onehot = ((ki == win) & cover).astype(jnp.float32)
+
+        # winner rows: [zr | n1 | n2 | f0+f1+f2 | tri | 1] in ONE matmul
+        rows = jnp.concatenate(
+            [rec[_R_ZR:_R_ZR + 3, :], rec[_R_N1:_R_N1 + 3, :],
+             rec[_R_N2:_R_N2 + 3, :],
+             rec[_R_F0:_R_F0 + 3, :] + rec[_R_F1:_R_F1 + 3, :]
+             + rec[_R_F2:_R_F2 + 3, :],
+             rec[_R_TRI:_R_TRI + 1, :],
+             jnp.ones((1, BLOCK), jnp.float32)], axis=0)  # (14, BLOCK)
+        picked = jax.lax.dot_general(                     # (14, P)
+            rows, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        def affine(r0):
+            return jnp.sum(picked[r0:r0 + 3] * pixT, axis=0, keepdims=True)
+
+        hit = picked[13:14] > 0.5
+        win_z = jnp.where(hit, affine(0), -1.0)
+        take = win_z > zT
+        zT = jnp.where(take, win_z, zT)
+        n1T = jnp.where(take, affine(3), n1T)
+        n2T = jnp.where(take, affine(6), n2T)
+        sT = jnp.where(take, affine(9), sT)
+        triT = jnp.where(take, picked[12:13], triT)
+        out = (zT, triT, n1T, n2T, sT)
+        if not has_attrs:
+            return out
+
+        # attribute ride-along, already channel-major: bary-numerator
+        # weights per candidate, three (16, BLOCK) x (BLOCK, P) lerp
+        # matmuls + one const pick, gated by `take` in (C, P) space
+        lerpT, constT = carry[5:]
+        N1 = ALL[4 * BLOCK:5 * BLOCK]
+        N2 = ALL[5 * BLOCK:6 * BLOCK]
+        W1 = N1 * onehot
+        W2 = N2 * onehot
+        W0 = (F0 + F1 + F2) * onehot - W1 - W2
+
+        def pickT(r0, n, w):
+            return jax.lax.dot_general(
+                rec[r0:r0 + n, :], w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        new_lerp = pickT(_R_A0, VPACK_ROWS, W0) \
+            + pickT(_R_A1, VPACK_ROWS, W1) + pickT(_R_A2, VPACK_ROWS, W2)
+        new_const = pickT(_R_AC, CONST_ROWS, onehot)
+        t_f = take.astype(jnp.float32)                   # (1, P)
+        lerpT = lerpT * (1.0 - t_f) + new_lerp * t_f
+        constT = constT * (1.0 - t_f) + new_const * t_f
+        return out + (lerpT, constT)
+
+    zrow = jnp.zeros((1, P), jnp.float32)
+    carry = (zrow, zrow - 1.0, zrow, zrow, zrow + 1.0)
+    if has_attrs:
+        carry = carry + (jnp.zeros((VPACK_ROWS, P), jnp.float32),
+                         jnp.zeros((CONST_ROWS, P), jnp.float32))
+
+    def run_stream(hbm, start, count, carry):
+        blk0 = start // BLOCK
+        end = start + count
+        n_blocks = pl.cdiv(end, BLOCK) - blk0
+
+        def dma(slot, b):
+            return pltpu.make_async_copy(
+                hbm.at[blk0 + b], rec_ref.at[slot], sem_ref.at[slot])
+
+        @pl.when(n_blocks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def blk_body(b, c):
+            slot = b % 2
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                dma((b + 1) % 2, b + 1).start()
+
+            dma(slot, b).wait()
+            base = (blk0 + b) * BLOCK
+            return eval_block(rec_ref[slot], start - base, end - base, c)
+
+        return jax.lax.fori_loop(0, n_blocks, blk_body, carry)
+
+    carry = run_stream(stream_a_hbm, starts_a_ref[t], counts_a_ref[t], carry)
+    carry = run_stream(stream_b_hbm, starts_b_ref[ty], counts_b_ref[ty], carry)
+
+    n_ovf = novf_ref[0]
+    n_ovf_blocks = pl.cdiv(n_ovf, BLOCK)
+
+    def ovf_body(b, c):
+        return eval_block(overflow_ref[b], 0, n_ovf - b * BLOCK, c)
+
+    carry = jax.lax.fori_loop(0, n_ovf_blocks, ovf_body, carry)
+
+    zT, triT, n1T, n2T, sT = carry[:5]
+    miss = triT < 0.0
+    s_safe = jnp.where(jnp.abs(sT) < 1e-20, 1e-20, sT)
+    vis_ref[...] = jnp.concatenate(
+        [jnp.where(miss, 0.0, zT),
+         jnp.where(miss, -1.0, triT),
+         jnp.where(miss, 0.0, n1T / s_safe),
+         jnp.where(miss, 0.0, n2T / s_safe)], axis=0)[None]
+    if has_attrs:
+        lerpT, constT = carry[5:]
+        attr_ref[...] = jnp.concatenate(
+            [lerpT / s_safe, constT], axis=0)[None]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "tile_h", "tile_w",
                                     "interpret", "eval_mode", "raw"))
@@ -654,8 +838,8 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
     ntiles = ntx * nty
     rows = bins["stream_a"].shape[1]
     has_attrs = rows > RECORD_ROWS
-    if has_attrs:
-        eval_mode = "v1"  # attr ride-along shares v1's winner logic
+    if has_attrs and eval_mode != "v4":
+        eval_mode = "v1"  # attr ride-along: v1 winner logic or v4
 
     P = tile_h * tile_w
     # one packed (4, P) visibility block per tile — P on the lane dim
@@ -686,8 +870,12 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_raster_kernel, ntx, tile_h, tile_w,
-                               eval_mode, has_attrs)
+    if eval_mode == "v4":
+        kernel = functools.partial(_raster_kernel_t, ntx, tile_h, tile_w,
+                                   has_attrs)
+    else:
+        kernel = functools.partial(_raster_kernel, ntx, tile_h, tile_w,
+                                   eval_mode, has_attrs)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -728,7 +916,8 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
 def rasterize_binned(tris: ClippedTriangles, width: int, height: int,
                      tile_h: int = 8, tile_w: int = 128,
                      max_span: int = 4, max_rows: int = 16,
-                     interpret: bool = False, attr_table=None, **bin_kw):
+                     interpret: bool = False, attr_table=None,
+                     eval_mode: str = None, **bin_kw):
     """Full binned pipeline: pack → 3-class bin → Pallas tile raster.
 
     Returns a VisibilityBuffer, or ``(vis, attrs)`` with ``attrs``
@@ -738,4 +927,4 @@ def rasterize_binned(tris: ClippedTriangles, width: int, height: int,
     bins = bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
                           max_span=max_span, max_rows=max_rows, **bin_kw)
     return raster_tiles(bins, width, height, tile_h=tile_h, tile_w=tile_w,
-                        interpret=interpret)
+                        interpret=interpret, eval_mode=eval_mode)

@@ -137,6 +137,53 @@ def test_eval_modes_match():
                                np.asarray(v2.bary1)[same], atol=1e-4)
 
 
+def test_eval_v4_transposed_matches():
+    """v4 (fully transposed kernel: pixels on lanes everywhere) shares
+    v2's integer winner key, so tri ids must match v2 exactly; depths/
+    barys are the same affine evals through a transposed matmul, so
+    allow float-association slack. With the attr table riding, v4's
+    channel-major attrs must match v1's on id-agreeing pixels."""
+    data = scene_mod.stress_scene(num_objects=10, seed=3).build()
+    cam = OrbitCamera(width=W, height=H, distance=30.0, pitch=0.5, yaw=0.8,
+                      focal_point=(0, 2, 0)).step()
+    clip = raster.transform_to_clip(
+        data.vertices.world_position,
+        jnp.asarray(cam.proj) @ jnp.asarray(cam.view))
+    tris = raster.clip_triangles(clip, data.triangles.i0, data.triangles.i1,
+                                 data.triangles.i2, W, H)
+    packed, bbox, valid = raster_pallas.pack_candidates(tris)
+    bins = raster_pallas.bin_candidates(packed, bbox, valid, W, H, 8, 128)
+    v2 = raster_pallas.raster_tiles(bins, W, H, interpret=True,
+                                    eval_mode="v2")
+    v4 = raster_pallas.raster_tiles(bins, W, H, interpret=True,
+                                    eval_mode="v4")
+    assert (np.asarray(v4.tri_id) >= 0).mean() > 0.1
+    np.testing.assert_array_equal(np.asarray(v4.tri_id),
+                                  np.asarray(v2.tri_id))
+    np.testing.assert_allclose(np.asarray(v4.depth), np.asarray(v2.depth),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v4.bary1), np.asarray(v2.bary1),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v4.bary2), np.asarray(v2.bary2),
+                               atol=1e-4)
+
+    # attr ride-along: v4 vs v1 on id-agreeing pixels
+    packed_a, bbox_a, valid_a = raster_pallas.pack_candidates(
+        tris, attr_table=data.raster_rows)
+    bins_a = raster_pallas.bin_candidates(packed_a, bbox_a, valid_a,
+                                          W, H, 8, 128)
+    v1v, v1a = raster_pallas.raster_tiles(bins_a, W, H, interpret=True,
+                                          eval_mode="v1")
+    v4v, v4a = raster_pallas.raster_tiles(bins_a, W, H, interpret=True,
+                                          eval_mode="v4")
+    np.testing.assert_array_equal(np.asarray(v4v.tri_id),
+                                  np.asarray(v2.tri_id))
+    same = np.asarray(v1v.tri_id) == np.asarray(v4v.tri_id)
+    assert (~same).mean() < 0.005
+    np.testing.assert_allclose(np.asarray(v4a)[same], np.asarray(v1a)[same],
+                               atol=1e-3)
+
+
 def test_bucket_order_groups_like_argsort():
     """Chunked counting-sort grouping == argsort grouping: same
     starts/counts, and each segment's slots hold exactly that segment's

@@ -52,10 +52,11 @@ class RenderSettings:
     # Raster tiling (pallas path)
     tile_h: int = 8
     tile_w: int = 128
-    # Raster block-eval variant: None → env RASTER_EVAL → "v1"
-    # (lane-reduce winner), "v2"/"v3" (integer-key picks), "v4"
+    # Raster block-eval variant: None → env RASTER_EVAL → "v4"
     # (fully transposed kernel — pixels on lanes in every carry,
-    # ops/raster_pallas._raster_kernel_t).
+    # ops/raster_pallas._raster_kernel_t; batch 45: base 57.9→39.2,
+    # headline 122.3→102.0). "v1" lane-reduce winner, "v2"/"v3"
+    # integer-key picks.
     raster_eval: str = None
     max_tris_per_tile: int = 512
     # Back-face culling of opaque single-sided triangles ("back") or

@@ -22,7 +22,8 @@ import sys
 import time
 
 
-def _time_config(settings, data, cam_kw, frames, burst=None):
+def _time_config(settings, data, cam_kw, frames, burst=None,
+                 stats_sink=None):
     """ms/frame for one static config; chained frames, one readback fence,
     first post-compile execution discarded (CLAUDE.md methodology).
 
@@ -55,6 +56,8 @@ def _time_config(settings, data, cam_kw, frames, burst=None):
         for c in steps(frames):
             out = r.render(c)
         _ = np.asarray(out[0, 0])
+        if stats_sink is not None:
+            stats_sink.update(r.frame_stats())
         return 1000.0 * (time.perf_counter() - t0) / frames
 
     frames = max(frames, burst)
@@ -66,6 +69,8 @@ def _time_config(settings, data, cam_kw, frames, burst=None):
     for _ in range(n_bursts):
         out = r.render_burst(steps(burst))
     _ = np.asarray(out[-1, 0, 0])
+    if stats_sink is not None:
+        stats_sink.update(r.frame_stats())
     return 1000.0 * (time.perf_counter() - t0) / (n_bursts * burst)
 
 
@@ -110,8 +115,9 @@ def main():
     def settings_for(pt, fl):
         return RenderSettings(width=width, height=height, path=pt, flags=fl)
 
+    head_stats = {}
     headline_ms = _time_config(settings_for(ptype, flags), data, cam_kw,
-                               frames)
+                               frames, stats_sink=head_stats)
     fps = 1000.0 / headline_ms
 
     extra = {
@@ -125,7 +131,11 @@ def main():
         # fused flag-bisect: pass cost = delta between ladder rungs (the
         # per-pass profiler misattributes RT passes; deltas do not)
         ladder_frames = max(4, frames // 2)
-        rays = width * height / 1e6  # Mrays per 1-spp pass
+        # ACTIVE rays (VERDICT r2 weak #4/#8): rays are only traced for
+        # covered pixels (the G-buffer hit mask gates every RT pass), so
+        # the honest Mrays denominator is covered_pixels, not W*H.
+        covered = head_stats.get("covered_pixels") or (width * height)
+        rays = covered / 1e6  # active Mrays per 1-spp pass
 
         def t(fl):
             return _time_config(settings_for(RenderPathType.HYBRID, fl),
@@ -145,15 +155,37 @@ def main():
             RenderSettings(width=width, height=height,
                            path=RenderPathType.HYBRID, flags=hybrid_flags,
                            ao_half_res=True), data, cam_kw, ladder_frames)
+        # HBM roofline attainment (VERDICT r2 task 8): the BVH + working
+        # tiles live in VMEM, so a ray pass's HBM traffic is its image
+        # planes. Lower-bound byte model per covered pixel:
+        #   ray pass: read world_pos+normal (12+12B), write signal (4B),
+        #             ray pack materialization (~28B o/d/t round trip)
+        #   SVGF:     3 signals x (temporal read hist 20B + planes 20B +
+        #             write 20B + N atrous iterations x read+write 24B)
+        # vs the measured ~50 GB/s effective HBM bandwidth (CLAUDE.md).
+        HBM_GBPS = 50.0
+        ray_bytes = covered * 56.0
+        svgf_iters = 3  # RenderSettings.svgf_atrous_iterations default
+        svgf_bytes = 3 * (60.0 + svgf_iters * 24.0) * width * height
+
+        def util(bytes_, ms):
+            return round(bytes_ / (ms * 1e-3) / (HBM_GBPS * 1e9), 3) \
+                if ms and ms > 0 else None
+
         extra["breakdown"] = {
             "raster_gbuffer_comp_ms": round(raster_ms, 1),
             "shadow_rays_ms": round(shadow_ms, 1),
             "ao_rays_ms": round(ao_ms, 1),
             "svgf_ms": round(svgf_ms, 1),
-            "mrays_shadow_inframe": round(1000.0 * rays / shadow_ms, 1)
+            "covered_pixels": covered,
+            "coverage": round(covered / (width * height), 4),
+            "mrays_shadow_active": round(1000.0 * rays / shadow_ms, 1)
             if shadow_ms > 0 else None,
-            "mrays_ao_inframe": round(1000.0 * rays / ao_ms, 1)
+            "mrays_ao_active": round(1000.0 * rays / ao_ms, 1)
             if ao_ms > 0 else None,
+            "hbm_util_shadow": util(ray_bytes, shadow_ms),
+            "hbm_util_ao": util(ray_bytes, ao_ms),
+            "hbm_util_svgf": util(svgf_bytes, svgf_ms),
             "full_graph_refl_gi_ms": round(full_ms, 1),
             "forward_taa_ms": round(fwd_ms, 1),
             "hybrid_ao_half_res_ms": round(half_ms, 1),
@@ -214,6 +246,27 @@ def main():
                     big.num_triangles)
             except Exception as e:
                 extra["breakdown"]["sponza_scale_ms"] = \
+                    f"error: {e!r}"[:120]
+            # The FLAGSHIP config (VERDICT r2 task 4 / BASELINE configs
+            # 2-4): Sponza-scale AND textured — all four texture slots
+            # bound, hybrid path. Previously scale and textures were
+            # only ever measured separately.
+            try:
+                bigtex = scenes.stress_scene(
+                    num_objects=sponza_objects, textured=True).build()
+                bigtex_ms = _time_config(
+                    settings_for(RenderPathType.HYBRID, hybrid_flags),
+                    bigtex, cam_kw, ladder_frames)
+                extra["breakdown"]["sponza_textured_ms"] = round(
+                    bigtex_ms, 1)
+                # BASELINE config 2: forward path WITH textures at scale
+                fwd_tex_ms = _time_config(
+                    settings_for(RenderPathType.FORWARD, forward_flags),
+                    bigtex, cam_kw, ladder_frames)
+                extra["breakdown"]["forward_textured_ms"] = round(
+                    fwd_tex_ms, 1)
+            except Exception as e:
+                extra["breakdown"]["sponza_textured_ms"] = \
                     f"error: {e!r}"[:120]
 
     # per-pixel error vs the stored forward-path golden (BASELINE.md

@@ -55,9 +55,11 @@ class RenderSettings:
     # Raster block-eval variant: None → env RASTER_EVAL → "v4"
     # (fully transposed kernel — pixels on lanes in every carry,
     # ops/raster_pallas._raster_kernel_t; batch 45: base 57.9→39.2,
-    # headline 122.3→102.0). "v1" lane-reduce winner, "v2"/"v3"
-    # integer-key picks.
-    raster_eval: str = None
+    # headline 122.3→102.0). "v1" lane-reduce winner; "v2"/"v3"
+    # integer-key picks are VIS-ONLY probes — the G-buffer pass needs
+    # the attribute ride-along and downgrades them to "v1"
+    # (raster_pallas.raster_tiles docstring).
+    raster_eval: "str | None" = None
     max_tris_per_tile: int = 512
     # Back-face culling of opaque single-sided triangles ("back") or
     # two-sided rendering of everything ("none"). The reference culls
@@ -135,6 +137,16 @@ class RenderSettings:
     # raygen.rgen:29-31, common.glsl:86-92). False falls back to the TEA
     # hash draws of rt_shadow.rgen:53.
     use_blue_noise: bool = True
+
+    # DIAGNOSTIC ONLY — truncates trace_radiance so frame-level A/B
+    # ladders can attribute the in-frame cost of a radiance pass
+    # (VERDICT r2 task 1). "full" (default) | "noshade" (closest-hit
+    # traversal only; hits shade to black) | "noocc" (full shading math
+    # but the sun/NEE occlusion traversals are skipped — treated as
+    # unoccluded) | "noattr" (noocc + constant surface attributes: no
+    # attr-row gather) | "nonee" (noocc + emissive-light NEE block
+    # skipped). Never set in production configs.
+    debug_radiance_stage: str = "full"
 
     def has(self, flag: RenderFlags) -> bool:
         return bool(self.flags & flag)

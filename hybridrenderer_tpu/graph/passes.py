@@ -203,9 +203,12 @@ def make_gbuffer_pass(settings):
             vis, attrs = jax.lax.optimization_barrier((vis, attrs))
         gb = gbuffer_ops.build_gbuffer(vis, sc, cam, kernel_attrs=attrs)
         # FrameStats (Application.h:49-54 / GBufferPass.cpp:131-138):
-        # instance drawn/culled counts, cheap device-side reduction
+        # instance drawn/culled counts + covered-pixel count (the
+        # active-ray denominator for honest Mrays — background pixels
+        # trace nothing), cheap device-side reductions
         drawn = jnp.sum((~culled).astype(jnp.int32))
-        stats = jnp.stack([drawn, culled.shape[0] - drawn])
+        covered = jnp.sum((vis.tri_id >= 0).astype(jnp.int32))
+        stats = jnp.stack([drawn, culled.shape[0] - drawn, covered])
         return {
             "_GBuffer": gb,
             "_FrameStats": stats,

@@ -341,6 +341,50 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     )
 
 
+def _walk_streams(eval_block, carry, rec_ref, sem_ref,
+                  stream_a_hbm, stream_b_hbm, overflow_ref,
+                  start_a, count_a, start_b, count_b, n_ovf):
+    """Shared stream-walk scaffolding for the raster kernels: walk the
+    tile's class-A and class-B record streams with block-aligned
+    double-buffered DMA, then the (VMEM-resident) overflow list, folding
+    each (rows, BLOCK) record block into ``carry`` via ``eval_block(rec,
+    lo, hi, carry)``."""
+
+    def run_stream(hbm, start, count, carry):
+        blk0 = start // BLOCK
+        end = start + count
+        n_blocks = pl.cdiv(end, BLOCK) - blk0
+
+        def dma(slot, b):
+            return pltpu.make_async_copy(
+                hbm.at[blk0 + b], rec_ref.at[slot], sem_ref.at[slot])
+
+        @pl.when(n_blocks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def blk_body(b, c):
+            slot = b % 2
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                dma((b + 1) % 2, b + 1).start()
+
+            dma(slot, b).wait()
+            base = (blk0 + b) * BLOCK
+            return eval_block(rec_ref[slot], start - base, end - base, c)
+
+        return jax.lax.fori_loop(0, n_blocks, blk_body, carry)
+
+    carry = run_stream(stream_a_hbm, start_a, count_a, carry)
+    carry = run_stream(stream_b_hbm, start_b, count_b, carry)
+
+    def ovf_body(b, c):
+        return eval_block(overflow_ref[b], 0, n_ovf - b * BLOCK, c)
+
+    return jax.lax.fori_loop(0, pl.cdiv(n_ovf, BLOCK), ovf_body, carry)
+
+
 def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
                    # scalar prefetch
                    starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
@@ -571,44 +615,10 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
                          jnp.zeros((CONST_ROWS, P), jnp.float32),
                          jnp.ones((1, P), jnp.float32))
 
-    def run_stream(hbm, start, count, carry):
-        """Walk [start, start+count) of a blocked stream, block-aligned
-        double-buffered DMA."""
-        blk0 = start // BLOCK
-        end = start + count
-        n_blocks = pl.cdiv(end, BLOCK) - blk0
-
-        def dma(slot, b):
-            return pltpu.make_async_copy(
-                hbm.at[blk0 + b], rec_ref.at[slot], sem_ref.at[slot])
-
-        @pl.when(n_blocks > 0)
-        def _():
-            dma(0, 0).start()
-
-        def blk_body(b, c):
-            slot = b % 2
-
-            @pl.when(b + 1 < n_blocks)
-            def _():
-                dma((b + 1) % 2, b + 1).start()
-
-            dma(slot, b).wait()
-            base = (blk0 + b) * BLOCK
-            return eval_block(rec_ref[slot], start - base, end - base, c)
-
-        return jax.lax.fori_loop(0, n_blocks, blk_body, carry)
-
-    carry = run_stream(stream_a_hbm, starts_a_ref[t], counts_a_ref[t], carry)
-    carry = run_stream(stream_b_hbm, starts_b_ref[ty], counts_b_ref[ty], carry)
-
-    n_ovf = novf_ref[0]
-    n_ovf_blocks = pl.cdiv(n_ovf, BLOCK)
-
-    def ovf_body(b, c):
-        return eval_block(overflow_ref[b], 0, n_ovf - b * BLOCK, c)
-
-    carry = jax.lax.fori_loop(0, n_ovf_blocks, ovf_body, carry)
+    carry = _walk_streams(eval_block, carry, rec_ref, sem_ref,
+                          stream_a_hbm, stream_b_hbm, overflow_ref,
+                          starts_a_ref[t], counts_a_ref[t],
+                          starts_b_ref[ty], counts_b_ref[ty], novf_ref[0])
 
     z_acc, tri_acc, n1_acc, n2_acc, s_acc = carry[:5]
     miss = tri_acc < 0.0
@@ -773,42 +783,10 @@ def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs,
         carry = carry + (jnp.zeros((VPACK_ROWS, P), jnp.float32),
                          jnp.zeros((CONST_ROWS, P), jnp.float32))
 
-    def run_stream(hbm, start, count, carry):
-        blk0 = start // BLOCK
-        end = start + count
-        n_blocks = pl.cdiv(end, BLOCK) - blk0
-
-        def dma(slot, b):
-            return pltpu.make_async_copy(
-                hbm.at[blk0 + b], rec_ref.at[slot], sem_ref.at[slot])
-
-        @pl.when(n_blocks > 0)
-        def _():
-            dma(0, 0).start()
-
-        def blk_body(b, c):
-            slot = b % 2
-
-            @pl.when(b + 1 < n_blocks)
-            def _():
-                dma((b + 1) % 2, b + 1).start()
-
-            dma(slot, b).wait()
-            base = (blk0 + b) * BLOCK
-            return eval_block(rec_ref[slot], start - base, end - base, c)
-
-        return jax.lax.fori_loop(0, n_blocks, blk_body, carry)
-
-    carry = run_stream(stream_a_hbm, starts_a_ref[t], counts_a_ref[t], carry)
-    carry = run_stream(stream_b_hbm, starts_b_ref[ty], counts_b_ref[ty], carry)
-
-    n_ovf = novf_ref[0]
-    n_ovf_blocks = pl.cdiv(n_ovf, BLOCK)
-
-    def ovf_body(b, c):
-        return eval_block(overflow_ref[b], 0, n_ovf - b * BLOCK, c)
-
-    carry = jax.lax.fori_loop(0, n_ovf_blocks, ovf_body, carry)
+    carry = _walk_streams(eval_block, carry, rec_ref, sem_ref,
+                          stream_a_hbm, stream_b_hbm, overflow_ref,
+                          starts_a_ref[t], counts_a_ref[t],
+                          starts_b_ref[ty], counts_b_ref[ty], novf_ref[0])
 
     zT, triT, n1T, n2T, sT = carry[:5]
     miss = triT < 0.0
@@ -824,24 +802,50 @@ def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs,
             [lerpT / s_safe, constT], axis=0)[None]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("width", "height", "tile_h", "tile_w",
-                                    "interpret", "eval_mode", "raw"))
-def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
-                 eval_mode: str = None, raw: bool = False):
+def resolve_eval_mode(eval_mode: str = None) -> str:
+    """Concrete raster block-eval variant: explicit setting, else env
+    RASTER_EVAL, else "v4" (transposed kernel — batch 45 measured base
+    57.9→39.2, headline 122.3→102.0 in-frame vs v1). Resolved OUTSIDE
+    the jit so env-knob A/Bs retrace instead of silently reusing the
+    previously traced kernel (eval_mode is the static cache key)."""
     if eval_mode is None:
         import os
 
-        # v4 (transposed kernel) default: batch 45 measured base
-        # 57.9->39.2, headline 122.3->102.0 in-frame vs v1
         eval_mode = os.environ.get("RASTER_EVAL", "v4")
+    return eval_mode
+
+
+def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
+                 eval_mode: str = None, raw: bool = False):
+    return _raster_tiles(bins, width, height, tile_h=tile_h, tile_w=tile_w,
+                         interpret=interpret,
+                         eval_mode=resolve_eval_mode(eval_mode), raw=raw)
+
+
+_WARNED_DOWNGRADE = set()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "tile_h", "tile_w",
+                                    "interpret", "eval_mode", "raw"))
+def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
+                  eval_mode: str = "v4", raw: bool = False):
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
     rows = bins["stream_a"].shape[1]
     has_attrs = rows > RECORD_ROWS
-    if has_attrs and eval_mode != "v4":
-        eval_mode = "v1"  # attr ride-along: v1 winner logic or v4
+    if has_attrs and eval_mode not in ("v1", "v4"):
+        # v2/v3 are vis-only probes: the attribute ride-along needs the
+        # v1 winner logic or the v4 transposed kernel. Warn once per
+        # downgraded mode (ADVICE r2) rather than silently substituting.
+        if eval_mode not in _WARNED_DOWNGRADE:
+            _WARNED_DOWNGRADE.add(eval_mode)
+            from ..runtime.log import core as _log
+
+            _log().warn("raster eval_mode downgraded for attr ride-along",
+                        requested=eval_mode, used="v1")
+        eval_mode = "v1"
 
     P = tile_h * tile_w
     # one packed (4, P) visibility block per tile — P on the lane dim

@@ -558,8 +558,14 @@ class SceneTracer:
                     hit = hit & act
             t = t + t_off
 
-        rgb_hit = self._shade_hit(scene, o, d, t, tri, u, v, ctx,
-                                  active=hit, ray_idx=ray_idx)
+        stage = getattr(ctx.settings, "debug_radiance_stage", "full")
+        if stage == "noshade":
+            # diagnostic rung: closest-hit traversal only (hits black)
+            rgb_hit = jnp.zeros((*t.shape, 3), jnp.float32)
+        else:
+            rgb_hit = self._shade_hit(scene, o, d, t, tri, u, v, ctx,
+                                      active=hit, ray_idx=ray_idx,
+                                      stage=stage)
         rgb_miss = sky.sample_environment(
             d, scene.sky_texture, scene.textures,
             bool(ctx.settings.flags & RenderFlags.IBL),
@@ -573,16 +579,22 @@ class SceneTracer:
         return rgb.reshape(*lead, 3), dist.reshape(lead)
 
     def _shade_hit(self, scene, o, d, t, tri, u, v, ctx, active=None,
-                   ray_idx=None):
+                   ray_idx=None, stage="full"):
         """closesthit.rchit:23-130 — interpolate attributes, evaluate
         material, sun NEE + emissive-light NEE (both shadowed), IBL
         ambient, emission. ``active`` (= the hit mask) skips the
-        shading occlusion traversals for missed/inactive rays."""
+        shading occlusion traversals for missed/inactive rays.
+        ``stage`` is settings.debug_radiance_stage (DIAGNOSTIC ONLY,
+        core/config.py): "noocc" treats occlusion queries as unoccluded
+        (no traversal); "noattr" = noocc + constant surface attributes
+        (isolates the attr-row gather); "nonee" = noocc + the emissive-
+        light NEE block skipped (isolates sample_lights + its gathers)."""
         sc = scene
         params = ctx.params
         flags = ctx.settings.flags
         soup = sc.triangles
         safe = jnp.clip(tri, 0, soup.count - 1)
+        skip_occlusion = stage in ("noocc", "noattr", "nonee")
 
         b0 = (1.0 - u - v)[..., None]
         b1 = u[..., None]
@@ -596,7 +608,20 @@ class SceneTracer:
         # (batch 21: _shade_hit was ~120 ms of a 187 ms radiance pass).
         # SHADE_FETCH=pixel keeps the narrow path for A/B probes.
         mrow = None
-        if os.environ.get("SHADE_FETCH", "auto") != "pixel" \
+        if stage == "noattr":
+            # gather-free constant surface: flat normal facing the ray,
+            # material row 0 — timing diagnostics only
+            from .shade import _pack_materials
+
+            geo_n = -maths.normalize(d)
+            uv = jnp.zeros((*safe.shape, 2), jnp.float32)
+            mrow = jnp.broadcast_to(_pack_materials(sc.materials)[0],
+                                    (*safe.shape, 16))
+            mat_id = jnp.zeros(safe.shape, jnp.int32)
+            wt = jnp.concatenate(
+                [maths.normalize(jnp.cross(geo_n, geo_n + 0.3)),
+                 jnp.ones((*safe.shape, 1), jnp.float32)], axis=-1)
+        elif os.environ.get("SHADE_FETCH", "auto") != "pixel" \
                 and sc.attr_rows is not None:
             row = sc.attr_rows[safe]
             # normal+tangent+uv sit at [6:15] of each 15-wide vertex
@@ -621,12 +646,15 @@ class SceneTracer:
             nmat = sc.instances.normal_transform[inst][..., :3, :3]
             mat_id = sc.instances.material[inst]
 
-        geo_n = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, ln))
-        # face backfacing rays (closesthit.rchit:56)
-        flip = maths.dot(geo_n, d, keepdims=True) > 0.0
-        geo_n = jnp.where(flip, -geo_n, geo_n)
-        wt3 = maths.normalize(jnp.einsum("...ij,...j->...i", nmat, lt[..., :3]))
-        wt = jnp.concatenate([wt3, lt[..., 3:4]], axis=-1)
+        if stage != "noattr":
+            geo_n = maths.normalize(
+                jnp.einsum("...ij,...j->...i", nmat, ln))
+            # face backfacing rays (closesthit.rchit:56)
+            flip = maths.dot(geo_n, d, keepdims=True) > 0.0
+            geo_n = jnp.where(flip, -geo_n, geo_n)
+            wt3 = maths.normalize(
+                jnp.einsum("...ij,...j->...i", nmat, lt[..., :3]))
+            wt = jnp.concatenate([wt3, lt[..., 3:4]], axis=-1)
         if mrow is not None:
             # material row rides attr_rows — gather-free surface point
             mp = shade.material_point_from_row(mrow, uv, sc.textures)
@@ -656,9 +684,13 @@ class SceneTracer:
                 jnp.ones(d.shape[:-1], bool)
             sun_act = sun_facing if active is None else \
                 (sun_facing & active)
-            sun_shadow = self.occluded(sc, shadow_origin,
-                                       jnp.broadcast_to(sun_dir, d.shape),
-                                       1000.0, active=sun_act)
+            if skip_occlusion:
+                sun_shadow = sun_act.astype(jnp.float32)
+            else:
+                sun_shadow = self.occluded(
+                    sc, shadow_origin,
+                    jnp.broadcast_to(sun_dir, d.shape),
+                    1000.0, active=sun_act)
         else:
             sun_shadow = jnp.zeros(d.shape[:-1], jnp.float32)
         direct = shade.eval_pbr(mp.colour, 1.5, mp.roughness, mp.metallic,
@@ -666,7 +698,7 @@ class SceneTracer:
             sun_shadow[..., None] * sun_int
 
         # emissive area-light NEE (closesthit.rchit:82-96)
-        if sc.lights.count > 0:
+        if sc.lights.count > 0 and stage != "nonee":
             R = o.shape[0]
             idx = jnp.arange(R, dtype=jnp.uint32) if ray_idx is None \
                 else ray_idx
@@ -677,8 +709,11 @@ class SceneTracer:
             if gate:
                 has = has & (maths.dot(geo_n, ldir) > 0.0)
             nee_act = has if active is None else (has & active)
-            lshadow = self.occluded(sc, shadow_origin, ldir, 1000.0,
-                                    active=nee_act)
+            if skip_occlusion:
+                lshadow = nee_act.astype(jnp.float32)
+            else:
+                lshadow = self.occluded(sc, shadow_origin, ldir, 1000.0,
+                                        active=nee_act)
             s_inst = jnp.maximum(sampled_inst, 0)
             # per-instance emission joined at N-table size so the sampled
             # light costs ONE per-ray gather instead of two chained ones

@@ -109,7 +109,7 @@ class Renderer:
                 lambda x: x.astype(x.dtype), new_state)
             stats = registry.get("_FrameStats")
             if stats is None:
-                stats = jax.numpy.zeros((2,), jax.numpy.int32)
+                stats = jax.numpy.zeros((3,), jax.numpy.int32)
             return out, new_state, stats
 
         return frame
@@ -208,11 +208,14 @@ class Renderer:
         return outs
 
     def frame_stats(self) -> dict:
-        """Last frame's (drawn, culled) instance counts — the FrameStats
-        UI readout analog (Application.h:49-54, EditorLayer.cpp:516-518).
+        """Last frame's (drawn, culled) instance counts + covered-pixel
+        count — the FrameStats UI readout analog (Application.h:49-54,
+        EditorLayer.cpp:516-518). ``covered_pixels`` is the active-ray
+        denominator (rays are only traced for pixels with G-buffer hits).
         Forces a device sync; call after the frame you care about."""
-        s = np.asarray(getattr(self, "_stats", np.zeros(2, np.int32)))
-        return {"instances_drawn": int(s[0]), "instances_culled": int(s[1])}
+        s = np.asarray(getattr(self, "_stats", np.zeros(3, np.int32)))
+        return {"instances_drawn": int(s[0]), "instances_culled": int(s[1]),
+                "covered_pixels": int(s[2]) if s.shape[0] > 2 else None}
 
     def switch_path(self, path_type):
         """Live render-path switch (Application::SwitchRenderPath,

@@ -343,10 +343,14 @@ ATTR_INST_ID = 83
 ATTR_WIDTH = 84
 
 
-def build_attr_rows(vertices, instances, soup, materials):
+def build_attr_rows(vertices, instances, soup, materials, tris=None):
     """Join vertex + instance + material attributes into one (T, 84) f32
     row per triangle (layout above). Pure jnp — runs once at scene build
-    and again inside dynamic.update_transforms when transforms change."""
+    and again inside dynamic.update_transforms when transforms change.
+
+    ``tris`` (D,) i32 scopes the join to a triangle subset (→ (D, 84)):
+    the dirty-only dynamic update path — the gathers are row-count-
+    priced, so a one-entity update joins ~1k rows instead of T."""
     from ..ops.shade import _pack_materials  # local: avoid import cycle
 
     vpack = jnp.concatenate([
@@ -359,10 +363,13 @@ def build_attr_rows(vertices, instances, soup, materials):
         instances.prev_transform[:, :3, :4].reshape(n, 12),
         mat_ids[:, None].astype(jnp.float32),
         _pack_materials(materials)[mat_ids]], axis=-1)         # (N, 38)
+    i0, i1, i2, inst = soup.i0, soup.i1, soup.i2, soup.instance
+    if tris is not None:
+        i0, i1, i2, inst = i0[tris], i1[tris], i2[tris], inst[tris]
     return jnp.concatenate([
-        vpack[soup.i0], vpack[soup.i1], vpack[soup.i2],
-        ipack[soup.instance],
-        soup.instance[:, None].astype(jnp.float32)], axis=-1)  # (T, 84)
+        vpack[i0], vpack[i1], vpack[i2],
+        ipack[inst],
+        inst[:, None].astype(jnp.float32)], axis=-1)  # (T, 84)
 
 
 # raster_rows layout (T, 72): vertex k of the triangle at offset 16*k —
@@ -384,15 +391,19 @@ RATTR_INST_ID = 65
 RATTR_WIDTH = 72
 
 
-def build_raster_rows(vertices, instances, soup, materials):
+def build_raster_rows(vertices, instances, soup, materials, tris=None):
     """Join per-triangle G-buffer attributes into the raster ride-along
     layout above — everything instance-dependent (world normal/tangent,
     prev world position) is pre-applied per VERTEX so the tile kernel's
     barycentric lerp is the only per-pixel math left. Pure jnp — runs at
-    scene build and inside dynamic.update_transforms."""
+    scene build and inside dynamic.update_transforms. ``tris`` scopes
+    the join to a triangle subset (dirty-only updates), as in
+    build_attr_rows."""
     from ..ops.shade import _pack_materials  # local: avoid import cycle
 
-    inst = soup.instance
+    i0, i1, i2, inst = soup.i0, soup.i1, soup.i2, soup.instance
+    if tris is not None:
+        i0, i1, i2, inst = i0[tris], i1[tris], i2[tris], inst[tris]
     nmat = instances.normal_transform[inst][:, :3, :3]      # (T, 3, 3)
     ptf = instances.prev_transform[inst][:, :3, :]          # (T, 3, 4)
     T = inst.shape[0]
@@ -414,4 +425,4 @@ def build_raster_rows(vertices, instances, soup, materials):
         inst[:, None].astype(jnp.float32),
         jnp.zeros((T, 6), jnp.float32)], axis=-1)           # (T, 24)
     return jnp.concatenate(
-        [vert(soup.i0), vert(soup.i1), vert(soup.i2), const], axis=-1)
+        [vert(i0), vert(i1), vert(i2), const], axis=-1)

@@ -19,6 +19,34 @@ def shift(img, dy: int, dx: int):
     return p[ry + dy: ry + dy + H, rx + dx: rx + dx + W]
 
 
+def tri_boundary_mask(tri_id, dilate: int = 1):
+    """Host-side (numpy) mask of triangle-boundary pixels: True where a
+    pixel's winning tri_id differs from any 4-neighbor, dilated by
+    ``dilate`` 3×3 rounds.
+
+    Used by the TPU-vs-CPU golden analysis (bench.py, tests/test_golden):
+    device fma/tie-break winner flips can only occur where the depth
+    top-2 candidates meet — i.e. along triangle boundaries. Any large
+    TPU-golden error OUTSIDE this mask is a genuine raster bug, not a
+    tie-break artifact."""
+    import numpy as np
+
+    t = np.asarray(tri_id)
+    m = np.zeros(t.shape, bool)
+    m[:-1, :] |= t[:-1, :] != t[1:, :]
+    m[1:, :] |= t[:-1, :] != t[1:, :]
+    m[:, :-1] |= t[:, :-1] != t[:, 1:]
+    m[:, 1:] |= t[:, :-1] != t[:, 1:]
+    for _ in range(dilate):
+        d = m.copy()
+        d[:-1, :] |= m[1:, :]
+        d[1:, :] |= m[:-1, :]
+        d[:, :-1] |= m[:, 1:]
+        d[:, 1:] |= m[:, :-1]
+        m = d
+    return m
+
+
 def sample_bilinear(img, uv, clamp=True):
     """Bilinear sample of an (H, W, C) or (H, W) image at uv ∈ [0,1]²
     (pixel centers at (i+0.5)/N), clamp-to-edge addressing."""

@@ -624,6 +624,12 @@ class SceneTracer:
         elif os.environ.get("SHADE_FETCH", "auto") != "pixel" \
                 and sc.attr_rows is not None:
             row = sc.attr_rows[safe]
+            if os.environ.get("SHADE_ROW_BARRIER", "0") == "1":
+                # probe knob: pin the wide gather to materialize ONCE —
+                # its many consumers (normal/tangent/uv/nmat/mrow
+                # chains) otherwise invite fuse-duplication (suspected
+                # in the batch-2 nonee paradox)
+                row = jax.lax.optimization_barrier(row)
             # normal+tangent+uv sit at [6:15] of each 15-wide vertex
             # block (scene/schema.py attr_rows layout)
             lerp = row[..., 6:15] * b0 + row[..., 21:30] * b1 \

@@ -61,6 +61,13 @@ class RenderSettings:
     # (raster_pallas.raster_tiles docstring).
     raster_eval: "str | None" = None
     max_tris_per_tile: int = 512
+    # Hit-shading attribute fetch: None → env SHADE_FETCH → "auto"
+    # (scene.shade_rows u16 fast-gather table when present, else the
+    # f32 attr_rows wide row, else the narrow per-attribute gathers);
+    # "attr" forces attr_rows, "pixel" forces the narrow path.
+    # A settings field (static) so in-process A/Bs retrace instead of
+    # silently reusing the first-traced variant.
+    shade_fetch: "str | None" = None
     # Back-face culling of opaque single-sided triangles ("back") or
     # two-sided rendering of everything ("none"). The reference culls
     # back faces in the forward pipeline (ForwardPass.cpp:45) and

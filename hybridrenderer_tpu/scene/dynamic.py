@@ -180,11 +180,13 @@ def update_transforms(data, maps: DynamicMaps, transforms,
         new_verts, new_inst, new_soup, data.materials)
     rattr = None if data.raster_rows is None else schema.build_raster_rows(
         new_verts, new_inst, new_soup, data.materials)
+    srows = None if data.shade_rows is None else \
+        schema.encode_shade_rows(attr)
 
     return dataclasses.replace(data, instances=new_inst,
                                vertices=new_verts, triangles=new_soup,
                                lights=lights, attr_rows=attr,
-                               raster_rows=rattr)
+                               raster_rows=rattr, shade_rows=srows)
 
 
 @functools.partial(jax.jit, static_argnames=("update_lights",))
@@ -223,9 +225,14 @@ def update_transforms_subset(data, maps: DynamicMaps, transforms,
         else data.lights
 
     attr = data.attr_rows
+    srows = data.shade_rows
     if attr is not None:
-        attr = attr.at[tri_idx].set(schema.build_attr_rows(
-            new_verts, new_inst, new_soup, data.materials, tris=tri_idx))
+        new_rows = schema.build_attr_rows(
+            new_verts, new_inst, new_soup, data.materials, tris=tri_idx)
+        attr = attr.at[tri_idx].set(new_rows)
+        if srows is not None:
+            srows = srows.at[tri_idx].set(
+                schema.encode_shade_rows(new_rows))
     rattr = data.raster_rows
     if rattr is not None:
         rattr = rattr.at[tri_idx].set(schema.build_raster_rows(
@@ -234,7 +241,7 @@ def update_transforms_subset(data, maps: DynamicMaps, transforms,
     return dataclasses.replace(data, instances=new_inst,
                                vertices=new_verts, triangles=new_soup,
                                lights=lights, attr_rows=attr,
-                               raster_rows=rattr)
+                               raster_rows=rattr, shade_rows=srows)
 
 
 def build_host_ranges(scene) -> dict:

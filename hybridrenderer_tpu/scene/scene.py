@@ -32,6 +32,7 @@ from .schema import (
     SunLight,
     build_attr_rows,
     build_raster_rows,
+    build_shade_rows,
     TextureStack,
     TriangleSoup,
     VertexArrays,
@@ -228,9 +229,11 @@ class Scene:
                 m.alpha_mode == 1 and m.colour_texture >= 0
                 for m in self.materials),
             has_sky_texture=self.sky_texture != INVALID_ID,
-            attr_rows=build_attr_rows(vertices, instances, soup, materials),
+            attr_rows=(attr := build_attr_rows(vertices, instances, soup,
+                                               materials)),
             raster_rows=build_raster_rows(vertices, instances, soup,
                                           materials),
+            shade_rows=build_shade_rows(attr),
         )
 
 

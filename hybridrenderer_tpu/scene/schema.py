@@ -319,6 +319,12 @@ class SceneData:
     # per-pixel attr_rows gather entirely (~48 ms at 1080p). Rebuilt by
     # dynamic.update_transforms.
     raster_rows: Any = None
+    # derived: (T, 106) uint16 exact hi/lo re-encode of the shade columns
+    # of attr_rows (see encode_shade_rows below) — 16-bit small-table
+    # gathers ride a ~3.2x faster XLA path, so _shade_hit fetches from
+    # this when present. None above SHADE_ROWS_MAX rows. Rebuilt by
+    # dynamic.update_transforms alongside attr_rows.
+    shade_rows: Any = None
 
     @property
     def num_triangles(self) -> int:
@@ -426,3 +432,54 @@ def build_raster_rows(vertices, instances, soup, materials, tris=None):
         jnp.zeros((T, 6), jnp.float32)], axis=-1)           # (T, 24)
     return jnp.concatenate(
         [vert(i0), vert(i1), vert(i2), const], axis=-1)
+
+
+# shade_rows: the _shade_hit fetch columns of attr_rows re-encoded as
+# uint16 hi/lo halves of the f32 bit pattern — EXACT (reconstruction is
+# a bitcast, not a rounding). XLA row gathers from 16-bit tables with
+# <= ~64k rows run ~3.2x faster than any f32 gather on this hardware
+# (BENCH.md r3 batch 3/4: 7.9 vs 25.9 ms for 2.07M rows, width-free),
+# so the per-ray hit-shading fetch gathers u16 and bitcasts back.
+# Decoded layout (53 f32 columns): vertex k at 9*k —
+#   [0:3] normal  [3:7] tangent  [7:9] uv
+# instance block at 27 —
+#   [27:36] normal matrix (3x3 row-major)  [36] material id
+#   [37:53] packed material row (ops/shade._pack_materials)
+SH_V0 = 0
+SH_V1 = 9
+SH_V2 = 18
+SH_NMAT = 27
+SH_MAT = 36
+SH_MROW = 37
+SH_WIDTH = 53
+# attr_rows columns feeding the shade layout above
+_SHADE_COLS = np.r_[6:15, 21:30, 36:45, 45:54, 66, 67:83]
+# the fast gather path needs the row count under ~96k (r3 batch 4);
+# bigger scenes keep the f32 attr_rows fetch (same gather price)
+SHADE_ROWS_MAX = 98304
+
+
+def encode_shade_rows(attr_rows):
+    """(D, 84) f32 attr rows -> (D, 106) uint16: hi halves of the 53
+    shade columns at [0:53], lo halves at [53:106]."""
+    sel = attr_rows[:, _SHADE_COLS]
+    bits = jax.lax.bitcast_convert_type(sel, jnp.uint32)
+    hi = (bits >> 16).astype(jnp.uint16)
+    lo = (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    return jnp.concatenate([hi, lo], axis=-1)
+
+
+def decode_shade_rows(rows):
+    """(..., 106) uint16 -> (..., 53) f32, bit-exact."""
+    hi = rows[..., :SH_WIDTH].astype(jnp.uint32) << 16
+    lo = rows[..., SH_WIDTH:].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
+
+
+def build_shade_rows(attr_rows):
+    """Full-table encode at scene build / dynamic re-bake; None above
+    the fast-path row budget (the u16 fetch would price the same as
+    attr_rows there — no point carrying the second table)."""
+    if attr_rows is None or attr_rows.shape[0] > SHADE_ROWS_MAX:
+        return None
+    return encode_shade_rows(attr_rows)

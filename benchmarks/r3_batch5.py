@@ -138,4 +138,13 @@ def upd_subset_ms():
 
 guard("refit_full", refit_ms)
 guard("upd_subset", upd_subset_ms)
+
+# ---- shade_rows u16 fast-gather in-frame A/B (batch 3/4 follow-up):
+# the radiance passes' _shade_hit fetch rides scene.shade_rows when
+# shade_fetch="auto"; "attr" is the old f32 wide-row path. Full graph
+# is where the ~2x per-pass shade gather lives (batch 2: attr gather
+# = 32.1 ms of the 39.4 ms shade stage per pass).
+FULL = HEAD | RenderFlags.REFLECTION | RenderFlags.GI
+guard("fullg_attr", lambda: burst_ms(FULL, k=2, shade_fetch="attr"))
+guard("fullg_shade", lambda: burst_ms(FULL, k=2, shade_fetch="auto"))
 print("EXIT=0", flush=True)

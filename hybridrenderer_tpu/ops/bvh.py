@@ -298,6 +298,28 @@ def build_bvh_host(v0, v1, v2, builder: str = "lbvh") -> BVH:
     return out if out is not None else build_bvh(v0, v1, v2)
 
 
+def tree_height(left, right, num_tris) -> int:
+    """Host-side internal-node height of the root (levels of internal
+    nodes). refit_bvh's bottom-up scan converges in exactly this many
+    iterations — computed once per topology at build time so dynamic
+    refits don't pay the conservative 2*log2(T)+8 bound (~40 iters at
+    65k tris vs a measured SAH height of ~2x less)."""
+    T = int(num_tris)
+    if T <= 1:
+        return 1
+    import numpy as np
+
+    lf = np.asarray(left[: T - 1])
+    rt = np.asarray(right[: T - 1])
+    cur = np.array([0], np.int64)
+    h = 0
+    while cur.size:
+        h += 1
+        children = np.concatenate([lf[cur], rt[cur]])
+        cur = children[children < T - 1]
+    return h
+
+
 @functools.partial(jax.jit, static_argnames=("max_depth_iters",))
 def refit_bvh(bvh: BVH, v0, v1, v2, max_depth_iters: int = 64) -> BVH:
     """Frozen-topology AABB refit for dynamic scenes.
@@ -339,7 +361,15 @@ def refit_bvh(bvh: BVH, v0, v1, v2, max_depth_iters: int = 64) -> BVH:
             jnp.maximum(nmax[left], nmax[right]))
         return (new_min, new_max), None
 
-    iters = min(max_depth_iters, max(2, math.ceil(math.log2(T)) * 2 + 8))
+    # 64 = "height unknown" default → the conservative 2*log2+8 bound;
+    # callers that computed the exact height (bvh.tree_height, stored on
+    # SceneTracer at build) pass it and the scan runs exactly that many
+    # bottom-up sweeps (~2x fewer on measured SAH trees)
+    if max_depth_iters >= 64:
+        iters = min(max_depth_iters,
+                    max(2, math.ceil(math.log2(T)) * 2 + 8))
+    else:
+        iters = max(2, max_depth_iters)
     (node_min, node_max), _ = jax.lax.scan(prop, (node_min, node_max),
                                            None, length=iters)
     return dataclasses.replace(bvh,

@@ -225,6 +225,11 @@ class SceneTracer:
                                      default="jnp")
     ray_chunk: int = dataclasses.field(metadata=dict(static=True),
                                        default=131072)
+    # exact internal-node height of the binary tree (bvh.tree_height),
+    # computed once at build: refit_bvh converges in exactly this many
+    # bottom-up sweeps (vs the conservative ~40-iter bound)
+    bvh_height: int = dataclasses.field(metadata=dict(static=True),
+                                        default=64)
 
     @staticmethod
     def build(scene_data, settings=None) -> "SceneTracer":
@@ -288,13 +293,17 @@ class SceneTracer:
                         wlp8 = trace_pallas.pack_p8(wlf)
             else:  # beyond even bf16: SIMT jnp fallback
                 backend = "jnp"
+        from .bvh import tree_height
+
         return SceneTracer(bvh=bvh, internal_tiles=itiles, leaf_tiles=ltiles,
                            wide_nodes=wn, wide_leaves=wl, wide_meta=wm,
                            wide_nodes_flat=wnf, wide_leaves_flat=wlf,
                            wide_nodes_p8=wnp8, wide_leaves_p8=wlp8,
                            wide_meta_tiles=wmt,
                            slot_child_bin=scb, cluster_tri=ct,
-                           backend=backend)
+                           backend=backend,
+                           bvh_height=tree_height(bvh.left, bvh.right,
+                                                  soup.count))
 
     def refit(self, scene_data) -> "SceneTracer":
         """Topology-frozen acceleration-structure refit after a geometry
@@ -303,9 +312,15 @@ class SceneTracer:
         from . import bvh_wide, trace_pallas
 
         soup = scene_data.triangles
-        new_bvh = refit_bvh(self.bvh, soup.v0, soup.v1, soup.v2)
-        itiles, ltiles = trace_pallas.build_packed(new_bvh, soup.v0,
-                                                   soup.v1, soup.v2)
+        new_bvh = refit_bvh(self.bvh, soup.v0, soup.v1, soup.v2,
+                            max_depth_iters=self.bvh_height)
+        itiles, ltiles = self.internal_tiles, self.leaf_tiles
+        if self.backend != "pallas-wide":
+            # the SIMT packed tiles only feed the non-wide backends —
+            # re-packing them on the wide path was ~pure waste per
+            # commit (r3 batch 6 attribution)
+            itiles, ltiles = trace_pallas.build_packed(new_bvh, soup.v0,
+                                                       soup.v1, soup.v2)
         wn, wl = self.wide_nodes, self.wide_leaves
         wnf, wlf = self.wide_nodes_flat, self.wide_leaves_flat
         if wn is not None:

@@ -56,6 +56,25 @@ def test_refit_bvh_valid_after_motion():
         dataclasses.replace(b2), moved0, moved1, moved2)
 
 
+def test_refit_bvh_exact_height_matches_conservative():
+    """tree_height-bounded refit (what SceneTracer.refit runs) is
+    bit-identical to the conservative ~40-sweep bound."""
+    data = scenes.stress_scene(num_objects=25).build()
+    s = data.triangles
+    b = bvh_mod.build_bvh_host(s.v0, s.v1, s.v2, builder="sah")
+    h = bvh_mod.tree_height(b.left, b.right, int(np.asarray(b.num_tris)))
+    assert 2 <= h < 64
+    moved0 = s.v0 + jnp.array([1.0, 2.0, 0.5])
+    moved1 = s.v1 + jnp.array([1.0, 2.0, 0.5])
+    moved2 = s.v2 + jnp.array([1.0, 2.0, 0.5])
+    ref = bvh_mod.refit_bvh(b, moved0, moved1, moved2)
+    fast = bvh_mod.refit_bvh(b, moved0, moved1, moved2, max_depth_iters=h)
+    np.testing.assert_array_equal(np.asarray(ref.node_min),
+                                  np.asarray(fast.node_min))
+    np.testing.assert_array_equal(np.asarray(ref.node_max),
+                                  np.asarray(fast.node_max))
+
+
 def test_update_transforms_consistency():
     """Moving an entity through the dynamic path produces the same
     SceneData arrays as rebuilding the host scene at the new pose."""

@@ -60,6 +60,10 @@ class RenderSettings:
     # the attribute ride-along and downgrades them to "v1"
     # (raster_pallas.raster_tiles docstring).
     raster_eval: "str | None" = None
+    # Triangles per wide-BVH leaf cluster: None → env WIDE_LEAF_TRIS →
+    # 4. Bigger clusters halve the leaf pop/push overhead per triangle
+    # but test more padded triangles per visit (r3 throughput ladder).
+    bvh_leaf_tris: "int | None" = None
     max_tris_per_tile: int = 512
     # Hit-shading attribute fetch: None → env SHADE_FETCH → "auto"
     # (scene.shade_rows u16 fast-gather table when present, else the

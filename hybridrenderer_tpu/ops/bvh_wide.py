@@ -90,8 +90,14 @@ def _depths(parent: np.ndarray) -> np.ndarray:
     raise ValueError("BVH deeper than 96 levels")
 
 
-def build_wide(bvh, tri_v0, tri_v1, tri_v2) -> WideBVH:
-    """Binary BVH (ops/bvh.BVH) + world triangles → WideBVH."""
+def build_wide(bvh, tri_v0, tri_v1, tri_v2,
+               leaf_tris: int = LEAF_TRIS) -> WideBVH:
+    """Binary BVH (ops/bvh.BVH) + world triangles → WideBVH.
+
+    ``leaf_tris``: triangles per leaf cluster (records are 12 rows per
+    triangle → (Tl, 12*leaf_tris, 128) tiles). Bigger clusters halve
+    the leaf pop/push/extract overhead per triangle at the cost of
+    testing more padded triangles per visit (r3 throughput ladder)."""
     nmin = np.asarray(bvh.node_min)
     nmax = np.asarray(bvh.node_max)
     left = np.asarray(bvh.left)
@@ -134,7 +140,7 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2) -> WideBVH:
             hi[: T - 1] = nhi
     cnt = (hi - lo + 1).astype(np.int64)
 
-    small = cnt <= LEAF_TRIS
+    small = cnt <= leaf_tris
     if T == 1 or small[0]:
         # whole scene is one cluster: single wide node, one leaf child
         cluster_nodes = np.array([0], np.int64)
@@ -284,15 +290,15 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2) -> WideBVH:
     # leaf records; always ≥1 padded lane — the traversal kernel uses the
     # last lane as the branchless dummy-leaf target (all ids -1 ⇒ miss)
     Tl = n_cluster // 128 + 1
-    leaf_rec = np.zeros((Tl, 48, 128), np.float32)
-    cluster_tri = np.full((Tl * 128, LEAF_TRIS), -1, np.int32)
-    for t in range(LEAF_TRIS):
+    leaf_rec = np.zeros((Tl, 12 * leaf_tris, 128), np.float32)
+    cluster_tri = np.full((Tl * 128, leaf_tris), -1, np.int32)
+    for t in range(leaf_tris):
         leaf_rec[:, 12 * t + 9, :] = -1.0  # id rows: padding = miss
     # sorted-leaf order → original tri ids
     sorted_tri = tri[T - 1:] if T > 1 else tri[:1]
     c_hi = hi[cluster_nodes] if T > 1 else np.array([0], np.int64)
     c_lo = cluster_lo
-    for t in range(LEAF_TRIS):
+    for t in range(leaf_tris):
         sel = (c_lo + t) <= c_hi
         src = sorted_tri[np.minimum(c_lo + t, c_hi)]
         k = np.arange(n_cluster)
@@ -325,7 +331,8 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2) -> WideBVH:
                    nodes_flat=np.ascontiguousarray(
                        node_rec.transpose(0, 2, 1).reshape(-1, 48)),
                    leaves_flat=np.ascontiguousarray(
-                       leaf_rec.transpose(0, 2, 1).reshape(-1, 48)))
+                       leaf_rec.transpose(0, 2, 1)
+                       .reshape(-1, 12 * leaf_tris)))
 
 
 def _bf16_down(x: np.ndarray) -> np.ndarray:
@@ -387,7 +394,7 @@ def quantize_bf16(wide: WideBVH) -> WideBVH:
         qn[:, r:r + 3, :] = _bf16_down(nodes[:, r:r + 3, :])
         qn[:, r + 3:r + 6, :] = _bf16_up(nodes[:, r + 3:r + 6, :])
     ql = np.empty(leaves.shape, ml_dtypes.bfloat16)
-    for t in range(LEAF_TRIS):
+    for t in range(leaves.shape[1] // 12):
         r = 12 * t
         ql[:, r:r + 9, :] = leaves[:, r:r + 9, :].astype(ml_dtypes.bfloat16)
         tid = leaves[:, r + 9, :].astype(np.int64)
@@ -434,7 +441,7 @@ def quantize_refit_device(nodes, leaves):
                    _bf16_outward_jnp(nodes, True),
                    _bf16_outward_jnp(nodes, False))
     parts = []
-    for t in range(LEAF_TRIS):
+    for t in range(leaves.shape[1] // 12):
         r = 12 * t
         geom = leaves[:, r:r + 9, :].astype(jnp.bfloat16)
         tid = leaves[:, r + 9, :]
@@ -477,7 +484,8 @@ def refit_wide(slot_child_bin, cluster_tri, node_min, node_max, v0, v1, v2):
     nodes = nodes.reshape(Tn, 128, 48).transpose(0, 2, 1)
 
     lcols = []
-    for t in range(LEAF_TRIS):
+    leaf_tris = cluster_tri.shape[1]
+    for t in range(leaf_tris):
         tid = cluster_tri[:, t]
         valid = tid >= 0
         m = valid.astype(jnp.float32)[:, None]
@@ -489,7 +497,7 @@ def refit_wide(slot_child_bin, cluster_tri, node_min, node_max, v0, v1, v2):
         pad = jnp.zeros((rows_l, 2), jnp.float32)
         lcols += [p0, e1, e2, tidf[:, None], pad]
     leaves_flat = jnp.concatenate(lcols, axis=1).astype(jnp.float32)
-    leaves = leaves_flat.reshape(Tl, 128, 48).transpose(0, 2, 1)
+    leaves = leaves_flat.reshape(Tl, 128, 12 * leaf_tris).transpose(0, 2, 1)
     nodes_flat = nodes.transpose(0, 2, 1).reshape(-1, 48)
     return nodes, leaves, nodes_flat, leaves_flat
 
@@ -509,7 +517,8 @@ def first_of_kind(parents: np.ndarray, kind: np.ndarray) -> np.ndarray:
 
 def validate_wide(wide: WideBVH, v0, v1, v2, samples: int = 200) -> bool:
     """Sanity: every triangle appears exactly once across leaf records."""
-    ids = np.stack([wide.leaves[:, 12 * t + 9, :] for t in range(LEAF_TRIS)])
+    ids = np.stack([wide.leaves[:, 12 * t + 9, :]
+                    for t in range(wide.leaves.shape[1] // 12)])
     ids = ids.reshape(-1)
     ids = ids[ids >= 0].astype(np.int64)
     T = np.asarray(v0).shape[0]

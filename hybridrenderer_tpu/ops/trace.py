@@ -258,7 +258,14 @@ class SceneTracer:
             # updates go through refit() entirely on-device
             from . import bvh_wide, trace_pallas
 
-            wide = bvh_wide.build_wide(bvh, soup.v0, soup.v1, soup.v2)
+            leaf_tris = getattr(settings, "bvh_leaf_tris", None) \
+                if settings is not None else None
+            if leaf_tris is None:
+                import os
+
+                leaf_tris = int(os.environ.get("WIDE_LEAF_TRIS", "4"))
+            wide = bvh_wide.build_wide(bvh, soup.v0, soup.v1, soup.v2,
+                                       leaf_tris=leaf_tris)
             if wide.vmem_bytes > trace_pallas.VMEM_SCENE_BUDGET:
                 # f32 records don't fit: bf16 quantization halves the
                 # footprint (outward boxes — correctness preserved for
@@ -286,7 +293,10 @@ class SceneTracer:
                 if wide.nodes_flat is not None:
                     wnf = jnp.asarray(wide.nodes_flat)
                     wlf = jnp.asarray(wide.leaves_flat)
-                    if trace_pallas.WIDE_KERNEL == "mimt":
+                    # the MIMT p8 layout hardcodes 48-field records —
+                    # only packed for the default 4-tri clusters
+                    if trace_pallas.WIDE_KERNEL == "mimt" \
+                            and leaf_tris == 4:
                         # MIMT layout: ~2.67x the tile footprint (each
                         # record pads its 48 fields to a 128-lane row)
                         wnp8 = trace_pallas.pack_p8(wnf)

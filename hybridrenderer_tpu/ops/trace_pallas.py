@@ -610,7 +610,7 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
             def lf(r):
                 return lcol[r:r + 1]
 
-        for t in range(4):
+        for t in range(leaves_ref.shape[1] // 12):
             r = 12 * t
             p0x, p0y, p0z = lf(r + 0), lf(r + 1), lf(r + 2)
             a1x, a1y, a1z = lf(r + 3), lf(r + 4), lf(r + 5)
@@ -624,7 +624,7 @@ def _wide_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,
                 # relayout whose broadcast Mosaic can't lower
                 # ("Broadcast in both sublanes and lanes", r2 batch 3).
                 byte_w = (jax.lax.broadcasted_iota(
-                    jnp.int32, (48, 1), 0) - (r + 9))
+                    jnp.int32, lcol.shape, 0) - (r + 9))
                 w3 = jnp.where(
                     (byte_w >= 0) & (byte_w < 3),
                     jnp.exp2(8.0 * jnp.clip(byte_w, 0, 2)
@@ -956,16 +956,16 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
         k = jnp.where(l_valid == 1, jnp.minimum(child_l, dummy_leaf),
                       dummy_leaf)
 
-        # ---- leaf visit: 4 batched Möller–Trumbore ----
+        # ---- leaf visit: batched Möller–Trumbore over the cluster ----
         bf16 = leaves_ref.dtype == jnp.bfloat16
         kloh = (lane_iota == (k & 127)).astype(jnp.float32)
-        ltile = leaves_ref[k >> 7].astype(jnp.float32)       # (48, 128)
-        lcol = jnp.sum(ltile * kloh, axis=1, keepdims=True)  # (48, 1)
+        ltile = leaves_ref[k >> 7].astype(jnp.float32)   # (12*lt, 128)
+        lcol = jnp.sum(ltile * kloh, axis=1, keepdims=True)
 
         def lf(r):
             return lcol[r:r + 1]
 
-        for t in range(4):
+        for t in range(leaves_ref.shape[1] // 12):
             r = 12 * t
             p0x, p0y, p0z = lf(r + 0), lf(r + 1), lf(r + 2)
             a1x, a1y, a1z = lf(r + 3), lf(r + 4), lf(r + 5)
@@ -975,7 +975,7 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                 # reduce (see the compressed kernel's note on Mosaic's
                 # sublane-offset broadcast limitation)
                 byte_w = (jax.lax.broadcasted_iota(
-                    jnp.int32, (48, 1), 0) - (r + 9))
+                    jnp.int32, lcol.shape, 0) - (r + 9))
                 w3 = jnp.where(
                     (byte_w >= 0) & (byte_w < 3),
                     jnp.exp2(8.0 * jnp.clip(byte_w, 0, 2)

@@ -52,6 +52,40 @@ def test_direct_matches_jnp_reference(any_hit):
         assert differing.mean() < 0.005
 
 
+def test_direct_leaf8_matches_leaf4():
+    """leaf_tris=8 clusters (96-row records) trace the same closest hits
+    as the default 4-tri clusters."""
+    data = scenes.cornell_scene().build()
+    s = data.triangles
+    b = bvh_mod.build_bvh(s.v0, s.v1, s.v2)
+    w4 = bvh_wide.build_wide(b, s.v0, s.v1, s.v2, leaf_tris=4)
+    w8 = bvh_wide.build_wide(b, s.v0, s.v1, s.v2, leaf_tris=8)
+    assert w8.leaves.shape[1] == 96
+    assert bvh_wide.validate_wide(w8, s.v0, s.v1, s.v2)
+    rng = np.random.default_rng(7)
+    R = 2048
+    v0 = np.asarray(s.v0)
+    c = v0.mean(0)
+    ext = v0.max(0) - v0.min(0)
+    o = jnp.asarray((c + rng.normal(0, 0.5, (R, 3)) * ext)
+                    .astype(np.float32))
+    d = rng.normal(0, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    t4, tri4, _, _ = tp.intersect_wide_direct(
+        jnp.asarray(w4.nodes), jnp.asarray(w4.leaves),
+        tp.pack_meta_tiles(w4.meta), o, d, 1e-3, 1e6, interpret=True)
+    t8, tri8, _, _ = tp.intersect_wide_direct(
+        jnp.asarray(w8.nodes), jnp.asarray(w8.leaves),
+        tp.pack_meta_tiles(w8.meta), o, d, 1e-3, 1e6, interpret=True)
+    hit4 = np.asarray(tri4) >= 0
+    hit8 = np.asarray(tri8) >= 0
+    np.testing.assert_array_equal(hit8, hit4)
+    np.testing.assert_allclose(np.where(hit4, np.asarray(t8), 0.0),
+                               np.where(hit4, np.asarray(t4), 0.0),
+                               atol=1e-4)
+
+
 def test_direct_bf16_agrees_with_f32():
     """bf16 records under direct stacks: conservative boxes may only ADD
     occlusion hits on exact silhouettes, never lose them."""

@@ -151,10 +151,6 @@ def main():
         fwd_ms = _time_config(
             settings_for(RenderPathType.FORWARD, forward_flags), data,
             cam_kw, ladder_frames)
-        half_ms = _time_config(
-            RenderSettings(width=width, height=height,
-                           path=RenderPathType.HYBRID, flags=hybrid_flags,
-                           ao_half_res=True), data, cam_kw, ladder_frames)
         # HBM roofline attainment (VERDICT r2 task 8): the BVH + working
         # tiles live in VMEM, so a ray pass's HBM traffic is its image
         # planes. Lower-bound byte model per covered pixel:
@@ -188,7 +184,6 @@ def main():
             "hbm_util_svgf": util(svgf_bytes, svgf_ms),
             "full_graph_refl_gi_ms": round(full_ms, 1),
             "forward_taa_ms": round(fwd_ms, 1),
-            "hybrid_ao_half_res_ms": round(half_ms, 1),
         }
         # dynamic-scene rung (SURVEY §5 / Scene::OnUpdate parity): one
         # entity rotates every frame → on-device transform re-sync +

@@ -99,11 +99,9 @@ class RenderSettings:
     # tile unions 1.19× smaller, on-chip A/B (batch 6) 338.4→304.8 ms
     # on the shadow+AO rung. Results are identical (pure relayout).
     ao_layout: str = "tile"
-    # Trace AO at half resolution (quarter ray count) and reconstruct
-    # with a depth-aware joint bilateral upsample before SVGF. The
-    # reference traces AO full-res (rt_shadow.rgen); this is the
-    # standard half-res ray-effect tradeoff, off by default for parity.
-    ao_half_res: bool = False
+    # (ao_half_res was removed: measured SLOWER than full-res twice —
+    # r2 breakdown and r3 batch 6 — interleaved AO is not ray-count-
+    # bound, so the quarter ray count never paid for the upsample.)
     # Interleaved GI bounce sampling — the AO trick applied to the
     # diffuse-GI cosine rays (diffuse_gi.rgen:30-40 draws per-pixel):
     # one bounce direction per 8×8 block pattern per frame, decorrelated

@@ -81,17 +81,12 @@ def make_rt_shadow_pass(settings):
                 return ctx.shadow_query(wpos, nrm, ao_dir,
                                         settings.ao_radius, active=~bgm)
 
-            if settings.ao_half_res:
-                # quarter ray count at the top-left quad representative,
-                # depth-aware joint bilateral reconstruction to full res
-                ao_h = trace_ao(n[::2, ::2], gb.world_pos[::2, ::2],
-                                bg[::2, ::2], (H + 1) // 2, (W + 1) // 2)
-                ao = img_ops.upsample2x_depth_aware(
-                    ao_h, gb.linear_depth[::2, ::2], gb.linear_depth)
-            else:
-                # full res continues the light-sampling seed stream
-                # (rt_shadow.rgen:53 semantics)
-                ao = trace_ao(n, gb.world_pos, bg, H, W, sd=seed)
+            # full res continues the light-sampling seed stream
+            # (rt_shadow.rgen:53 semantics). A half-res AO option was
+            # measured SLOWER than full-res twice (r2 breakdown 110.0
+            # vs 101.9; r3 batch 6: 114.8 vs 109.4 — AO cost is not
+            # ray-count-bound under interleaving) and was removed.
+            ao = trace_ao(n, gb.world_pos, bg, H, W, sd=seed)
 
         shadow = jnp.where(bg, 1.0, shadow)
         ao = jnp.where(bg, 1.0, ao)

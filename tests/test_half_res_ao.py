@@ -1,8 +1,10 @@
-"""Half-resolution AO: depth-aware upsample unit tests + e2e render.
+"""Depth-aware upsample (ops/image.upsample2x_depth_aware) unit tests +
+the half-res reflection/GI e2e render that uses it.
 
-The reference traces AO full-res (rt_shadow.rgen); ao_half_res is the
-standard half-res ray-effect tradeoff with joint bilateral
-reconstruction (ops/image.upsample2x_depth_aware).
+The reference traces AO full-res (rt_shadow.rgen). An ao_half_res
+option existed but measured SLOWER than full-res twice (r2 breakdown,
+r3 batch 6) and was removed; reflection/gi_half_res remain the
+supported half-res ray-effect tradeoffs.
 """
 import jax.numpy as jnp
 import numpy as np
@@ -48,15 +50,17 @@ def test_upsample_no_bleed_across_depth_edge():
     assert out[:, 8:].max() < 0.05
 
 
-def test_half_res_ao_render_matches_full_res_roughly():
+def test_half_res_refl_gi_render_matches_full_res_roughly():
     data = scenes.cornell_scene().build()
-    flags = (RenderFlags.LIGHT | RenderFlags.AO | RenderFlags.SHADOW)
+    flags = (RenderFlags.LIGHT | RenderFlags.SHADOW
+             | RenderFlags.REFLECTION | RenderFlags.GI)
     kw = dict(width=64, height=64, path=RenderPathType.HYBRID, flags=flags)
     cam = OrbitCamera(width=64, height=64, distance=6.0, pitch=0.3,
                       yaw=0.4, focal_point=(0, 1.0, 0))
     full = Renderer.for_scene(RenderSettings(**kw), data).render_np(cam.step())
-    half = Renderer.for_scene(RenderSettings(ao_half_res=True, **kw),
-                              data).render_np(cam.step())
+    half = Renderer.for_scene(
+        RenderSettings(reflection_half_res=True, gi_half_res=True, **kw),
+        data).render_np(cam.step())
     assert np.isfinite(half).all()
     # same scene, same lighting: reconstruction stays close on average
     assert np.abs(half - full).mean() < 0.05

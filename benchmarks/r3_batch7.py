@@ -193,4 +193,18 @@ guard("headR_svs", lambda: burst_ms(HEADR | SVS))
 guard("headG_sv_pix", lambda: burst_ms(
     HEADG | SVT | RenderFlags.SVGF_SPATIAL,
     svgf_temporal_gather="pixel"))
+
+
+# chain-order diagnostic inside fullg: does the anomalous marginal
+# follow the GI SIGNAL or its POSITION in the fused pack list?
+def fullg_order(order):
+    os.environ["SVGF_CHAIN_ORDER"] = order
+    try:
+        return burst_ms(FULL)
+    finally:
+        os.environ.pop("SVGF_CHAIN_ORDER", None)
+
+
+guard("fullg_order_ctl", lambda: fullg_order("ShadowAO,Refl,GI"))
+guard("fullg_order_gi1", lambda: fullg_order("GI,ShadowAO,Refl"))
 print("EXIT=0", flush=True)

@@ -298,6 +298,89 @@ def build_bvh_host(v0, v1, v2, builder: str = "lbvh") -> BVH:
     return out if out is not None else build_bvh(v0, v1, v2)
 
 
+def refit_plan(left, right, num_tris):
+    """Host-side range-minimum-query refit plan (once per topology).
+
+    Both in-repo builders (Karras LBVH, top-down binned SAH — see
+    native/bvh_builder.cpp) give every internal node a CONTIGUOUS range
+    of the sorted leaf order, so its AABB is a range-min/max over the
+    leaf boxes: with a doubling sparse table st[k][i] = min over
+    [i, i+2^k), node i's box is min(st[k][lo], st[k][hi+1-2^k]) for
+    k = floor(log2(len)). The table build is K shifted elementwise
+    passes (bandwidth-cheap) instead of refit_bvh's ~height full-array
+    gather sweeps.
+
+    Returns (rows, K): rows (2, T-1) int32 of flattened (k*T + pos)
+    indices into the stacked table, or (None, 0) when a node's range is
+    non-contiguous (foreign tree) or T <= 2.
+    """
+    import numpy as np
+
+    T = int(num_tris)
+    if T <= 2:
+        return None, 0
+    lf = np.asarray(left[: T - 1]).astype(np.int64)
+    rt = np.asarray(right[: T - 1]).astype(np.int64)
+    N = 2 * T - 1
+    lo = np.full(N, -1, np.int64)
+    hi = np.full(N, -1, np.int64)
+    cnt = np.zeros(N, np.int64)
+    lo[T - 1:] = np.arange(T)
+    hi[T - 1:] = np.arange(T)
+    cnt[T - 1:] = 1
+    for _ in range(200):
+        ready = (lo[lf] >= 0) & (lo[rt] >= 0)
+        unset = lo[: T - 1] < 0
+        upd = ready & unset
+        if not upd.any():
+            break
+        lo[: T - 1] = np.where(upd, np.minimum(lo[lf], lo[rt]), lo[: T - 1])
+        hi[: T - 1] = np.where(upd, np.maximum(hi[lf], hi[rt]), hi[: T - 1])
+        cnt[: T - 1] = np.where(upd, cnt[lf] + cnt[rt], cnt[: T - 1])
+    ilo, ihi, icnt = lo[: T - 1], hi[: T - 1], cnt[: T - 1]
+    if (ilo < 0).any() or (icnt != ihi - ilo + 1).any():
+        return None, 0
+    length = ihi - ilo + 1
+    # exact floor(log2) for integers: frexp exponent - 1
+    k = (np.frexp(length.astype(np.float64))[1] - 1).astype(np.int64)
+    g2 = ihi + 1 - (1 << k)
+    rows = np.stack([k * T + ilo, k * T + g2]).astype(np.int32)
+    return rows, int(k.max())
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def refit_bvh_rmq(bvh: BVH, v0, v1, v2, rows, K: int) -> BVH:
+    """Frozen-topology AABB refit via the refit_plan sparse table:
+    K shifted elementwise min/max passes + 2 row gathers — replaces
+    refit_bvh's ~height full-array sweeps (bit-identical boxes: both
+    compute exact min/max unions over the same leaf sets)."""
+    T = v0.shape[0]
+    lt = bvh.tri[T - 1:]
+    sv0, sv1, sv2 = v0[lt], v1[lt], v2[lt]
+    leaf_min = jnp.minimum(jnp.minimum(sv0, sv1), sv2)
+    leaf_max = jnp.maximum(jnp.maximum(sv0, sv1), sv2)
+    lv_min = [leaf_min]
+    lv_max = [leaf_max]
+    for k in range(1, K + 1):
+        h = 1 << (k - 1)
+        pmin, pmax = lv_min[-1], lv_max[-1]
+        if h < T:
+            smin = jnp.concatenate([pmin[h:], pmin[-h:]])
+            smax = jnp.concatenate([pmax[h:], pmax[-h:]])
+        else:
+            smin, smax = pmin, pmax
+        lv_min.append(jnp.minimum(pmin, smin))
+        lv_max.append(jnp.maximum(pmax, smax))
+    tmin = jnp.concatenate(lv_min, axis=0)
+    tmax = jnp.concatenate(lv_max, axis=0)
+    imin = jnp.minimum(tmin[rows[0]], tmin[rows[1]])
+    imax = jnp.maximum(tmax[rows[0]], tmax[rows[1]])
+    return dataclasses.replace(
+        bvh,
+        node_min=jnp.concatenate([imin, leaf_min]).astype(jnp.float32),
+        node_max=jnp.concatenate([imax, leaf_max]).astype(jnp.float32))
+
+
 def tree_height(left, right, num_tris) -> int:
     """Host-side internal-node height of the root (levels of internal
     nodes). refit_bvh's bottom-up scan converges in exactly this many

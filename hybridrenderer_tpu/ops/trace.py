@@ -230,6 +230,11 @@ class SceneTracer:
     # bottom-up sweeps (vs the conservative ~40-iter bound)
     bvh_height: int = dataclasses.field(metadata=dict(static=True),
                                         default=64)
+    # RMQ refit plan (bvh.refit_plan): (2, T-1) i32 sparse-table rows +
+    # static table depth — refit runs K shifted elementwise passes
+    # instead of bvh_height full-array gather sweeps when present
+    rmq_rows: Any = None
+    rmq_k: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @staticmethod
     def build(scene_data, settings=None) -> "SceneTracer":
@@ -303,8 +308,9 @@ class SceneTracer:
                         wlp8 = trace_pallas.pack_p8(wlf)
             else:  # beyond even bf16: SIMT jnp fallback
                 backend = "jnp"
-        from .bvh import tree_height
+        from .bvh import refit_plan, tree_height
 
+        rows, K = refit_plan(bvh.left, bvh.right, soup.count)
         return SceneTracer(bvh=bvh, internal_tiles=itiles, leaf_tiles=ltiles,
                            wide_nodes=wn, wide_leaves=wl, wide_meta=wm,
                            wide_nodes_flat=wnf, wide_leaves_flat=wlf,
@@ -313,7 +319,10 @@ class SceneTracer:
                            slot_child_bin=scb, cluster_tri=ct,
                            backend=backend,
                            bvh_height=tree_height(bvh.left, bvh.right,
-                                                  soup.count))
+                                                  soup.count),
+                           rmq_rows=None if rows is None
+                           else jnp.asarray(rows),
+                           rmq_k=K)
 
     def refit(self, scene_data) -> "SceneTracer":
         """Topology-frozen acceleration-structure refit after a geometry
@@ -322,8 +331,14 @@ class SceneTracer:
         from . import bvh_wide, trace_pallas
 
         soup = scene_data.triangles
-        new_bvh = refit_bvh(self.bvh, soup.v0, soup.v1, soup.v2,
-                            max_depth_iters=self.bvh_height)
+        if self.rmq_rows is not None:
+            from .bvh import refit_bvh_rmq
+
+            new_bvh = refit_bvh_rmq(self.bvh, soup.v0, soup.v1, soup.v2,
+                                    self.rmq_rows, self.rmq_k)
+        else:
+            new_bvh = refit_bvh(self.bvh, soup.v0, soup.v1, soup.v2,
+                                max_depth_iters=self.bvh_height)
         itiles, ltiles = self.internal_tiles, self.leaf_tiles
         if self.backend != "pallas-wide":
             # the SIMT packed tiles only feed the non-wide backends —

@@ -82,6 +82,18 @@ class HybridRenderPath(RenderPath):
                                "GI_Denoised"))
                 gi_name = "GI_Denoised"
             if chains:
+                # diagnostic: env SVGF_CHAIN_ORDER="GI,Refl,ShadowAO"
+                # reorders the fused packs — r3 batch 6/6b measured the
+                # GI chain's in-frame marginal at ~58 ms vs the config-
+                # identical reflection chain's ~28 (isolated chains are
+                # linear at ~17/signal); order tells position vs signal
+                import os
+
+                order = os.environ.get("SVGF_CHAIN_ORDER")
+                if order:
+                    rank = {f"SVGF_{n.strip()}": i for i, n in
+                            enumerate(order.split(","))}
+                    chains.sort(key=lambda c: rank.get(c[0].prefix, 99))
                 self.add(graph, "SVGFPass",
                          passes.make_svgf_multi_pass(s, chains), "compute")
 

@@ -75,6 +75,29 @@ def test_refit_bvh_exact_height_matches_conservative():
                                   np.asarray(fast.node_max))
 
 
+def test_refit_rmq_matches_scan_refit():
+    """RMQ sparse-table refit (what SceneTracer.refit runs when the
+    plan exists) is bit-identical to the bottom-up scan refit, on both
+    builders."""
+    data = scenes.stress_scene(num_objects=25).build()
+    s = data.triangles
+    for builder in ("sah", "lbvh"):
+        b = bvh_mod.build_bvh_host(s.v0, s.v1, s.v2, builder=builder)
+        rows, K = bvh_mod.refit_plan(
+            b.left, b.right, int(np.asarray(b.num_tris)))
+        assert rows is not None and K >= 1
+        moved0 = s.v0 * 1.1 + jnp.array([1.0, 2.0, 0.5])
+        moved1 = s.v1 * 1.1 + jnp.array([1.0, 2.0, 0.5])
+        moved2 = s.v2 * 1.1 + jnp.array([1.0, 2.0, 0.5])
+        ref = bvh_mod.refit_bvh(b, moved0, moved1, moved2)
+        fast = bvh_mod.refit_bvh_rmq(b, moved0, moved1, moved2,
+                                     jnp.asarray(rows), K)
+        np.testing.assert_array_equal(np.asarray(ref.node_min),
+                                      np.asarray(fast.node_min))
+        np.testing.assert_array_equal(np.asarray(ref.node_max),
+                                      np.asarray(fast.node_max))
+
+
 def test_update_transforms_consistency():
     """Moving an entity through the dynamic path produces the same
     SceneData arrays as rebuilding the host scene at the new pose."""

@@ -207,4 +207,52 @@ def fullg_order(order):
 
 guard("fullg_order_ctl", lambda: fullg_order("ShadowAO,Refl,GI"))
 guard("fullg_order_gi1", lambda: fullg_order("GI,ShadowAO,Refl"))
+
+
+# ---- RMQ refit vs the 6b scan number (31.35 ms same-scene) + dynamic
+def refit_ms():
+    st = RenderSettings(width=W, height=H, path=RenderPathType.HYBRID,
+                        flags=HEAD)
+    r = Renderer.for_scene(st, data)
+    tr = r.tracer
+    print(json.dumps({"info": "rmq_k", "value": tr.rmq_k}), flush=True)
+    tr2 = tr.refit(r.scene)
+    _ = np.asarray(tr2.bvh.node_min[0, 0])
+    N = 8
+    t0 = time.perf_counter()
+    for _ in range(N):
+        tr2 = tr2.refit(r.scene)
+    _ = np.asarray(tr2.bvh.node_min[0, 0])
+    return 1000.0 * (time.perf_counter() - t0) / N
+
+
+def dyn_ms(k=4):
+    from hybridrenderer_tpu.scene import dynamic
+    st = RenderSettings(width=W, height=H, path=RenderPathType.HYBRID,
+                        flags=HEAD)
+    r = Renderer.for_scene(st, data)
+    dyn = dynamic.DynamicScene(host, r)
+    c = OrbitCamera(width=W, height=H, **cam_kw)
+    eid = len(host.entities) - 1
+    base_tf = np.asarray(host.entities[eid].transform, np.float32).copy()
+
+    def one_frame(i):
+        tf = base_tf.copy()
+        tf[0, 3] += 0.01 * i
+        dyn.set_entity_transform(eid, tf)
+        dyn.commit()
+        return r.render(c.step(taa_enabled=True))
+
+    out = one_frame(0)
+    out = one_frame(1)
+    _ = np.asarray(out[0, 0])
+    t0 = time.perf_counter()
+    for i in range(2, 2 + k):
+        out = one_frame(i)
+    _ = np.asarray(out[0, 0])
+    return 1000.0 * (time.perf_counter() - t0) / k
+
+
+guard("refit_rmq", refit_ms)
+guard("dyn_rung_rmq", dyn_ms)
 print("EXIT=0", flush=True)

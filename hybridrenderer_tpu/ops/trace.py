@@ -23,6 +23,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import maths
 from ..core.types import RenderFlags
@@ -235,6 +236,11 @@ class SceneTracer:
     # instead of bvh_height full-array gather sweeps when present
     rmq_rows: Any = None
     rmq_k: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # HBM leaf streaming: leaf records exceed the VMEM budget but node
+    # records fit — the direct kernel fetches leaf tiles by one-step
+    # lookahead DMA instead of keeping them resident
+    leaf_stream: bool = dataclasses.field(metadata=dict(static=True),
+                                          default=False)
 
     @staticmethod
     def build(scene_data, settings=None) -> "SceneTracer":
@@ -276,7 +282,11 @@ class SceneTracer:
                 # footprint (outward boxes — correctness preserved for
                 # visibility, geometry at 2^-8 relative)
                 wide = bvh_wide.quantize_bf16(wide)
-            if wide.vmem_bytes <= trace_pallas.VMEM_SCENE_BUDGET:
+            nodes_bytes = int(np.prod(wide.nodes.shape)) \
+                * np.asarray(wide.nodes).dtype.itemsize
+            stream = wide.vmem_bytes > trace_pallas.VMEM_SCENE_BUDGET \
+                and nodes_bytes <= trace_pallas.VMEM_SCENE_BUDGET
+            if stream or wide.vmem_bytes <= trace_pallas.VMEM_SCENE_BUDGET:
                 wn = jnp.asarray(wide.nodes)
                 wl = jnp.asarray(wide.leaves)
                 wm = jnp.asarray(wide.meta)
@@ -290,8 +300,8 @@ class SceneTracer:
                 if mode == "auto":
                     mode = "direct"
                 if mode == "compressed" \
-                        and int(wide.meta.size) * 4 \
-                        > trace_pallas.META_SMEM_LIMIT:
+                        and (stream or int(wide.meta.size) * 4
+                             > trace_pallas.META_SMEM_LIMIT):
                     mode = "direct"   # compressed cannot compile here
                 if mode == "direct":
                     wmt = trace_pallas.pack_meta_tiles(wide.meta)
@@ -301,13 +311,16 @@ class SceneTracer:
                     # the MIMT p8 layout hardcodes 48-field records —
                     # only packed for the default 4-tri clusters
                     if trace_pallas.WIDE_KERNEL == "mimt" \
-                            and leaf_tris == 4:
+                            and leaf_tris == 4 and not stream:
                         # MIMT layout: ~2.67x the tile footprint (each
                         # record pads its 48 fields to a 128-lane row)
                         wnp8 = trace_pallas.pack_p8(wnf)
                         wlp8 = trace_pallas.pack_p8(wlf)
-            else:  # beyond even bf16: SIMT jnp fallback
+            else:  # beyond even bf16 node records: SIMT jnp fallback
                 backend = "jnp"
+                stream = False
+        else:
+            stream = False
         from .bvh import refit_plan, tree_height
 
         rows, K = refit_plan(bvh.left, bvh.right, soup.count)
@@ -322,7 +335,8 @@ class SceneTracer:
                                                   soup.count),
                            rmq_rows=None if rows is None
                            else jnp.asarray(rows),
-                           rmq_k=K)
+                           rmq_k=K,
+                           leaf_stream=stream)
 
     def refit(self, scene_data) -> "SceneTracer":
         """Topology-frozen acceleration-structure refit after a geometry
@@ -500,7 +514,8 @@ class SceneTracer:
                 return trace_pallas.intersect_wide_direct(
                     self.wide_nodes, self.wide_leaves,
                     self.wide_meta_tiles, o, d, tmin, tmax,
-                    any_hit=any_hit, active=active)
+                    any_hit=any_hit, active=active,
+                    stream_leaves=self.leaf_stream)
             if trace_pallas.WIDE_EXTRACT == "scalar" \
                     and self.wide_nodes_flat is not None:
                 return trace_pallas.intersect_wide(

@@ -861,6 +861,7 @@ def pack_meta_tiles(meta):
 
 def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                         chunk_unroll: int, ordered: bool,
+                        stream_leaves: bool,
                         # scalar prefetch
                         tmin_ref,
                         # inputs (HBM)
@@ -871,23 +872,50 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                         t_out, tri_out, u_out, v_out,
                         # scratch
                         nodes_ref, leaves_ref, mtiles_ref, copy_sems):
+    """``stream_leaves``: leaf records stay in HBM; each packet owns one
+    (12*lt, 128) prefetch buffer (leaves_ref[pkt]) filled by a ONE-STEP
+    lookahead DMA — after a step's pushes, the next pop's stack top is
+    already known, so its tile is fetched while the next step's vector
+    work runs. Lifts the leaf half of the VMEM scene budget (the node
+    records, ~1/4 of the footprint, stay resident) — the capacity rung
+    between in-VMEM records and the ~300x jnp fallback. Reference:
+    device-memory BLAS at any size (Model.cpp:114-186)."""
     tmin = tmin_ref[0]
 
     @pl.when(pl.program_id(0) == 0)
     def _load():
         nc = pltpu.make_async_copy(nodes_hbm, nodes_ref, copy_sems.at[0])
-        lc = pltpu.make_async_copy(leaves_hbm, leaves_ref, copy_sems.at[1])
         mc = pltpu.make_async_copy(mtiles_hbm, mtiles_ref, copy_sems.at[2])
         nc.start()
-        lc.start()
         mc.start()
+        if not stream_leaves:
+            lc = pltpu.make_async_copy(leaves_hbm, leaves_ref,
+                                       copy_sems.at[1])
+            lc.start()
+            lc.wait()
         nc.wait()
-        lc.wait()
         mc.wait()
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     max_node = nodes_ref.shape[0] * 128 - 1
-    dummy_leaf = leaves_ref.shape[0] * 128 - 1   # padded lane: ids -1
+    if stream_leaves:
+        dummy_leaf = leaves_hbm.shape[0] * 128 - 1   # padded lane: ids -1
+
+        def leaf_fetch_start(pkt, k):
+            pltpu.make_async_copy(
+                leaves_hbm.at[k >> 7], leaves_ref.at[pkt],
+                copy_sems.at[3 + pkt]).start()
+
+        def leaf_fetch_wait(pkt):
+            pltpu.make_async_copy(
+                leaves_hbm.at[0], leaves_ref.at[pkt],
+                copy_sems.at[3 + pkt]).wait()
+
+        # bootstrap: the first pop of every packet is the dummy leaf
+        for pkt in range(npk):
+            leaf_fetch_start(pkt, jnp.int32(dummy_leaf))
+    else:
+        dummy_leaf = leaves_ref.shape[0] * 128 - 1   # padded lane: ids -1
 
     def safe_inv(d):
         tiny = jnp.where(d < 0.0, -1e-12, 1e-12)
@@ -959,7 +987,11 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
         # ---- leaf visit: batched Möller–Trumbore over the cluster ----
         bf16 = leaves_ref.dtype == jnp.bfloat16
         kloh = (lane_iota == (k & 127)).astype(jnp.float32)
-        ltile = leaves_ref[k >> 7].astype(jnp.float32)   # (12*lt, 128)
+        if stream_leaves:
+            leaf_fetch_wait(pkt)             # the lookahead DMA landed
+            ltile = leaves_ref[pkt].astype(jnp.float32)
+        else:
+            ltile = leaves_ref[k >> 7].astype(jnp.float32)  # (12*lt, 128)
         lcol = jnp.sum(ltile * kloh, axis=1, keepdims=True)
 
         def lf(r):
@@ -1098,6 +1130,15 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
 
             istack, isp = push(istack, isp, hm & imask, ibase, imask)
             lstack, lsp = push(lstack, lsp, hm & lmask, lbase, lmask)
+        if stream_leaves:
+            # one-step lookahead: the next pop's top is known now —
+            # fetch its tile while the next step's vector work runs
+            top = jnp.maximum(lsp - 1, 0)
+            e = jnp.sum(jnp.where(lane_iota == top, lstack, 0))
+            nxt = jnp.where(jnp.sum(jnp.where(lsp > 0, 1, 0)) == 1,
+                            jnp.minimum(e, dummy_leaf),
+                            jnp.int32(dummy_leaf))
+            leaf_fetch_start(pkt, nxt)
         return (isp, lsp, istack, lstack, t_best, tri_best, u_best, v_best)
 
     def body(state):
@@ -1119,6 +1160,9 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
         return jax.lax.fori_loop(0, chunk_steps // u, step_u, state)
 
     state = jax.lax.while_loop(cond, chunk, init)
+    if stream_leaves:
+        for pkt in range(npk):
+            leaf_fetch_wait(pkt)   # drain the last lookahead DMAs
     for pkt in range(npk):
         t, tri, u, v = state[1 + NS * pkt + 4:1 + NS * pkt + NS]
         r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
@@ -1132,17 +1176,20 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "interpret",
                                     "packets_per_program", "chunk_steps",
-                                    "chunk_unroll", "ordered"))
+                                    "chunk_unroll", "ordered",
+                                    "stream_leaves"))
 def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                            any_hit: bool = False, interpret: bool = False,
                            packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
                            active=None, chunk_steps: int = 8,
-                           chunk_unroll: int = None, ordered: bool = True):
+                           chunk_unroll: int = None, ordered: bool = True,
+                           stream_leaves: bool = False):
     """Wide-BVH packet traversal with direct-child-id stacks and VMEM
     meta tiles (pack_meta_tiles) — no SMEM meta table, so scene capacity
-    is bounded only by the VMEM record budget. ``ordered`` pushes
-    children farthest-first (near-first pops). Contract matches
-    intersect_wide."""
+    is bounded only by the VMEM record budget; with ``stream_leaves``
+    the leaf records stay in HBM behind per-packet lookahead DMAs and
+    only the node records bound capacity. ``ordered`` pushes children
+    farthest-first (near-first pops). Contract matches intersect_wide."""
     npk = packets_per_program
     R = o.shape[0]
     group = PACKET * npk
@@ -1174,9 +1221,13 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
         out_specs=[ray_spec] * 4,
         scratch_shapes=[
             pltpu.VMEM(nodes.shape, nodes.dtype),
-            pltpu.VMEM(leaves.shape, leaves.dtype),
+            # streaming: one lookahead tile buffer per packet; resident:
+            # the whole leaf array
+            pltpu.VMEM((npk,) + leaves.shape[1:], leaves.dtype)
+            if stream_leaves else pltpu.VMEM(leaves.shape, leaves.dtype),
             pltpu.VMEM(meta_tiles.shape, meta_tiles.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3 + npk,) if stream_leaves
+                                    else (3,)),
         ],
     )
     shape2 = (rows, PACKET_COLS)
@@ -1190,7 +1241,10 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
     if chunk_unroll is None:
         chunk_unroll = 1 if interpret else WIDE_CHUNK_UNROLL
     kernel = functools.partial(_wide_direct_kernel, any_hit, npk,
-                               chunk_steps, chunk_unroll, ordered)
+                               chunk_steps, chunk_unroll, ordered,
+                               stream_leaves)
+    vmem_args = (nodes, meta_tiles) if stream_leaves \
+        else (nodes, leaves, meta_tiles)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1198,7 +1252,7 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_vmem_limit(nodes, leaves, meta_tiles)),
+            vmem_limit_bytes=_vmem_limit(*vmem_args)),
     )(jnp.full((1,), jnp.float32(tmin)),
       nodes, leaves, meta_tiles,
       op[..., 0], op[..., 1], op[..., 2],

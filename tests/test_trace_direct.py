@@ -116,6 +116,57 @@ def test_direct_bf16_agrees_with_f32():
     assert (hf != hq).mean() < 0.02
 
 
+@pytest.mark.parametrize("any_hit", [False, True])
+def test_direct_leaf_streaming_matches_resident(any_hit):
+    """stream_leaves=True (HBM leaf tiles behind one-step lookahead
+    DMAs) returns exactly what the VMEM-resident kernel returns."""
+    data = scenes.cornell_scene().build()
+    s, b, w = _build(data)
+    mt = tp.pack_meta_tiles(w.meta)
+    rng = np.random.default_rng(11)
+    R = 2048
+    v0 = np.asarray(s.v0)
+    c = v0.mean(0)
+    ext = v0.max(0) - v0.min(0)
+    o = jnp.asarray((c + rng.normal(0, 0.5, (R, 3)) * ext)
+                    .astype(np.float32))
+    d = rng.normal(0, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    nodes, leaves = jnp.asarray(w.nodes), jnp.asarray(w.leaves)
+    res = tp.intersect_wide_direct(nodes, leaves, mt, o, d, 1e-3, 1e6,
+                                   any_hit=any_hit, interpret=True)
+    strm = tp.intersect_wide_direct(nodes, leaves, mt, o, d, 1e-3, 1e6,
+                                    any_hit=any_hit, interpret=True,
+                                    stream_leaves=True)
+    for a, bb in zip(res, strm):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_scene_tracer_leaf_stream_flag():
+    """A scene whose leaves exceed the budget but whose nodes fit gets
+    the streaming wide backend instead of the jnp fallback."""
+    data = scenes.stress_scene(num_objects=25).build()
+    tracer_budget = tp.VMEM_SCENE_BUDGET
+    try:
+        s = data.triangles
+        b = bvh_mod.build_bvh_host(s.v0, s.v1, s.v2, builder="sah")
+        from hybridrenderer_tpu.ops import bvh_wide as bw
+        w = bw.build_wide(b, s.v0, s.v1, s.v2)
+        nodes_bytes = int(np.prod(w.nodes.shape)) * 4
+        # budget between bf16 nodes and bf16 nodes+leaves → streaming
+        tp.VMEM_SCENE_BUDGET = nodes_bytes  # bf16 halves both
+        from hybridrenderer_tpu.core.config import RenderSettings
+        tracer = trace.SceneTracer.build(
+            data, RenderSettings(trace_backend="pallas-wide"))
+        assert tracer.backend == "pallas-wide"
+        assert tracer.leaf_stream
+        assert tracer.wide_meta_tiles is not None
+        assert tracer.wide_nodes.dtype == jnp.bfloat16
+    finally:
+        tp.VMEM_SCENE_BUDGET = tracer_budget
+
+
 def test_direct_active_mask():
     data = scenes.cube_scene().build()
     s, b, w = _build(data)

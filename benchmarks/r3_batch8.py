@@ -1,0 +1,268 @@
+"""Round-3 TPU batch 8, ONE process.
+
+A. GI-SVGF attach mechanism: the +25-35 ms GI-signal attach (batch 7)
+   hits spatial-only too — is it Pallas-operand materialization?
+   svgf_backend="jnp" (no Pallas stencils) and graph_barriers="all"
+   (explicit materialization of every pass output) are the controls.
+B. HBM leaf-streaming perf (the new stream_leaves kernel): forced
+   streaming vs resident on the 65k scene (bf16 both), plus a 4.2M-tri
+   soup (beyond any resident budget) — VERDICT r2 task 9's "within ~3x
+   of in-VMEM rate" bar.
+C. v4 raster-kernel floor attribution: rk_ctl vs rk_empty (synthetic
+   zero-count streams) under the transposed kernel — is the remaining
+   16.7 ms fixed or per-candidate work?
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.getcwd())
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridrenderer_tpu.core.camera import OrbitCamera
+from hybridrenderer_tpu.core.config import RenderSettings
+from hybridrenderer_tpu.core.types import RenderFlags, RenderPathType
+from hybridrenderer_tpu.ops import bvh as bvh_mod
+from hybridrenderer_tpu.ops import bvh_wide, raster_pallas
+from hybridrenderer_tpu.ops import raster as raster_ops
+from hybridrenderer_tpu.ops import trace_pallas as tp
+from hybridrenderer_tpu.runtime.renderer import Renderer
+from hybridrenderer_tpu.scene import scene as scenes
+
+host = scenes.stress_scene(num_objects=250)
+data = host.build()
+W, H = 1920, 1080
+ITERS = 4
+cam_kw = dict(distance=30.0, pitch=0.5, yaw=0.8, focal_point=(0, 2.0, 0))
+
+BASE = RenderFlags.LIGHT | RenderFlags.IBL | RenderFlags.EMISSIVE
+SV = (RenderFlags.SVGF | RenderFlags.SVGF_TEMPORAL
+      | RenderFlags.SVGF_SPATIAL)
+SVS = RenderFlags.SVGF | RenderFlags.SVGF_SPATIAL
+HEADG = BASE | RenderFlags.SHADOW | RenderFlags.AO | RenderFlags.GI
+HEADR = BASE | RenderFlags.SHADOW | RenderFlags.AO | RenderFlags.REFLECTION
+
+
+def report(name, val, **kw):
+    print(json.dumps({"probe": name, "ms": round(val, 2), **kw}),
+          flush=True)
+
+
+def guard(name, fn):
+    try:
+        r = fn()
+        if isinstance(r, tuple):
+            report(name, r[0], **r[1])
+        else:
+            report(name, r)
+    except Exception as e:
+        print(json.dumps({"probe": name, "error": repr(e)[:250]}),
+              flush=True)
+        time.sleep(120)
+
+
+def burst_ms(flags, k=2, **skw):
+    st = RenderSettings(width=W, height=H, path=RenderPathType.HYBRID,
+                        flags=flags, **skw)
+    r = Renderer.for_scene(st, data)
+    c = OrbitCamera(width=W, height=H, **cam_kw)
+
+    def steps(n):
+        out = []
+        for _ in range(n):
+            out.append(c.step(taa_enabled=True))
+            c.orbit(0.01, 0.0)
+        return out
+
+    out = r.render_burst(steps(k))
+    out = r.render_burst(steps(k))
+    _ = np.asarray(out[-1, 0, 0])
+    t0 = time.perf_counter()
+    out = r.render_burst(steps(k))
+    _ = np.asarray(out[-1, 0, 0])
+    return 1000.0 * (time.perf_counter() - t0) / k
+
+
+# ---- A: GI-attach mechanism
+guard("headG_svs_ctl", lambda: burst_ms(HEADG | SVS))
+guard("headG_svs_jnp", lambda: burst_ms(HEADG | SVS, svgf_backend="jnp"))
+guard("headR_svs_jnp", lambda: burst_ms(HEADR | SVS, svgf_backend="jnp"))
+guard("headG_svs_ball", lambda: burst_ms(HEADG | SVS,
+                                         graph_barriers="all"))
+guard("headG_sv_ball", lambda: burst_ms(HEADG | SV, graph_barriers="all"))
+guard("headG_sv_ctl", lambda: burst_ms(HEADG | SV))
+
+
+# ---- B: leaf streaming
+def ray_sets():
+    from hybridrenderer_tpu.core import maths
+    from hybridrenderer_tpu.graph.params import FrameParams
+    from hybridrenderer_tpu.ops import image as img_ops
+    from hybridrenderer_tpu.ops import sampling
+
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    wpos = jnp.stack([(xx - W / 2) * 0.02, jnp.zeros_like(xx),
+                      (yy - H / 2) * 0.02], -1)
+    n_up = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), wpos.shape)
+    origin = sampling.offset_ray(wpos, n_up)
+    sun = maths.normalize(-data.sun.direction)
+    sun_img = jnp.broadcast_to(sun, wpos.shape)
+
+    def prep(o_img, d_img):
+        o, _ = img_ops.to_tile_major(o_img)
+        d, _ = img_ops.to_tile_major(d_img)
+        return o, d
+
+    return prep(origin, sun_img)
+
+
+O_T, D_T = ray_sets()
+NRAYS = W * H
+
+
+def s(x):
+    return jnp.minimum(jnp.sum(x.astype(jnp.float32)) * 1e-12, 1e-7)
+
+
+def timed_trace(name, nodes, leaves, mt, stream, any_hit=True):
+    @jax.jit
+    def loop(z):
+        def body(_, carry):
+            t, tri, u, v = tp.intersect_wide_direct(
+                nodes, leaves, mt, O_T + carry, D_T, 0.01, 1e4,
+                any_hit=any_hit, stream_leaves=stream)
+            return carry + s(t) + s(u)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    try:
+        r = loop(jnp.float32(0.0))
+        _ = float(r)
+        t0 = time.perf_counter()
+        r = loop(jnp.float32(0.0))
+        _ = float(r)
+        ms = (time.perf_counter() - t0) / ITERS * 1e3
+        report(name, ms, mrays=round(NRAYS / ms / 1e3, 2))
+    except Exception as e:
+        print(json.dumps({"probe": name, "error": repr(e)[:250]}),
+              flush=True)
+        time.sleep(120)
+
+
+def build_wide_arrays(v0, v1, v2, bf16):
+    b = bvh_mod.build_bvh_host(v0, v1, v2, builder="sah")
+    w = bvh_wide.build_wide(b, v0, v1, v2)
+    if bf16:
+        w = bvh_wide.quantize_bf16(w)
+    return (jnp.asarray(w.nodes), jnp.asarray(w.leaves),
+            tp.pack_meta_tiles(w.meta))
+
+
+soup = data.triangles
+n65, l65, m65 = build_wide_arrays(soup.v0, soup.v1, soup.v2, bf16=True)
+print(json.dumps({"info": "bf16_65k", "nodes": list(n65.shape),
+                  "leaves": list(l65.shape)}), flush=True)
+timed_trace("shadow65_resident_bf16", n65, l65, m65, stream=False)
+timed_trace("shadow65_stream_bf16", n65, l65, m65, stream=True)
+timed_trace("closest65_resident_bf16", n65, l65, m65, stream=False,
+            any_hit=False)
+timed_trace("closest65_stream_bf16", n65, l65, m65, stream=True,
+            any_hit=False)
+
+# 4.2M-tri soup: the 65k stress soup tiled 8x8 with offsets — beyond
+# any resident budget (bf16 records ~118 MB); streaming is the ONLY
+# fast path. One compile (new shapes).
+v0s, v1s, v2s = (np.asarray(soup.v0), np.asarray(soup.v1),
+                 np.asarray(soup.v2))
+ext = v0s.max(0) - v0s.min(0)
+reps = []
+for gy in range(8):
+    for gx in range(8):
+        off = np.float32([gx * ext[0] * 1.05, 0.0, gy * ext[2] * 1.05])
+        reps.append((v0s + off, v1s + off, v2s + off))
+v0b = jnp.asarray(np.concatenate([r[0] for r in reps]))
+v1b = jnp.asarray(np.concatenate([r[1] for r in reps]))
+v2b = jnp.asarray(np.concatenate([r[2] for r in reps]))
+print(json.dumps({"info": "big_soup", "tris": int(v0b.shape[0])}),
+      flush=True)
+try:
+    t0 = time.perf_counter()
+    nb, lb, mb = build_wide_arrays(v0b, v1b, v2b, bf16=True)
+    print(json.dumps({"info": "big_build_s",
+                      "value": round(time.perf_counter() - t0, 1),
+                      "nodes": list(nb.shape), "leaves": list(lb.shape),
+                      "leaf_mb": round(np.prod(lb.shape) * 2 / 2**20, 1)}),
+          flush=True)
+    timed_trace("shadow4m_stream_bf16", nb, lb, mb, stream=True)
+except Exception as e:
+    print(json.dumps({"probe": "big_build", "error": repr(e)[:250]}),
+          flush=True)
+    time.sleep(120)
+
+
+# ---- C: v4 raster floor (rk_ctl vs rk_empty)
+cam = OrbitCamera(width=W, height=H, **cam_kw).step()
+vp = jnp.asarray(np.asarray(cam.proj) @ np.asarray(cam.view))
+
+
+def build_bins():
+    corners = jnp.stack(
+        [raster_ops.transform_to_clip(data.triangles.v0, vp),
+         raster_ops.transform_to_clip(data.triangles.v1, vp),
+         raster_ops.transform_to_clip(data.triangles.v2, vp)], axis=1)
+    tris = raster_ops.clip_triangles(
+        None, None, None, None, W, H, None,
+        data.triangles.single_sided, corners=corners)
+    packed, bbox, valid = raster_pallas.pack_candidates(
+        tris, attr_table=data.raster_rows)
+    return raster_pallas.bin_candidates(packed, bbox, valid, W, H, 8, 128)
+
+
+bins0 = jax.jit(build_bins)()
+bins0 = jax.tree_util.tree_map(jnp.asarray, bins0)
+
+
+def make_rk(mode):
+    b = dict(bins0)
+    if mode == "empty":
+        b["counts_a"] = jnp.zeros_like(b["counts_a"])
+        b["counts_b"] = jnp.zeros_like(b["counts_b"])
+        b["n_overflow"] = jnp.zeros_like(bins0["n_overflow"])
+
+    def step(bump):
+        bb = dict(b)
+        bb["stream_a"] = b["stream_a"] + bump
+        vis, kattrs = raster_pallas.raster_tiles(bb, W, H)
+        acc = sum(s(v) for v in jax.tree_util.tree_leaves(vis))
+        return acc + s(kattrs)
+
+    return step
+
+
+def timed(name, step):
+    @jax.jit
+    def loop(z):
+        def body(_, carry):
+            return carry + step(carry)
+        return jax.lax.fori_loop(0, 8, body, z)
+
+    try:
+        r = loop(jnp.float32(0.0))
+        _ = float(r)
+        t0 = time.perf_counter()
+        r = loop(jnp.float32(0.0))
+        _ = float(r)
+        report(name, (time.perf_counter() - t0) / 8 * 1e3)
+    except Exception as e:
+        print(json.dumps({"probe": name, "error": repr(e)[:250]}),
+              flush=True)
+        time.sleep(120)
+
+
+timed("rk_v4_ctl", make_rk("ctl"))
+timed("rk_v4_empty", make_rk("empty"))
+print("EXIT=0", flush=True)

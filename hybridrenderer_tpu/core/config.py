@@ -135,6 +135,10 @@ class RenderSettings:
     reflection_half_res: bool = False
     gi_half_res: bool = False
 
+    # SVGF spatial-kernel backend: "auto" (Pallas stencils on TPU) |
+    # "pallas" | "jnp" (unfused XLA stencils — the A/B control for
+    # Pallas-operand materialization effects, r3 batch 8)
+    svgf_backend: str = "auto"
     # Pass-output materialization barriers (graph/graph.py): "multi"
     # barriers only fan-out resources (>= 2 consumers / history saves),
     # "all" barriers every pass output (round-1 behavior), "none"

@@ -135,6 +135,10 @@ class RenderSettings:
     reflection_half_res: bool = False
     gi_half_res: bool = False
 
+    # SVGF history-plane storage width: 32 (f32) or 16 (bf16 — the
+    # reference stores every SVGF image RGBA16F, SVGFPass.cpp:24-164;
+    # 16 halves history/window HBM traffic, filter math stays f32)
+    svgf_bits: int = 32
     # SVGF spatial-kernel backend: "auto" (Pallas stencils on TPU) |
     # "pallas" | "jnp" (unfused XLA stencils — the A/B control for
     # Pallas-operand materialization effects, r3 batch 8)

@@ -69,7 +69,7 @@ def temporal(cur_signal, albedo, motion_plane, normal, object_id,
 def temporal_multi(cur_signals, albedo, motion_plane, normal, object_id,
                    histories, prev_normal, prev_lin_depth, prev_object_id,
                    demod_flags, history_valid: bool, gather: str = "auto",
-                   temporal_range: int = 8):
+                   temporal_range: int = 8, bits: int = 32):
     """Fused temporal.comp for K signals sharing one motion/geometry
     frame — returns [(accumulated signal (H,W,4), moments (H,W,4))]×K.
 
@@ -167,9 +167,9 @@ def temporal_multi(cur_signals, albedo, motion_plane, normal, object_id,
         ]
         for history in histories:
             hpack = jnp.concatenate([
-                history.signal,                            # 0:4
-                history.moments[..., :2],                  # 4:6
-                history.moments[..., 3:4],                 # 6
+                history.signal.astype(jnp.float32),        # 0:4
+                history.moments[..., :2].astype(jnp.float32),   # 4:6
+                history.moments[..., 3:4].astype(jnp.float32),  # 6
                 prev_normal,                               # 7:10
                 prev_lin_depth[..., None],                 # 10
                 prev_object_id[..., None].astype(jnp.float32),  # 11
@@ -201,11 +201,12 @@ def temporal_multi(cur_signals, albedo, motion_plane, normal, object_id,
         val_pm = jnp.stack([
             prev_normal[..., 0], prev_normal[..., 1], prev_normal[..., 2],
             prev_lin_depth, prev_object_id.astype(jnp.float32)], axis=0)
+        sig_dt = jnp.bfloat16 if bits == 16 else jnp.float32
         sig_pms = [
             jnp.stack([h.signal[..., 0], h.signal[..., 1],
                        h.signal[..., 2], h.signal[..., 3],
                        h.moments[..., 0], h.moments[..., 1],
-                       h.moments[..., 3]], axis=0)
+                       h.moments[..., 3]], axis=0).astype(sig_dt)
             for h in histories]
         results, weight_sum = temporal_pallas.reproject_multi(
             val_pm, sig_pms, by, bx, f[..., 1], f[..., 0], footprint_ok,
@@ -385,6 +386,10 @@ class SVGFConfig:
     use_albedo_demod: bool = False
     backend: str = "auto"   # "auto" | "jnp" | "pallas" spatial kernels
     temporal_gather: str = "auto"  # "auto" | "pixel" | "tile" | "tile_interpret"
+    # History-plane storage width: 32 (f32) or 16 (bf16 — the analog of
+    # the reference's RGBA16F SVGF images, SVGFPass.cpp:24-164; halves
+    # history/window HBM traffic, accumulation math stays f32)
+    bits: int = 32
     # Pallas stencil tile (h, w); None → env SVGF_TILE → "32x128".
     # Bigger tiles amortize the ±(8, 128) alignment halo each program
     # over-fetches (batch 34/35).
@@ -458,7 +463,8 @@ def denoise_multi(cur_signals, albedo, gb_motion_plane, normal, object_id,
             prev_normal, prev_lin_depth, prev_object_id,
             [configs[k].use_albedo_demod for k in t_idx], history_valid,
             gather=configs[0].temporal_gather,
-            temporal_range=configs[0].temporal_range)
+            temporal_range=configs[0].temporal_range,
+            bits=configs[0].bits)
         for k, (sig, mom) in zip(t_idx, fetched):
             new_hist_moments[k] = mom
             if pallas_spatial:
@@ -497,7 +503,11 @@ def denoise_multi(cur_signals, albedo, gb_motion_plane, normal, object_id,
 
         variance_debug = signal[..., 3]
         out = combine(signal, albedo, config.use_albedo_demod)
-        new_history = SVGFSignalHistory(signal=new_hist_signals[k],
-                                        moments=new_hist_moments[k])
+        # history planes persist in the config's storage width (bf16
+        # when bits=16 — the reference's RGBA16F analog)
+        store_dt = jnp.bfloat16 if config.bits == 16 else jnp.float32
+        new_history = SVGFSignalHistory(
+            signal=new_hist_signals[k].astype(store_dt),
+            moments=new_hist_moments[k].astype(store_dt))
         results.append((out, new_history, variance_debug))
     return results

@@ -56,15 +56,19 @@ def _kernel(K: int, rng: int,
             # scalar prefetch
             y0_ref, x0_ref,
             # inputs
-            win_ref, fields_ref,
+            val_ref, sig_ref, fields_ref,
             # outputs: K × (sig0..3, m1, m2, hlen), then shared wsum
             *out_refs):
-    """K-signal fused reprojection. Window plane order: the 5 shared
-    validation planes (prev nx, ny, nz, z, oid) then K 7-plane signal
-    packs (sig0..3, m1, m2, hlen). The candidate sweep, bilinear
-    weights, and is_valid_reprojection tests depend only on motion and
-    the shared planes — identical for every signal — so fusing the
-    SVGF chains' temporal fetches computes them ONCE (batch 36/37)."""
+    """K-signal fused reprojection. Two window stacks per tile: the 5
+    shared f32 validation planes (prev nx, ny, nz, z, oid — oid needs
+    exact integer compares) and the K 7-plane signal packs (sig0..3,
+    m1, m2, hlen) in their STORAGE dtype — bf16 when svgf_bits=16, the
+    analog of the reference's RGBA16F SVGF images (SVGFPass.cpp:24-164),
+    halving the window traffic; accumulation stays f32. The candidate
+    sweep, bilinear weights, and is_valid_reprojection tests depend
+    only on motion and the shared planes — identical for every signal —
+    so fusing the SVGF chains' temporal fetches computes them ONCE
+    (batch 36/37)."""
     t = pl.program_id(0)
     f = fields_ref[0]
     by = f[0]
@@ -88,31 +92,35 @@ def _kernel(K: int, rng: int,
     rdx = bx - x0_ref[t].astype(jnp.float32) - ix
     in_range = (rdy >= 0) & (rdy < rng) & (rdx >= 0) & (rdx < rng) & ok
 
-    w32 = win_ref[0]
+    val_w = val_ref[0]
+    sig_w = sig_ref[0]
 
     accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
             for _ in range(7 * K + 1)]
     for dy_c in range(rng + 1):
         wy = jnp.where(rdy == dy_c, 1.0 - fy, 0.0) \
             + jnp.where(rdy + 1.0 == dy_c, fy, 0.0)
-        wrow = pltpu.roll(w32, (-dy_c) % WIN_H, 1) if dy_c else w32
+        vrow = pltpu.roll(val_w, (-dy_c) % WIN_H, 1) if dy_c else val_w
+        srow = pltpu.roll(sig_w, (-dy_c) % WIN_H, 1) if dy_c else sig_w
         # slice to tile height before the lane rolls: shrinks the
         # per-candidate temporaries the unrolled body keeps live
-        wrow = wrow[:, :TILE_H, :]
+        vrow = vrow[:, :TILE_H, :]
+        srow = srow[:, :TILE_H, :]
         for dx_c in range(rng + 1):
             wx = jnp.where(rdx == dx_c, 1.0 - fx, 0.0) \
                 + jnp.where(rdx + 1.0 == dx_c, fx, 0.0)
-            tap = _lane_tap(wrow, dx_c)
+            tap = _lane_tap(vrow, dx_c)
             # is_valid_reprojection (temporal.comp:45-62) — once per
             # candidate, shared by all K signals
             ndot = tap[0] * nx + tap[1] * ny + tap[2] * nz
             okv = (tap[4] == oid_c) & (ndot >= 0.95) \
                 & (jnp.abs(z_c - tap[3]) / (z_c + 1e-6) <= 0.05)
             w_eff = jnp.where(in_range & okv, wy * wx, 0.0)
+            taps = _lane_tap(srow, dx_c).astype(jnp.float32)
             for k in range(K):
-                base = 5 + 7 * k
                 for c in range(7):
-                    accs[7 * k + c] = accs[7 * k + c] + w_eff * tap[base + c]
+                    accs[7 * k + c] = accs[7 * k + c] \
+                        + w_eff * taps[7 * k + c]
             accs[7 * K] = accs[7 * K] + w_eff
 
     for c in range(7 * K + 1):
@@ -168,16 +176,25 @@ def reproject_multi(val_pm, sig_pms, by, bx, fy, fx, ok, normal, z, oid,
     y0 = jnp.clip(trow + m_y, -TILE_H, Hp).reshape(-1)
     x0 = jnp.clip(tcol + m_x, -TILE_W, Wp).reshape(-1)
 
-    # per-tile history windows: batched dynamic-slice. f32: Mosaic has
-    # no f16, and bf16's 8-bit mantissa would alias object ids > 256.
-    hpack_pm = jnp.concatenate([val_pm] + list(sig_pms), axis=0)
-    hq = jnp.pad(hpack_pm,
-                 ((0, 0), (TILE_H, Hp + WIN_H - H), (TILE_W, Wp + WIN_W - W)),
-                 mode="edge")
-    windows = jax.vmap(
-        lambda y, x: jax.lax.dynamic_slice(
-            hq, (0, y + TILE_H, x + TILE_W), (NPK, WIN_H, WIN_W))
-    )(y0, x0)                                    # (nt, NPK, WIN_H, WIN_W)
+    # per-tile history windows: batched dynamic-slice, TWO stacks — the
+    # validation planes stay f32 (bf16's 8-bit mantissa would alias
+    # object ids > 256), the signal packs keep their STORAGE dtype
+    # (bf16 when svgf_bits=16 — the reference's RGBA16F analog)
+    sig_dt = sig_pms[0].dtype if sig_pms else jnp.float32
+    NSIG = NPK - 5
+
+    def tile_windows(planes, n):
+        hq = jnp.pad(planes, ((0, 0), (TILE_H, Hp + WIN_H - H),
+                              (TILE_W, Wp + WIN_W - W)), mode="edge")
+        return jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(
+                hq, (0, y + TILE_H, x + TILE_W), (n, WIN_H, WIN_W))
+        )(y0, x0)                                # (nt, n, WIN_H, WIN_W)
+
+    win_val = tile_windows(val_pm.astype(jnp.float32), 5)
+    win_sig = tile_windows(
+        jnp.concatenate([p.astype(sig_dt) for p in sig_pms], axis=0),
+        NSIG)
 
     fields = jnp.stack([
         pad2(by, big).astype(jnp.float32),
@@ -194,7 +211,9 @@ def reproject_multi(val_pm, sig_pms, by, bx, fy, fx, ok, normal, z, oid,
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, NPK, WIN_H, WIN_W), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 5, WIN_H, WIN_W), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, NSIG, WIN_H, WIN_W),
+                         lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, 10, TILE_H, TILE_W),
                          lambda t, *_: (0, 0, t // ntx, t % ntx)),
         ],
@@ -211,7 +230,7 @@ def reproject_multi(val_pm, sig_pms, by, bx, fy, fx, ok, normal, z, oid,
         # default scoped-vmem budget; v5e has 128 MB of VMEM
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(y0, x0, windows, fields[None])
+    )(y0, x0, win_val, win_sig, fields[None])
 
     outs = [o[:H, :W] for o in outs]
     results = []

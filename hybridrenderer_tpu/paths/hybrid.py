@@ -59,7 +59,7 @@ class HybridRenderPath(RenderPath):
                     prefix=prefix, atrous_iterations=s.svgf_atrous_iterations,
                     temporal_enabled=temporal, spatial_enabled=spatial,
                     use_albedo_demod=demod, tile=s.svgf_tile,
-                    backend=s.svgf_backend,
+                    backend=s.svgf_backend, bits=s.svgf_bits,
                     temporal_range=s.svgf_temporal_range,
                     temporal_gather=s.svgf_temporal_gather)
 

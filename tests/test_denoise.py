@@ -125,6 +125,37 @@ def test_denoise_full_chain_runs():
     assert 0.0 < float(out[..., :3].mean()) < 2.0
 
 
+def test_denoise_bits16_close_to_f32():
+    """bf16 history storage (reference RGBA16F analog): two-frame chain
+    stays within bf16 rounding of the f32 chain; history persists bf16."""
+    normal, mp, oid = _flat_geom()
+    rng = np.random.default_rng(9)
+    sigs = [jnp.asarray(rng.random((H, W, 4)).astype(np.float32))
+            for _ in range(2)]
+    albedo = jnp.full((H, W, 3), 0.5)
+
+    def run(bits):
+        cfg = svgf.SVGFConfig(prefix="T", atrous_iterations=2,
+                              use_albedo_demod=True, bits=bits)
+        hist = svgf.SVGFSignalHistory.create(H, W)
+        out, hist, _ = svgf.denoise(sigs[0], albedo, mp, normal, oid,
+                                    hist, normal, mp[..., 2], oid, cfg,
+                                    PHI, history_valid=False)
+        out, hist, _ = svgf.denoise(sigs[1], albedo, mp, normal, oid,
+                                    hist, normal, mp[..., 2], oid, cfg,
+                                    PHI, history_valid=True)
+        return out, hist
+
+    out32, _ = run(32)
+    out16, hist16 = run(16)
+    assert hist16.signal.dtype == jnp.bfloat16
+    assert hist16.moments.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out16)).all()
+    # one bf16 quantization of the history EMA: ~2^-8 relative
+    err = np.abs(np.asarray(out16) - np.asarray(out32))
+    assert err.max() < 0.02, err.max()
+
+
 # --- TAA -------------------------------------------------------------------
 
 def _taa_inputs(color_val=0.5):

@@ -60,9 +60,20 @@ def decode_image(path: str, srgb: bool) -> np.ndarray:
 
 
 def build_texture_stack(tex_paths: Dict[int, Dict[str, str]], materials,
-                        max_size: int = 512) -> Optional[TextureStack]:
+                        max_size: int = None) -> Optional[TextureStack]:
     """Decode all referenced textures concurrently, dedupe by path, stack
-    padded, and patch material texture indices in place."""
+    padded, and patch material texture indices in place.
+
+    ``max_size``: per-texture resolution cap (None → env HR_TEX_MAX →
+    512). The reference samples full-resolution textures from a
+    1024-slot bindless array (ResourceManager.cpp:253,651-689); here
+    every texture shares one padded (n, S, S, 4) stack and the
+    quad-texel layout (schema.build_quads) costs 4x again, so HBM for
+    the stack is n * S^2 * 64 B — S=512 / 50 textures = 838 MB, S=1024
+    = 3.4 GB (fits v5e HBM; raise the cap when fidelity matters more
+    than memory)."""
+    if max_size is None:
+        max_size = int(os.environ.get("HR_TEX_MAX", "512"))
     unique: Dict[str, int] = {}
     jobs = []
     slot_srgb = {"colour": True, "emission": True, "roughness": False,
@@ -116,7 +127,7 @@ def build_texture_stack(tex_paths: Dict[int, Dict[str, str]], materials,
     return TextureStack(data=jnp.asarray(stack), sizes=jnp.asarray(sizes))
 
 
-def load_scene_file(path: str, max_texture_size: int = 512) -> Scene:
+def load_scene_file(path: str, max_texture_size: int = None) -> Scene:
     """OBJ / glTF / GLB → host Scene (call .build() for device data)."""
     ext = os.path.splitext(path)[1].lower()
     sc = Scene(name=os.path.basename(path))

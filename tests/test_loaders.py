@@ -161,6 +161,23 @@ def test_texture_stack_build(tmp_path):
                                [1.0, 0.0, 0.0, 1.0], atol=1e-3)
 
 
+def test_texture_stack_env_cap(tmp_path, monkeypatch):
+    """HR_TEX_MAX sets the stack resolution (reference samples full-res
+    textures; the 512 default is a memory cap, not a hard limit)."""
+    img = np.zeros((32, 32, 4), np.uint8)
+    img[..., 1] = 255
+    img[..., 3] = 255
+    p = str(tmp_path / "g.png")
+    output.write_png(p, img)
+    from hybridrenderer_tpu.scene.schema import Material
+
+    monkeypatch.setenv("HR_TEX_MAX", "8")
+    stack = loader.build_texture_stack({0: {"colour": p}},
+                                       [Material(name="m")])
+    assert stack.data.shape[1:3] == (8, 8)
+    assert tuple(np.asarray(stack.sizes[0])) == (8, 8)
+
+
 def test_native_matches_python(tmp_path, monkeypatch):
     """Native C++ parser and pure-Python parser produce the same mesh."""
     from hybridrenderer_tpu.scene import loader_native

@@ -33,6 +33,36 @@ from hybridrenderer_tpu.ops import trace_pallas as tp
 from hybridrenderer_tpu.runtime.renderer import Renderer
 from hybridrenderer_tpu.scene import scene as scenes
 
+def chip_health(max_waits=6):
+    """Gate on a known-cost op: a 2048^2 matmul chain measured ~2-3 ms
+    on a healthy lease. A degraded/contended session (r3: one measured
+    25x slow) wastes every rung — sleep and retry instead."""
+    a = jnp.ones((2048, 2048), jnp.float32)
+
+    @jax.jit
+    def mm(x):
+        def body(_, c):
+            return c @ c * 1e-9 + a
+        return jax.lax.fori_loop(0, 8, body, x)
+
+    for attempt in range(max_waits):
+        r = mm(a)
+        _ = np.asarray(r[0, 0])
+        t0 = time.perf_counter()
+        r = mm(a)
+        _ = np.asarray(r[0, 0])
+        ms = (time.perf_counter() - t0) * 1e3
+        print(json.dumps({"info": "chip_health_ms", "value": round(ms, 1),
+                          "attempt": attempt}), flush=True)
+        if ms < 60.0:
+            return
+        time.sleep(600)
+    print(json.dumps({"info": "chip_health", "value": "degraded"}),
+          flush=True)
+
+
+chip_health()
+
 host = scenes.stress_scene(num_objects=250)
 data = host.build()
 W, H = 1920, 1080

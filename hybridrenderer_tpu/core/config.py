@@ -64,6 +64,12 @@ class RenderSettings:
     # 4. Bigger clusters halve the leaf pop/push overhead per triangle
     # but test more padded triangles per visit (r3 throughput ladder).
     bvh_leaf_tris: "int | None" = None
+    # Interpolated-attribute output width from the raster kernel: 32
+    # (f32, bit-exact vs the join path) or 16 (bf16 — the reference's
+    # G-buffer MRTs are R8G8B8A8/RGBA16F, GBufferPass.cpp:24-56; the
+    # f32 (ntiles, 40, P) output write is ~most of the kernel's fixed
+    # per-program floor, r3 batch 8)
+    raster_attr_bits: int = 32
     max_tris_per_tile: int = 512
     # Hit-shading attribute fetch: None → env SHADE_FETCH → "auto"
     # (scene.shade_rows u16 fast-gather table when present, else the

@@ -160,7 +160,8 @@ def make_gbuffer_pass(settings):
                     tris, settings.width, settings.height,
                     tile_h=settings.tile_h, tile_w=settings.tile_w,
                     attr_table=sc.raster_rows if ride_attrs else None,
-                    eval_mode=settings.raster_eval)
+                    eval_mode=settings.raster_eval,
+                    attr_bits=settings.raster_attr_bits)
                 return out if ride_attrs else (out, None)
             return (raster_ops.rasterize_scene(
                 sc.vertices.world_position, sc.triangles.i0, sc.triangles.i1,

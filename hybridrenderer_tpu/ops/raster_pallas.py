@@ -647,7 +647,7 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
         lerpT, constT, sT = carry[5:]
         sT_safe = jnp.where(jnp.abs(sT) < 1e-20, 1e-20, sT)
         attr_ref[...] = jnp.concatenate(
-            [lerpT / sT_safe, constT], axis=0)[None]
+            [lerpT / sT_safe, constT], axis=0)[None].astype(attr_ref.dtype)
 
 
 def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs,
@@ -799,7 +799,7 @@ def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs,
     if has_attrs:
         lerpT, constT = carry[5:]
         attr_ref[...] = jnp.concatenate(
-            [lerpT / s_safe, constT], axis=0)[None]
+            [lerpT / s_safe, constT], axis=0)[None].astype(attr_ref.dtype)
 
 
 def resolve_eval_mode(eval_mode: str = None) -> str:
@@ -816,10 +816,12 @@ def resolve_eval_mode(eval_mode: str = None) -> str:
 
 
 def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
-                 eval_mode: str = None, raw: bool = False):
+                 eval_mode: str = None, raw: bool = False,
+                 attr_bits: int = 32):
     return _raster_tiles(bins, width, height, tile_h=tile_h, tile_w=tile_w,
                          interpret=interpret,
-                         eval_mode=resolve_eval_mode(eval_mode), raw=raw)
+                         eval_mode=resolve_eval_mode(eval_mode), raw=raw,
+                         attr_bits=attr_bits)
 
 
 _WARNED_DOWNGRADE = set()
@@ -827,9 +829,11 @@ _WARNED_DOWNGRADE = set()
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "tile_h", "tile_w",
-                                    "interpret", "eval_mode", "raw"))
+                                    "interpret", "eval_mode", "raw",
+                                    "attr_bits"))
 def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
-                  eval_mode: str = "v4", raw: bool = False):
+                  eval_mode: str = "v4", raw: bool = False,
+                  attr_bits: int = 32):
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
@@ -857,10 +861,15 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
         jax.ShapeDtypeStruct((ntiles, 4, P), jnp.float32),
     ]
     if has_attrs:
+        # 16-bit interpolated-attribute planes match the reference's
+        # RGBA16F/R8G8B8A8 G-buffer MRTs (GBufferPass.cpp:24-56); the
+        # (ntiles, 40, P) f32 output write was ~most of the kernel's
+        # fixed per-program floor (batch 8: ~330 MB/frame)
+        attr_dt = jnp.bfloat16 if attr_bits == 16 else jnp.float32
         out_specs.append(
             pl.BlockSpec((1, ATTR_OUT, P), lambda t, *_: (t, 0, 0)))
         out_shape.append(
-            jax.ShapeDtypeStruct((ntiles, ATTR_OUT, P), jnp.float32))
+            jax.ShapeDtypeStruct((ntiles, ATTR_OUT, P), attr_dt))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -916,14 +925,16 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
     a = outs[1].reshape(nty, ntx, ATTR_OUT, tile_h, tile_w)
     a = a.transpose(0, 3, 1, 4, 2).reshape(
         nty * tile_h, ntx * tile_w, ATTR_OUT)[:height, :width]
-    return vis, a
+    # 16-bit planes upcast at the consumer boundary (G-buffer math is f32)
+    return vis, a.astype(jnp.float32)
 
 
 def rasterize_binned(tris: ClippedTriangles, width: int, height: int,
                      tile_h: int = 8, tile_w: int = 128,
                      max_span: int = 4, max_rows: int = 16,
                      interpret: bool = False, attr_table=None,
-                     eval_mode: str = None, **bin_kw):
+                     eval_mode: str = None, attr_bits: int = 32,
+                     **bin_kw):
     """Full binned pipeline: pack → 3-class bin → Pallas tile raster.
 
     Returns a VisibilityBuffer, or ``(vis, attrs)`` with ``attrs``
@@ -933,4 +944,5 @@ def rasterize_binned(tris: ClippedTriangles, width: int, height: int,
     bins = bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
                           max_span=max_span, max_rows=max_rows, **bin_kw)
     return raster_tiles(bins, width, height, tile_h=tile_h, tile_w=tile_w,
-                        interpret=interpret, eval_mode=eval_mode)
+                        interpret=interpret, eval_mode=eval_mode,
+                        attr_bits=attr_bits)

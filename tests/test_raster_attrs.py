@@ -56,6 +56,28 @@ def test_attr_ride_along_matches_gather():
         np.testing.assert_allclose(a, b, atol=2e-3, err_msg=name)
 
 
+def test_attr_bits16_close_to_f32():
+    """bf16 attribute planes (reference RGBA16F MRT analog) stay within
+    bf16 rounding of the f32 ride-along."""
+    data = scene_mod.stress_scene(num_objects=8, seed=5).build()
+    cam = OrbitCamera(width=W, height=H, distance=25.0, pitch=0.5, yaw=0.8,
+                      focal_point=(0, 2, 0)).step()
+    clip = raster.transform_to_clip(
+        data.vertices.world_position,
+        jnp.asarray(cam.proj) @ jnp.asarray(cam.view))
+    tris = raster.clip_triangles(clip, data.triangles.i0, data.triangles.i1,
+                                 data.triangles.i2, W, H)
+    _, a32 = raster_pallas.rasterize_binned(
+        tris, W, H, interpret=True, attr_table=data.raster_rows)
+    vis16, a16 = raster_pallas.rasterize_binned(
+        tris, W, H, interpret=True, attr_table=data.raster_rows,
+        attr_bits=16)
+    assert a16.dtype == jnp.float32   # consumer-boundary upcast
+    a32n, a16n = np.asarray(a32), np.asarray(a16)
+    denom = np.maximum(np.abs(a32n), 1.0)
+    assert (np.abs(a16n - a32n) / denom).max() < 2 ** -7
+
+
 def test_attr_ride_along_background_zero():
     data = scene_mod.cube_scene().build()
     cam = OrbitCamera(width=W, height=H, distance=6.0, pitch=0.5,

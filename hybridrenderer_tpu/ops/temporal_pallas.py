@@ -93,7 +93,10 @@ def _kernel(K: int, rng: int,
     in_range = (rdy >= 0) & (rdy < rng) & (rdx >= 0) & (rdx < rng) & ok
 
     val_w = val_ref[0]
-    sig_w = sig_ref[0]
+    # upcast ONCE at the VMEM read: the HBM window traffic stays in the
+    # storage dtype (the win), while rolls/taps run f32 (Mosaic's rolls
+    # on bf16 rank-3 windows failed to compile — r3 batch 9)
+    sig_w = sig_ref[0].astype(jnp.float32)
 
     accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
             for _ in range(7 * K + 1)]
@@ -116,7 +119,7 @@ def _kernel(K: int, rng: int,
             okv = (tap[4] == oid_c) & (ndot >= 0.95) \
                 & (jnp.abs(z_c - tap[3]) / (z_c + 1e-6) <= 0.05)
             w_eff = jnp.where(in_range & okv, wy * wx, 0.0)
-            taps = _lane_tap(srow, dx_c).astype(jnp.float32)
+            taps = _lane_tap(srow, dx_c)
             for k in range(K):
                 for c in range(7):
                     accs[7 * k + c] = accs[7 * k + c] \

@@ -247,9 +247,14 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
     # spill observability the fixed caps lacked.
     T2_ = packed.shape[0]
     if cap_a is None:
-        cap_a = max(8192, min(262144, -(-T2_ // BLOCK) * BLOCK))
+        # 2/3 of the candidate count: live entries measured 50-70k at
+        # stress vs T2 147k — the 2x-headroom caps left ~4 ms of dead
+        # gather on the table (r3 batch 9: rung 31.1 -> 27.2 at 2/3,
+        # n_dropped 0); tighter than ~1.4x headroom starts gambling
+        # with view-dependent spill
+        cap_a = max(8192, min(262144, -(-(T2_ * 2 // 3) // BLOCK) * BLOCK))
     if cap_b is None:
-        cap_b = max(2048, min(32768, -(-T2_ // (8 * BLOCK)) * BLOCK))
+        cap_b = max(2048, min(32768, -(-T2_ // (12 * BLOCK)) * BLOCK))
     if b_cand_cap is None:
         b_cand_cap = max(2048, -(-262144 // max_rows))
 

@@ -141,10 +141,12 @@ class RenderSettings:
     reflection_half_res: bool = False
     gi_half_res: bool = False
 
-    # SVGF history-plane storage width: 32 (f32) or 16 (bf16 — the
+    # SVGF history-plane storage width: 16 (bf16 — DEFAULT; the
     # reference stores every SVGF image RGBA16F, SVGFPass.cpp:24-164;
-    # 16 halves history/window HBM traffic, filter math stays f32)
-    svgf_bits: int = 32
+    # halves history/window HBM traffic, filter math stays f32 — r3
+    # batch 9b: head −3.0 ms, full graph −8.4, 4-frame mean err 0.0017)
+    # or 32 (f32 exact; unit tests pin the f32 chain)
+    svgf_bits: int = 16
     # SVGF spatial-kernel backend: "auto" (Pallas stencils on TPU) |
     # "pallas" | "jnp" (unfused XLA stencils — the A/B control for
     # Pallas-operand materialization effects, r3 batch 8)

@@ -141,12 +141,15 @@ class RenderSettings:
     reflection_half_res: bool = False
     gi_half_res: bool = False
 
-    # SVGF history-plane storage width: 16 (bf16 — DEFAULT; the
-    # reference stores every SVGF image RGBA16F, SVGFPass.cpp:24-164;
-    # halves history/window HBM traffic, filter math stays f32 — r3
-    # batch 9b: head −3.0 ms, full graph −8.4, 4-frame mean err 0.0017)
-    # or 32 (f32 exact; unit tests pin the f32 chain)
-    svgf_bits: int = 16
+    # SVGF history-plane storage width: 32 (f32 exact — DEFAULT; the
+    # golden ladder pins this chain) or 16 (bf16 — the reference's
+    # RGBA16F analog, SVGFPass.cpp:24-164; halves history/window HBM
+    # traffic, filter math stays f32. r3 batch 9b measured head −3.0 ms
+    # / full graph −8.4 but the accumulated-history drift reads p99 4 /
+    # max 57 vs the f32 goldens (r3 judge bisect) — kept opt-in until
+    # it passes tests/test_svgf_bits.py's multi-frame quality gate with
+    # margin worth the ms).
+    svgf_bits: int = 32
     # SVGF spatial-kernel backend: "auto" (Pallas stencils on TPU) |
     # "pallas" | "jnp" (unfused XLA stencils — the A/B control for
     # Pallas-operand materialization effects, r3 batch 8)

@@ -64,6 +64,12 @@ class RenderSettings:
     # 4. Bigger clusters halve the leaf pop/push overhead per triangle
     # but test more padded triangles per visit (r3 throughput ladder).
     bvh_leaf_tris: "int | None" = None
+    # Children per wide-BVH node: None → env WIDE_WIDTH → 8. 16-wide
+    # collapses 4 binary levels per node — half the pop/push/extract
+    # steps per traversal at 2x the slab math per visit (VERDICT r3
+    # task 4); direct-stack kernel only (reference 2-wide BLAS analog:
+    # common.glsl:124-153 traversal re-shaped for packet stepping).
+    bvh_width: "int | None" = None
     # Interpolated-attribute output width from the raster kernel: 32
     # (f32, bit-exact vs the join path) or 16 (bf16 — the reference's
     # G-buffer MRTs are R8G8B8A8/RGBA16F, GBufferPass.cpp:24-56; the

@@ -91,13 +91,21 @@ def _depths(parent: np.ndarray) -> np.ndarray:
 
 
 def build_wide(bvh, tri_v0, tri_v1, tri_v2,
-               leaf_tris: int = LEAF_TRIS) -> WideBVH:
+               leaf_tris: int = LEAF_TRIS, width: int = WIDTH) -> WideBVH:
     """Binary BVH (ops/bvh.BVH) + world triangles → WideBVH.
 
     ``leaf_tris``: triangles per leaf cluster (records are 12 rows per
     triangle → (Tl, 12*leaf_tris, 128) tiles). Bigger clusters halve
     the leaf pop/push/extract overhead per triangle at the cost of
-    testing more padded triangles per visit (r3 throughput ladder)."""
+    testing more padded triangles per visit (r3 throughput ladder).
+
+    ``width``: children per wide node (8 or 16 — collapse 3 or 4 binary
+    levels). 16-wide halves pop/push/extract count per traversal at 2x
+    the slab math per visit (VERDICT r3 task 4; the step-cost lever).
+    width=16 emits UNPACKED (Nw, 4) meta (16-bit masks don't fit the
+    base*256|mask packing) — direct-stack kernel only."""
+    levels = width.bit_length() - 1
+    assert width in (8, 16) and 2 ** levels == width
     nmin = np.asarray(bvh.node_min)
     nmax = np.asarray(bvh.node_max)
     left = np.asarray(bvh.left)
@@ -155,17 +163,20 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2,
         psmall = np.zeros(N, bool)
         psmall[parent >= 0] = small[np.maximum(parent, 0)][parent >= 0]
         cluster_root = small & ~psmall & (np.arange(N) != 0)
-        is_wide = (~small) & (depth % _LEVELS == 0)
+        is_wide = (~small) & (depth % levels == 0)
 
-        # nearest mod-3 ancestor: k = ((depth-1) % 3) + 1 parent hops
+        # nearest mod-`levels` ancestor: ((depth-1) % levels) + 1 hops
         def ancestor_k(nodes, k):
-            a1 = parent[nodes]
-            a2 = np.where(a1 >= 0, parent[np.maximum(a1, 0)], -1)
-            a3 = np.where(a2 >= 0, parent[np.maximum(a2, 0)], -1)
-            return np.select([k == 1, k == 2, k == 3], [a1, a2, a3], -1)
+            hops = [nodes]
+            for _ in range(levels):
+                prev = hops[-1]
+                hops.append(np.where(prev >= 0,
+                                     parent[np.maximum(prev, 0)], -1))
+            return np.select([k == j for j in range(1, levels + 1)],
+                             hops[1:levels + 1], -1)
 
         def enclosing(nodes):
-            k = ((depth[nodes] - 1) % _LEVELS) + 1
+            k = ((depth[nodes] - 1) % levels) + 1
             return ancestor_k(nodes, k)
 
         wide_nodes = np.flatnonzero(is_wide)
@@ -176,7 +187,7 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2,
         # assign wide indices level by level so children are contiguous
         bin2w = np.full(N, -1, np.int64)
         bin2w[0] = 0
-        level = depth[wide_nodes] // _LEVELS
+        level = depth[wide_nodes] // levels
         n_wide = len(wide_nodes)
         for lv in range(1, int(level.max()) + 1 if n_wide > 1 else 1):
             sel = level == lv
@@ -218,9 +229,9 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2,
     # build per-wide-node child tables
     meta = np.zeros((n_total, 2), np.int64)
     Tn = (n_total + 127) // 128
-    node_rec = np.zeros((Tn, 48, 128), np.float32)
+    node_rec = np.zeros((Tn, 6 * width, 128), np.float32)
     # inverted boxes for empty slots
-    for c in range(WIDTH):
+    for c in range(width):
         node_rec[:, 6 * c:6 * c + 3, :] = 3e38
         node_rec[:, 6 * c + 3:6 * c + 6, :] = -3e38
 
@@ -262,19 +273,29 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2,
     gidx = np.arange(len(child_parent))
     start = np.maximum.accumulate(np.where(first, gidx, 0))
     slot = gidx - start
-    assert (slot < WIDTH).all(), "wide node with > 8 children"
+    assert (slot < width).all(), \
+        f"wide node with > {width} children"
 
     # masks + bases
-    meta0 = np.zeros(n_total, np.int64)
-    meta1 = np.zeros(n_total, np.int64)
-    np.add.at(meta0, child_parent[~child_is_leaf], 1 << slot[~child_is_leaf])
-    np.add.at(meta1, child_parent[child_is_leaf], 1 << slot[child_is_leaf])
+    imask = np.zeros(n_total, np.int64)
+    lmask = np.zeros(n_total, np.int64)
+    ibase = np.zeros(n_total, np.int64)
+    lbase = np.zeros(n_total, np.int64)
+    np.add.at(imask, child_parent[~child_is_leaf], 1 << slot[~child_is_leaf])
+    np.add.at(lmask, child_parent[child_is_leaf], 1 << slot[child_is_leaf])
     ifirst = first_of_kind(child_parent, ~child_is_leaf)
     lfirst = first_of_kind(child_parent, child_is_leaf)
-    meta0[child_parent[ifirst]] += 256 * child_entity[ifirst]
-    meta1[child_parent[lfirst]] += 256 * child_entity[lfirst]
-    meta[:, 0] = meta0
-    meta[:, 1] = meta1
+    ibase[child_parent[ifirst]] = child_entity[ifirst]
+    lbase[child_parent[lfirst]] = child_entity[lfirst]
+    if width == 8:
+        # legacy packed layout (base*256 | mask) — the compressed-entry
+        # SMEM kernel decodes this form
+        meta[:, 0] = ibase * 256 + imask
+        meta[:, 1] = lbase * 256 + lmask
+    else:
+        # 16-bit masks don't fit the packed form: unpacked (Nw, 4)
+        # [ibase, imask, lbase, lmask] — pack_meta_tiles takes either
+        meta = np.stack([ibase, imask, lbase, lmask], axis=-1)
 
     # AABB records
     pw = child_parent
@@ -319,17 +340,19 @@ def build_wide(bvh, tri_v0, tri_v1, tri_v2,
     # refit map: per-slot binary child ids (covers internal AND cluster
     # children — both carry a binary BVH node id whose refit AABB is the
     # record value)
-    slot_child_bin = np.full((Tn * 128, WIDTH), -1, np.int64)
+    slot_child_bin = np.full((Tn * 128, width), -1, np.int64)
     slot_child_bin[child_parent, slot] = child_bin
 
-    assert (meta[:, 0] >> 8 < 2 ** 23).all() and (meta[:, 1] >> 8 < 2 ** 23).all()
+    if width == 8:
+        assert (meta[:, 0] >> 8 < 2 ** 23).all() \
+            and (meta[:, 1] >> 8 < 2 ** 23).all()
     return WideBVH(nodes=node_rec, leaves=leaf_rec,
                    meta=meta.astype(np.int32), num_wide=int(n_total),
                    num_clusters=int(n_cluster),
                    slot_child_bin=slot_child_bin.astype(np.int32),
                    cluster_tri=cluster_tri,
                    nodes_flat=np.ascontiguousarray(
-                       node_rec.transpose(0, 2, 1).reshape(-1, 48)),
+                       node_rec.transpose(0, 2, 1).reshape(-1, 6 * width)),
                    leaves_flat=np.ascontiguousarray(
                        leaf_rec.transpose(0, 2, 1)
                        .reshape(-1, 12 * leaf_tris)))
@@ -389,7 +412,7 @@ def quantize_bf16(wide: WideBVH) -> WideBVH:
     nodes = wide.nodes
     leaves = wide.leaves.copy()
     qn = np.empty(nodes.shape, ml_dtypes.bfloat16)
-    for c in range(WIDTH):
+    for c in range(nodes.shape[1] // 6):
         r = 6 * c
         qn[:, r:r + 3, :] = _bf16_down(nodes[:, r:r + 3, :])
         qn[:, r + 3:r + 6, :] = _bf16_up(nodes[:, r + 3:r + 6, :])
@@ -435,7 +458,7 @@ def quantize_refit_device(nodes, leaves):
     """f32 refit records → bf16 records, matching quantize_bf16's layout
     (outward boxes + 3-byte-row ids) without a host round-trip — keeps
     dynamic-scene refits all-device for bf16-quantized scenes."""
-    row = jnp.arange(48)
+    row = jnp.arange(nodes.shape[1])
     is_max_row = (row % 6) >= 3
     qn = jnp.where(is_max_row[None, :, None],
                    _bf16_outward_jnp(nodes, True),
@@ -471,8 +494,9 @@ def refit_wide(slot_child_bin, cluster_tri, node_min, node_max, v0, v1, v2):
     Tn = rows_n // 128
     Tl = rows_l // 128
 
+    width = slot_child_bin.shape[1]
     cols = []
-    for s in range(WIDTH):
+    for s in range(width):
         bid = slot_child_bin[:, s]
         valid = (bid >= 0)[:, None]
         safe = jnp.maximum(bid, 0)
@@ -481,7 +505,7 @@ def refit_wide(slot_child_bin, cluster_tri, node_min, node_max, v0, v1, v2):
         cols.append(bmin)
         cols.append(bmax)
     nodes = jnp.concatenate(cols, axis=1).astype(jnp.float32)
-    nodes = nodes.reshape(Tn, 128, 48).transpose(0, 2, 1)
+    nodes = nodes.reshape(Tn, 128, 6 * width).transpose(0, 2, 1)
 
     lcols = []
     leaf_tris = cluster_tri.shape[1]
@@ -498,7 +522,7 @@ def refit_wide(slot_child_bin, cluster_tri, node_min, node_max, v0, v1, v2):
         lcols += [p0, e1, e2, tidf[:, None], pad]
     leaves_flat = jnp.concatenate(lcols, axis=1).astype(jnp.float32)
     leaves = leaves_flat.reshape(Tl, 128, 12 * leaf_tris).transpose(0, 2, 1)
-    nodes_flat = nodes.transpose(0, 2, 1).reshape(-1, 48)
+    nodes_flat = nodes.transpose(0, 2, 1).reshape(-1, 6 * width)
     return nodes, leaves, nodes_flat, leaves_flat
 
 

@@ -271,12 +271,16 @@ class SceneTracer:
 
             leaf_tris = getattr(settings, "bvh_leaf_tris", None) \
                 if settings is not None else None
-            if leaf_tris is None:
-                import os
+            width = getattr(settings, "bvh_width", None) \
+                if settings is not None else None
+            import os
 
+            if leaf_tris is None:
                 leaf_tris = int(os.environ.get("WIDE_LEAF_TRIS", "4"))
+            if width is None:
+                width = int(os.environ.get("WIDE_WIDTH", "8"))
             wide = bvh_wide.build_wide(bvh, soup.v0, soup.v1, soup.v2,
-                                       leaf_tris=leaf_tris)
+                                       leaf_tris=leaf_tris, width=width)
             if wide.vmem_bytes > trace_pallas.VMEM_SCENE_BUDGET:
                 # f32 records don't fit: bf16 quantization halves the
                 # footprint (outward boxes — correctness preserved for
@@ -300,7 +304,8 @@ class SceneTracer:
                 if mode == "auto":
                     mode = "direct"
                 if mode == "compressed" \
-                        and (stream or int(wide.meta.size) * 4
+                        and (stream or width != 8
+                             or int(wide.meta.size) * 4
                              > trace_pallas.META_SMEM_LIMIT):
                     mode = "direct"   # compressed cannot compile here
                 if mode == "direct":
@@ -311,7 +316,8 @@ class SceneTracer:
                     # the MIMT p8 layout hardcodes 48-field records —
                     # only packed for the default 4-tri clusters
                     if trace_pallas.WIDE_KERNEL == "mimt" \
-                            and leaf_tris == 4 and not stream:
+                            and leaf_tris == 4 and width == 8 \
+                            and not stream:
                         # MIMT layout: ~2.67x the tile footprint (each
                         # record pads its 48 fields to a 128-lane row)
                         wnp8 = trace_pallas.pack_p8(wnf)

@@ -849,11 +849,18 @@ def intersect_wide(nodes, leaves, meta, o, d, tmin, tmax,
 
 
 def pack_meta_tiles(meta):
-    """(Nw, 2) int32 meta → (⌈Nw/128⌉, 8, 128) i32 VMEM tiles with rows
-    0..3 = ibase, imask, lbase, lmask for node lane i&127 of tile i>>7."""
+    """int32 meta → (⌈Nw/128⌉, 8, 128) i32 VMEM tiles with rows 0..3 =
+    ibase, imask, lbase, lmask for node lane i&127 of tile i>>7.
+
+    Accepts either the packed (Nw, 2) base*256|mask layout (8-wide) or
+    the unpacked (Nw, 4) [ibase, imask, lbase, lmask] layout (16-wide —
+    16-bit masks don't fit the packed form)."""
     m = jnp.asarray(meta)
-    rows = jnp.stack([m[:, 0] >> 8, m[:, 0] & 255,
-                      m[:, 1] >> 8, m[:, 1] & 255], axis=-1)   # (Nw, 4)
+    if m.shape[1] == 4:
+        rows = m
+    else:
+        rows = jnp.stack([m[:, 0] >> 8, m[:, 0] & 255,
+                          m[:, 1] >> 8, m[:, 1] & 255], axis=-1)  # (Nw, 4)
     n = rows.shape[0]
     rows = jnp.pad(rows, (((0, (-n) % 128), (0, 4))))
     return rows.reshape(-1, 128, 8).transpose(0, 2, 1)
@@ -861,6 +868,7 @@ def pack_meta_tiles(meta):
 
 def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                         chunk_unroll: int, ordered: bool,
+                        push_mode: str,
                         stream_leaves: bool,
                         # scalar prefetch
                         tmin_ref,
@@ -1037,10 +1045,12 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
             u_best = jnp.where(hit, uu, u_best)
             v_best = jnp.where(hit, vv, v_best)
 
-        # ---- internal visit: 8 slab tests → packed hitmask ----
+        # ---- internal visit: `width` slab tests → packed hitmask ----
+        width = nodes_ref.shape[1] // 6
+        popcnt = _popcnt16_vec if width > 8 else _popcnt8_vec
         iloh = (lane_iota == (i & 127)).astype(jnp.float32)
-        itile = nodes_ref[i >> 7].astype(jnp.float32)        # (48, 128)
-        icol = jnp.sum(itile * iloh, axis=1, keepdims=True)  # (48, 1)
+        itile = nodes_ref[i >> 7].astype(jnp.float32)        # (6w, 128)
+        icol = jnp.sum(itile * iloh, axis=1, keepdims=True)  # (6w, 1)
 
         def nfv(r):
             return icol[r:r + 1]
@@ -1050,7 +1060,7 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
             tb = jnp.where(tri_best < 0, t_best, -jnp.inf)
         hm = jnp.zeros((1, 1), jnp.int32)
         keys = []
-        for c in range(8):
+        for c in range(width):
             r = 6 * c
             t0x = (nfv(r + 0) - ox) * ix
             t1x = (nfv(r + 3) - ox) * ix
@@ -1080,7 +1090,51 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
         ibase, imask = mcol[0:1], mcol[1:2]
         lbase, lmask = mcol[2:3], mcol[3:4]
 
-        if ordered:
+        if ordered and (push_mode == "rank" or width > 8):
+            # NEAR-FIRST order via vectorized descending RANK instead of
+            # a comparator network: all-pairs key comparison as ONE
+            # (width, 128) matrix op (O(1) dependency depth vs the
+            # network's ~10 serialized layers), then a one-hot scatter
+            # writes every pushed child in ONE shot. Child c's position
+            # is sp + #{o pushed to the same stack: key_o > key_c, ties
+            # by slot index} — farthest first, nearest pops next.
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (width, 1), 0)
+            key_col = jnp.concatenate(keys, axis=0)          # (width, 1)
+            key_row = jnp.zeros((1, 128), jnp.float32)
+            for c in range(width):
+                key_row = jnp.where(lane_iota == c, keys[c], key_row)
+            # tie-break matches the sort network exactly: the network is
+            # a STABLE ascending sort pushed in reverse, so among equal
+            # keys the higher slot index is pushed first (lower rank)
+            lane_gt = lane_iota > iota_c                     # (width, 128)
+            lane_valid = lane_iota < width                   # (1, 128)
+            shift_safe = jnp.minimum(lane_iota, width - 1)
+
+            hm_i = hm & imask
+            hm_l = hm & lmask
+
+            def push_rank(stack, sp, hm_t, base, full):
+                has_col = ((hm_t >> iota_c) & 1) != 0        # (width, 1)
+                has_row = (((hm_t >> shift_safe) & 1) != 0) & lane_valid
+                # children outside this stack's mask rank LAST (-1e38)
+                kc = jnp.where(has_col, key_col, -1e38)
+                kr = jnp.where(has_row, key_row, -1e38)
+                gt = (kr > kc) | ((kr == kc) & lane_gt & has_row)
+                rank = jnp.sum(gt.astype(jnp.int32), axis=1,
+                               keepdims=True)                # (width, 1)
+                pos = sp + rank
+                cid = base + popcnt(full & ((1 << iota_c) - 1))
+                onehot = (lane_iota == pos) & has_col        # (width, 128)
+                upd = jnp.sum(jnp.where(onehot, cid, 0), axis=0,
+                              keepdims=True)                 # (1, 128)
+                wrote = jnp.sum(onehot.astype(jnp.int32), axis=0,
+                                keepdims=True) > 0
+                stack = jnp.where(wrote, upd, stack)
+                return stack, sp + popcnt(hm_t)
+
+            istack, isp = push_rank(istack, isp, hm_i, ibase, imask)
+            lstack, lsp = push_rank(lstack, lsp, hm_l, lbase, lmask)
+        elif ordered:
             # NEAR-FIRST traversal order — the thing compressed entries
             # (fixed bit-order pops) cannot express. Sort (key, slot)
             # pairs with a 19-comparator Batcher network on (1,1)
@@ -1118,15 +1172,15 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                                         lbase, lmask)
         else:
             def push(stack, sp, hm_t, base, full):
-                for c in range(8):
+                for c in range(width):
                     bit = 1 << c
                     below = bit - 1
                     has = (hm_t & bit) != 0                   # (1,1)
-                    pos = sp + _popcnt8_vec(hm_t & below)
-                    cid = base + _popcnt8_vec(full & below)
+                    pos = sp + popcnt(hm_t & below)
+                    cid = base + popcnt(full & below)
                     stack = jnp.where((lane_iota == pos) & has, cid,
                                       stack)
-                return stack, sp + _popcnt8_vec(hm_t)
+                return stack, sp + popcnt(hm_t)
 
             istack, isp = push(istack, isp, hm & imask, ibase, imask)
             lstack, lsp = push(lstack, lsp, hm & lmask, lbase, lmask)
@@ -1176,13 +1230,14 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "interpret",
                                     "packets_per_program", "chunk_steps",
-                                    "chunk_unroll", "ordered",
+                                    "chunk_unroll", "ordered", "push_mode",
                                     "stream_leaves"))
 def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                            any_hit: bool = False, interpret: bool = False,
                            packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
                            active=None, chunk_steps: int = 8,
                            chunk_unroll: int = None, ordered: bool = True,
+                           push_mode: str = "sort",
                            stream_leaves: bool = False):
     """Wide-BVH packet traversal with direct-child-id stacks and VMEM
     meta tiles (pack_meta_tiles) — no SMEM meta table, so scene capacity
@@ -1242,7 +1297,7 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
         chunk_unroll = 1 if interpret else WIDE_CHUNK_UNROLL
     kernel = functools.partial(_wide_direct_kernel, any_hit, npk,
                                chunk_steps, chunk_unroll, ordered,
-                               stream_leaves)
+                               push_mode, stream_leaves)
     vmem_args = (nodes, meta_tiles) if stream_leaves \
         else (nodes, leaves, meta_tiles)
     t, tri, u, v = pl.pallas_call(
@@ -1275,9 +1330,18 @@ def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
     kw.setdefault("packets_per_program",
                   int(_os.environ.get("WIDE_NPK",
                                       str(WIDE_PACKETS_PER_PROGRAM))))
+    # ordered-push implementation: "sort" = 19-comparator Batcher
+    # network (8-wide only), "rank" = vectorized all-pairs rank +
+    # one-hot scatter (width-generic; required for 16-wide). "auto"
+    # follows the width.
+    push_mode = kw.pop("push_mode", None) \
+        or _os.environ.get("WIDE_PUSH", "auto")
+    if push_mode == "auto":
+        push_mode = "rank" if nodes.shape[1] > 48 else "sort"
     return _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin,
                                   tmax, chunk_steps=chunk_steps,
-                                  chunk_unroll=chunk_unroll, **kw)
+                                  chunk_unroll=chunk_unroll,
+                                  push_mode=push_mode, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -1323,6 +1387,14 @@ def _popcnt8_vec(x):
     x = x - ((x >> 1) & 0x55)
     x = (x & 0x33) + ((x >> 2) & 0x33)
     return (x + (x >> 4)) & 0x0F
+
+
+def _popcnt16_vec(x):
+    """SWAR popcount of 16-bit values, vectorized (int32 lanes)."""
+    x = x - ((x >> 1) & 0x5555)
+    x = (x & 0x3333) + ((x >> 2) & 0x3333)
+    x = (x + (x >> 4)) & 0x0F0F
+    return (x + (x >> 8)) & 0x1F
 
 
 def _mimt_traverse_kernel(any_hit: bool, npk: int, chunk_steps: int,

@@ -194,3 +194,72 @@ def test_scene_tracer_auto_selects_direct(monkeypatch):
     d = jnp.asarray([[0.0, -1.0, 0.0]] * 8)
     vis = tracer.occluded(data, o, d, 100.0)
     assert (np.asarray(vis) == 0.0).all()
+
+
+@pytest.mark.parametrize("any_hit", [False, True])
+def test_direct16_matches_jnp_reference(any_hit):
+    """16-wide nodes (4-level collapse, unpacked meta, rank push) trace
+    the same hits as the binary jnp reference (VERDICT r3 task 4)."""
+    data = scenes.cornell_scene().build()
+    s = data.triangles
+    b = bvh_mod.build_bvh(s.v0, s.v1, s.v2)
+    w = bvh_wide.build_wide(b, s.v0, s.v1, s.v2, width=16)
+    assert w.meta.shape[1] == 4
+    assert w.nodes.shape[1] == 96
+    assert bvh_wide.validate_wide(w, s.v0, s.v1, s.v2)
+    mt = tp.pack_meta_tiles(w.meta)
+    rng = np.random.default_rng(31)
+    R = 4096
+    v0 = np.asarray(s.v0)
+    c = v0.mean(0)
+    ext = v0.max(0) - v0.min(0)
+    o = jnp.asarray((c + rng.normal(0, 0.5, (R, 3)) * ext)
+                    .astype(np.float32))
+    d = rng.normal(0, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+
+    t_ref, tri_ref, _, _ = trace.intersect_bvh(
+        b, s.v0, s.v1, s.v2, o, d, 1e-3, 1e6)
+    t, tri, u, v = tp.intersect_wide_direct(
+        jnp.asarray(w.nodes), jnp.asarray(w.leaves), mt,
+        o, d, 1e-3, 1e6, any_hit=any_hit, interpret=True)
+
+    hit_ref = np.asarray(tri_ref) >= 0
+    hit = np.asarray(tri) >= 0
+    np.testing.assert_array_equal(hit, hit_ref)
+    if not any_hit:
+        np.testing.assert_allclose(
+            np.where(hit_ref, np.asarray(t), 0.0),
+            np.where(hit_ref, np.asarray(t_ref), 0.0), atol=1e-4)
+        differing = hit_ref & (np.asarray(tri) != np.asarray(tri_ref))
+        assert differing.mean() < 0.005
+
+
+@pytest.mark.parametrize("any_hit", [False, True])
+def test_rank_push_matches_sort_push(any_hit):
+    """The vectorized rank push (all-pairs compare + one-hot scatter)
+    produces EXACTLY the sort-network push's traversal results at
+    width 8 — same keys, same tie-break-by-slot order."""
+    data = scenes.cornell_scene().build()
+    s, b, w = _build(data)
+    mt = tp.pack_meta_tiles(w.meta)
+    rng = np.random.default_rng(41)
+    R = 2048
+    v0 = np.asarray(s.v0)
+    c = v0.mean(0)
+    ext = v0.max(0) - v0.min(0)
+    o = jnp.asarray((c + rng.normal(0, 0.5, (R, 3)) * ext)
+                    .astype(np.float32))
+    d = rng.normal(0, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    nodes, leaves = jnp.asarray(w.nodes), jnp.asarray(w.leaves)
+    a = tp.intersect_wide_direct(nodes, leaves, mt, o, d, 1e-3, 1e6,
+                                 any_hit=any_hit, interpret=True,
+                                 push_mode="sort")
+    r = tp.intersect_wide_direct(nodes, leaves, mt, o, d, 1e-3, 1e6,
+                                 any_hit=any_hit, interpret=True,
+                                 push_mode="rank")
+    for x, y in zip(a, r):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -696,6 +696,25 @@ class SceneTracer:
                 [maths.normalize(jnp.cross(geo_n, geo_n + 0.3)),
                  jnp.ones((*safe.shape, 1), jnp.float32)], axis=-1)
         elif _shade_fetch_mode(ctx.settings) == "auto" \
+                and sc.shade_rows_q is not None:
+            # Sponza-scale quantized fetch: the exact u16 table exceeds
+            # the ~16 MB fast-gather byte gate, so gather a 29-col u16
+            # row (bf16 local normals/tangents, exact uv base + f16
+            # deltas) + a KB-scale per-instance side row, both on the
+            # fast path (schema.build_shade_rows_q; BENCH.md r3 batch 4)
+            qrow = sc.shade_rows_q[safe]
+            inst = jnp.clip(qrow[..., schema.SHQ_INST].astype(jnp.int32),
+                            0, sc.inst_shade.shape[0] - 1)
+            srow = schema.decode_shade_rows_q(qrow, sc.inst_shade[inst])
+            lerp = srow[..., 0:9] * b0 + srow[..., 9:18] * b1 \
+                + srow[..., 18:27] * b2
+            ln = lerp[..., 0:3]
+            lt = lerp[..., 3:7]
+            uv = lerp[..., 7:9]
+            nmat = srow[..., 27:36].reshape(*safe.shape, 3, 3)
+            mat_id = srow[..., 36].astype(jnp.int32)
+            mrow = srow[..., 37:53]
+        elif _shade_fetch_mode(ctx.settings) == "auto" \
                 and sc.shade_rows is not None:
             # u16 fast-gather table: one (R, 106) uint16 gather + exact
             # bitcast reconstruction — 16-bit small-table gathers run

@@ -1058,8 +1058,8 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
         tb = t_best
         if any_hit:
             tb = jnp.where(tri_best < 0, t_best, -jnp.inf)
-        hm = jnp.zeros((1, 1), jnp.int32)
         keys = []
+        key_rows = []
         for c in range(width):
             r = 6 * c
             t0x = (nfv(r + 0) - ox) * ix
@@ -1075,13 +1075,30 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                                          jnp.maximum(t0y, t1y)),
                              jnp.maximum(t0z, t1z))
             okc = (tn <= tf) & (tf >= tmin) & (tn <= tb)
-            # packet entry distance doubles as the hit flag (< BIG) and
-            # the near-first ordering key — one reduce per child
-            knc = jnp.min(jnp.where(okc, jnp.maximum(tn, 0.0), 1e30),
-                          axis=(0, 1), keepdims=True)         # (1,1)
-            keys.append(knc)
-            hm = hm | (jnp.where(knc < 1e30, 1, 0) << c)
-        hm = hm * i_valid
+            masked = jnp.where(okc, jnp.maximum(tn, 0.0), 1e30)
+            if push_mode == "rankv":
+                # defer the expensive lane reduction: pre-reduce over
+                # sublanes only; ONE (width, 128) lane-min later yields
+                # every child's key at once (vs `width` serialized
+                # full reduces)
+                key_rows.append(jnp.min(masked, axis=0, keepdims=True))
+            else:
+                # packet entry distance doubles as the hit flag (< BIG)
+                # and the near-first ordering key — one reduce per child
+                keys.append(jnp.min(masked, axis=(0, 1),
+                                    keepdims=True))           # (1,1)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (width, 1), 0)
+        if push_mode == "rankv":
+            kmat = jnp.concatenate(key_rows, axis=0)         # (w, 128)
+            key_col = jnp.min(kmat, axis=1, keepdims=True)   # (w, 1)
+            hm = jnp.sum(jnp.where(key_col < 1e30,
+                                   jnp.left_shift(jnp.int32(1), iota_c),
+                                   0), axis=0, keepdims=True) * i_valid
+        else:
+            hm = jnp.zeros((1, 1), jnp.int32)
+            for c in range(width):
+                hm = hm | (jnp.where(keys[c] < 1e30, 1, 0) << c)
+            hm = hm * i_valid
 
         # meta via the node's lane one-hot (VMEM, no SMEM table)
         mtile = mtiles_ref[i >> 7]                            # (8, 128)
@@ -1090,7 +1107,41 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
         ibase, imask = mcol[0:1], mcol[1:2]
         lbase, lmask = mcol[2:3], mcol[3:4]
 
-        if ordered and (push_mode == "rank" or width > 8):
+        if ordered and push_mode == "rankv":
+            # fully vectorized ordered push: keys already live in a
+            # (width, 1) column; descending rank via width-1 STATIC
+            # sublane rolls (no transpose, no vector->scalar crossings),
+            # then the one-hot scatter writes all children at once.
+            hm_i = hm & imask
+            hm_l = hm & lmask
+
+            def push_rankv(stack, sp, hm_t, base, full):
+                has_col = ((hm_t >> iota_c) & 1) != 0        # (width, 1)
+                kc = jnp.where(has_col, key_col, -1e38)
+                rank = jnp.zeros((width, 1), jnp.int32)
+                for sh in range(1, width):
+                    # ks[c] = kc[(c + sh) % width]
+                    ks = pltpu.roll(kc, width - sh, axis=0)
+                    # tie-break matches the sort network (stable
+                    # ascending, pushed in reverse): among equal keys
+                    # the higher slot index ranks first — count o > c,
+                    # i.e. c + sh did not wrap
+                    tie_gt = iota_c <= (width - 1 - sh)
+                    rank += ((ks > kc) | ((ks == kc) & tie_gt)) \
+                        .astype(jnp.int32)
+                pos = sp + rank
+                cid = base + popcnt(full & ((1 << iota_c) - 1))
+                onehot = (lane_iota == pos) & has_col        # (width, 128)
+                upd = jnp.sum(jnp.where(onehot, cid, 0), axis=0,
+                              keepdims=True)                 # (1, 128)
+                wrote = jnp.sum(onehot.astype(jnp.int32), axis=0,
+                                keepdims=True) > 0
+                stack = jnp.where(wrote, upd, stack)
+                return stack, sp + popcnt(hm_t)
+
+            istack, isp = push_rankv(istack, isp, hm_i, ibase, imask)
+            lstack, lsp = push_rankv(lstack, lsp, hm_l, lbase, lmask)
+        elif ordered and (push_mode == "rank" or width > 8):
             # NEAR-FIRST order via vectorized descending RANK instead of
             # a comparator network: all-pairs key comparison as ONE
             # (width, 128) matrix op (O(1) dependency depth vs the

@@ -182,11 +182,16 @@ def update_transforms(data, maps: DynamicMaps, transforms,
         new_verts, new_inst, new_soup, data.materials)
     srows = None if data.shade_rows is None else \
         schema.encode_shade_rows(attr)
+    # the quantized narrow table is transform-INVARIANT (local-space
+    # columns only); just the KB-scale instance side table follows
+    ishade = None if data.inst_shade is None else \
+        schema.build_inst_shade(new_inst, data.materials)
 
     return dataclasses.replace(data, instances=new_inst,
                                vertices=new_verts, triangles=new_soup,
                                lights=lights, attr_rows=attr,
-                               raster_rows=rattr, shade_rows=srows)
+                               raster_rows=rattr, shade_rows=srows,
+                               inst_shade=ishade)
 
 
 @functools.partial(jax.jit, static_argnames=("update_lights",))
@@ -237,11 +242,14 @@ def update_transforms_subset(data, maps: DynamicMaps, transforms,
     if rattr is not None:
         rattr = rattr.at[tri_idx].set(schema.build_raster_rows(
             new_verts, new_inst, new_soup, data.materials, tris=tri_idx))
+    ishade = None if data.inst_shade is None else \
+        schema.build_inst_shade(new_inst, data.materials)
 
     return dataclasses.replace(data, instances=new_inst,
                                vertices=new_verts, triangles=new_soup,
                                lights=lights, attr_rows=attr,
-                               raster_rows=rattr, shade_rows=srows)
+                               raster_rows=rattr, shade_rows=srows,
+                               inst_shade=ishade)
 
 
 def build_host_ranges(scene) -> dict:

@@ -31,8 +31,10 @@ from .schema import (
     SceneData,
     SunLight,
     build_attr_rows,
+    build_inst_shade,
     build_raster_rows,
     build_shade_rows,
+    build_shade_rows_q,
     TextureStack,
     TriangleSoup,
     VertexArrays,
@@ -233,7 +235,13 @@ class Scene:
                                                materials)),
             raster_rows=build_raster_rows(vertices, instances, soup,
                                           materials),
-            shade_rows=build_shade_rows(attr),
+            shade_rows=(srows := build_shade_rows(attr)),
+            # quantized narrow table only when the exact one can't ride
+            # the fast-gather byte gate (Sponza-scale scenes)
+            shade_rows_q=(qrows := None if srows is not None else
+                          build_shade_rows_q(vertices, instances, soup)),
+            inst_shade=build_inst_shade(instances, materials)
+            if qrows is not None else None,
         )
 
 

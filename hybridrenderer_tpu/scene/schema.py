@@ -325,6 +325,17 @@ class SceneData:
     # this when present. None above SHADE_ROWS_MAX rows. Rebuilt by
     # dynamic.update_transforms alongside attr_rows.
     shade_rows: Any = None
+    # derived: (T, 29) uint16 QUANTIZED shade rows for scenes whose
+    # exact u16 table exceeds the ~16 MB fast-gather byte gate (see
+    # build_shade_rows_q below — bf16 local normals/tangents, exact
+    # uv base + f16 deltas). Transform-invariant: dynamic commits only
+    # rebuild inst_shade. None when shade_rows exists (exact wins) or
+    # above SHADE_Q_ROWS_MAX.
+    shade_rows_q: Any = None
+    # derived: (N, 26) f32 per-instance side table (normal matrix +
+    # packed material row) feeding the quantized fetch; rebuilt by
+    # dynamic.update_transforms.
+    inst_shade: Any = None
 
     @property
     def num_triangles(self) -> int:
@@ -483,3 +494,149 @@ def build_shade_rows(attr_rows):
     if attr_rows is None or attr_rows.shape[0] > SHADE_ROWS_MAX:
         return None
     return encode_shade_rows(attr_rows)
+
+
+# ---------------------------------------------------------------------------
+# Quantized narrow shade rows — the Sponza-scale fast gather
+# ---------------------------------------------------------------------------
+# The gather fast path is TABLE BYTES <= ~16 MB VMEM, dtype-agnostic
+# (BENCH.md r3 batch 4), so above SHADE_ROWS_MAX the exact 212 B/row u16
+# split can't ride it. This variant squeezes the per-TRIANGLE shade fetch
+# to 29 u16 columns (58 B/row → 262k tris = 15.2 MB, inside the gate):
+#
+#   [0:9]   vertex normals  (3x xyz, LOCAL space)  bf16 bit patterns
+#   [9:18]  vertex tangents (3x xyz, LOCAL space)  bf16 bit patterns
+#   [18]    tangent w signs (bit k set → vertex k's w = +1, else -1)
+#   [19:23] uv0 EXACT (u hi, u lo, v hi, v lo — f32 bit halves)
+#   [23:27] (uv1-uv0, uv2-uv0) f16 bit patterns (delta magnitudes are
+#           small → error ~|delta| * 2^-11, subpixel at any sane texel
+#           density; the base stays exact so large tiling offsets cost
+#           nothing)
+#   [27]    material id
+#   [28]    instance id
+#
+# The instance-dependent block (normal matrix + packed material row)
+# moves to a tiny per-INSTANCE side table (N, 26) f32 — a second
+# row-gather from a KB-scale table (same ~3.8 ns/row as any fast
+# gather). Quality: normals/tangents re-normalize after the nmat
+# transform, so bf16's 2^-8 relative error lands well under SVGF/TAA
+# noise on secondary-ray shading (primary-visible attributes still ride
+# the exact raster path). Reference analog: closesthit.rchit:30-54
+# per-hit attribute fetch.
+SHQ_WIDTH = 29
+SHQ_N0 = 0
+SHQ_T0 = 9
+SHQ_WSIGN = 18
+SHQ_UV0 = 19
+SHQ_DUV = 23
+SHQ_MAT = 27
+SHQ_INST = 28
+# fast-gather byte gate (BENCH.md r3 batch 4: 16.1 MB measured fast,
+# 21.5 slow); u16 ids cap instances/materials at 65536
+SHADE_Q_MAX_BYTES = 16 * 1024 * 1024
+SHADE_Q_ROWS_MAX = SHADE_Q_MAX_BYTES // (2 * SHQ_WIDTH)
+# instance side table layout: [0:9] normal matrix, [9:25] packed
+# material row (ops/shade._pack_materials), [25] material id
+SHQI_NMAT = 0
+SHQI_MROW = 9
+SHQI_MAT = 25
+SHQI_WIDTH = 26
+
+
+def _f32_to_bf16_bits(x):
+    return (jax.lax.bitcast_convert_type(
+        x.astype(jnp.float32), jnp.uint32) >> 16).astype(jnp.uint16)
+
+
+def _bf16_bits_to_f32(b):
+    return jax.lax.bitcast_convert_type(
+        b.astype(jnp.uint32) << 16, jnp.float32)
+
+
+def _f32_to_f16_bits(x):
+    return jax.lax.bitcast_convert_type(
+        x.astype(jnp.float16), jnp.uint16)
+
+
+def _f16_bits_to_f32(b):
+    return jax.lax.bitcast_convert_type(
+        b.astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+
+
+def build_shade_rows_q(vertices, instances, soup):
+    """(T, 29) uint16 quantized shade rows (layout above). All columns
+    are transform-INVARIANT (local normals/tangents, uv, ids), so
+    dynamic updates never touch this table — only the instance side
+    table (build_inst_shade) follows transforms."""
+    T = soup.i0.shape[0]
+    if T > SHADE_Q_ROWS_MAX or instances.transform.shape[0] > 65536:
+        return None
+    i0, i1, i2 = soup.i0, soup.i1, soup.i2
+    n_bits = jnp.concatenate(
+        [_f32_to_bf16_bits(vertices.normal[ik]) for ik in (i0, i1, i2)],
+        axis=-1)                                             # (T, 9)
+    t_bits = jnp.concatenate(
+        [_f32_to_bf16_bits(vertices.tangent[ik][:, :3])
+         for ik in (i0, i1, i2)], axis=-1)                   # (T, 9)
+    wsign = sum(((vertices.tangent[ik][:, 3] > 0.0)
+                 .astype(jnp.uint16) << k)
+                for k, ik in enumerate((i0, i1, i2)))        # (T,)
+    uv0 = vertices.uv[i0]                                    # (T, 2)
+    uv0_bits = jax.lax.bitcast_convert_type(uv0, jnp.uint32)
+    uv0_cols = jnp.stack([
+        (uv0_bits[:, 0] >> 16).astype(jnp.uint16),
+        (uv0_bits[:, 0] & 0xFFFF).astype(jnp.uint16),
+        (uv0_bits[:, 1] >> 16).astype(jnp.uint16),
+        (uv0_bits[:, 1] & 0xFFFF).astype(jnp.uint16)], axis=-1)
+    duv = jnp.concatenate([vertices.uv[i1] - uv0,
+                           vertices.uv[i2] - uv0], axis=-1)  # (T, 4)
+    duv_bits = _f32_to_f16_bits(duv)
+    mat = instances.material[soup.instance].astype(jnp.uint16)
+    inst = soup.instance.astype(jnp.uint16)
+    return jnp.concatenate([
+        n_bits, t_bits, wsign[:, None], uv0_cols, duv_bits,
+        mat[:, None], inst[:, None]], axis=-1)
+
+
+def build_inst_shade(instances, materials):
+    """(N, 26) f32 per-instance shade side table (normal matrix + packed
+    material row). KB-scale — rebuilt whole on every dynamic commit."""
+    from ..ops.shade import _pack_materials  # local: avoid import cycle
+
+    n = instances.transform.shape[0]
+    mat_ids = instances.material
+    return jnp.concatenate([
+        instances.normal_transform[:, :3, :3].reshape(n, 9),
+        _pack_materials(materials)[mat_ids],
+        mat_ids[:, None].astype(jnp.float32)], axis=-1)
+
+
+def decode_shade_rows_q(qrow, inst_row):
+    """(..., 29) u16 + (..., 26) f32 → the decode_shade_rows 53-column
+    f32 layout (SH_* offsets), so _shade_hit's consumer code is shared.
+    uv reconstruction: per-vertex uv_k = uv0 + delta_k (delta 0 for
+    vertex 0, exact base)."""
+    parts = []
+    for k in range(3):
+        n = _bf16_bits_to_f32(qrow[..., SHQ_N0 + 3 * k:SHQ_N0 + 3 * k + 3])
+        t3 = _bf16_bits_to_f32(qrow[..., SHQ_T0 + 3 * k:SHQ_T0 + 3 * k + 3])
+        w = jnp.where((qrow[..., SHQ_WSIGN:SHQ_WSIGN + 1]
+                       & jnp.uint16(1 << k)) > 0, 1.0, -1.0)
+        u_hi = qrow[..., SHQ_UV0].astype(jnp.uint32) << 16
+        u_lo = qrow[..., SHQ_UV0 + 1].astype(jnp.uint32)
+        v_hi = qrow[..., SHQ_UV0 + 2].astype(jnp.uint32) << 16
+        v_lo = qrow[..., SHQ_UV0 + 3].astype(jnp.uint32)
+        uv0 = jnp.stack([
+            jax.lax.bitcast_convert_type(u_hi | u_lo, jnp.float32),
+            jax.lax.bitcast_convert_type(v_hi | v_lo, jnp.float32)],
+            axis=-1)
+        if k == 0:
+            uv = uv0
+        else:
+            uv = uv0 + _f16_bits_to_f32(
+                qrow[..., SHQ_DUV + 2 * (k - 1):SHQ_DUV + 2 * k])
+        parts.append(jnp.concatenate([n, t3, w, uv], axis=-1))  # (..., 9)
+    nmat = inst_row[..., SHQI_NMAT:SHQI_NMAT + 9]
+    mat_id = inst_row[..., SHQI_MAT:SHQI_MAT + 1]
+    mrow = inst_row[..., SHQI_MROW:SHQI_MROW + 16]
+    return jnp.concatenate(parts + [nmat, mat_id, mrow], axis=-1)

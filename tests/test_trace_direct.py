@@ -258,8 +258,9 @@ def test_rank_push_matches_sort_push(any_hit):
     a = tp.intersect_wide_direct(nodes, leaves, mt, o, d, 1e-3, 1e6,
                                  any_hit=any_hit, interpret=True,
                                  push_mode="sort")
-    r = tp.intersect_wide_direct(nodes, leaves, mt, o, d, 1e-3, 1e6,
-                                 any_hit=any_hit, interpret=True,
-                                 push_mode="rank")
-    for x, y in zip(a, r):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for mode in ("rank", "rankv"):
+        r = tp.intersect_wide_direct(nodes, leaves, mt, o, d, 1e-3, 1e6,
+                                     any_hit=any_hit, interpret=True,
+                                     push_mode=mode)
+        for x, y in zip(a, r):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -411,7 +411,8 @@ def cutout_scene() -> Scene:
     return sc
 
 
-def stress_scene(num_objects=400, seed=0, textured=False) -> Scene:
+def stress_scene(num_objects=400, seed=0, textured=False,
+                 tex_size=128) -> Scene:
     """Sponza-scale stress scene for benchmarking (~10^5 triangles).
 
     ``textured=True`` binds procedural albedo textures to every material
@@ -431,7 +432,10 @@ def stress_scene(num_objects=400, seed=0, textured=False) -> Scene:
                              roughness=0.5, colour_texture=tex(3)))
     sc.add_model(geometry.stress_scene_meshes(num_objects, seed))
     if textured:
-        n = 128
+        # tex_size: the texture-fidelity axis (VERDICT r3 task 7) — the
+        # same four procedural patterns at 128..2048 texels measure the
+        # high-res sampling cost envelope without a bundled asset
+        n = tex_size
         yy, xx = np.mgrid[0:n, 0:n] / (n - 1.0)
         pats = [
             ((yy * 8).astype(int) + (xx * 8).astype(int)) % 2 * 0.6 + 0.3,

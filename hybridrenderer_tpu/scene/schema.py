@@ -210,10 +210,20 @@ class TextureStack:
             slot_usage=(False, False, False, False),
         )
 
+    # quad-bake HBM budget: the baked layout costs 4x the stack (16 f32
+    # per texel). Above this, samples fall back to the slot-gated 4-tap
+    # path (r2 batch 28: 309 vs 222 ms textured headline at 65k — the
+    # high-res-texture memory/speed trade VERDICT r3 task 7 names).
+    # Override via HR_QUAD_MAX_MB.
+    QUAD_BYTES_MAX = 1024 * 1024 * 1024
+
     def finalized(self, materials, bake_quads: bool = True) -> "TextureStack":
         """Scene-build finalization: derive ``slot_usage`` from the host
         material list and bake the quad layout (skipped for the empty
-        placeholder stack)."""
+        placeholder stack or when the baked stack would exceed the HBM
+        budget above)."""
+        import os
+
         from ..ops.texture import build_quads  # local: avoid import cycle
         usage = (
             any(m.colour_texture >= 0 for m in materials),
@@ -223,8 +233,19 @@ class TextureStack:
         )
         nontrivial = self.data.shape[1] > 1 or self.data.shape[2] > 1
         quads = self.quads
+        budget = int(os.environ.get(
+            "HR_QUAD_MAX_MB", str(self.QUAD_BYTES_MAX // (1024 * 1024)))) \
+            * 1024 * 1024
+        quad_bytes = int(np.prod(self.data.shape)) * 4 * 4
         if bake_quads and nontrivial and quads is None:
-            quads = build_quads(self.data, self.sizes)
+            if quad_bytes > budget:
+                from ..runtime.log import core as _log
+
+                _log().warn("texture quad bake skipped: %d MB > budget "
+                            "%d MB (bilinear falls back to 4-tap)",
+                            quad_bytes >> 20, budget >> 20)
+            else:
+                quads = build_quads(self.data, self.sizes)
         return TextureStack(data=self.data, sizes=self.sizes, quads=quads,
                             slot_usage=usage)
 

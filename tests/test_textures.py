@@ -126,3 +126,32 @@ def test_scene_build_finalizes_textures():
     plain = stress_scene(num_objects=4).build()
     assert plain.textures.slot_usage == (False, False, False, False)
     assert plain.textures.quads is None
+
+
+def test_quad_bake_budget_gate(monkeypatch):
+    """Above the HBM quad budget the bake is skipped (4-tap fallback) —
+    the high-res-texture memory trade (VERDICT r3 task 7)."""
+    import numpy as np
+
+    from hybridrenderer_tpu.scene import scene as scenes
+
+    monkeypatch.setenv("HR_QUAD_MAX_MB", "0")
+    data = scenes.stress_scene(num_objects=4, textured=True).build()
+    assert data.textures.quads is None
+    monkeypatch.delenv("HR_QUAD_MAX_MB")
+    data2 = scenes.stress_scene(num_objects=4, textured=True).build()
+    assert data2.textures.quads is not None
+    # both paths must render the same image (sample_bilinear fallback)
+    from hybridrenderer_tpu.core.camera import OrbitCamera
+    from hybridrenderer_tpu.core.config import RenderSettings
+    from hybridrenderer_tpu.core.types import RenderFlags, RenderPathType
+    from hybridrenderer_tpu.runtime.renderer import Renderer
+
+    s = RenderSettings(width=64, height=64, path=RenderPathType.FORWARD,
+                       flags=RenderFlags.LIGHT)
+    cam = OrbitCamera(width=64, height=64, distance=18.0, pitch=0.5,
+                      yaw=0.8, focal_point=(0, 2.0, 0))
+    st = cam.step()
+    a = np.asarray(Renderer.for_scene(s, data).render_np(st))
+    b = np.asarray(Renderer.for_scene(s, data2).render_np(st))
+    assert np.abs(a - b).max() < 1e-5

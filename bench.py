@@ -227,9 +227,11 @@ def main():
                                  [-s, 0, c, 0], [0, 0, 0, 1]], np.float32)
 
             def dframe(a):
+                # fused one-dispatch dynamic frame (update + refit +
+                # render in one device program; pixel-identical to
+                # commit(); render() — tests/test_dynamic.py)
                 dyn.set_entity_transform(0, rot_y(a))
-                dyn.commit()
-                return dr.render(dcam.step(taa_enabled=True))
+                return dyn.commit_and_render(dcam.step(taa_enabled=True))
 
             out = dframe(0.05)
             out = dframe(0.10)

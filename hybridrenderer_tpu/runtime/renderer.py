@@ -167,6 +167,56 @@ class Renderer:
         self._fns[key] = fn
         return fn
 
+    def _get_dynamic_fn(self, history_valid: bool, use_subset: bool,
+                        update_lights: bool):
+        """Fused dynamic frame: transform re-sync + acceleration refit +
+        the full frame in ONE jitted dispatch (vs the 3-dispatch
+        commit(); refit() + render() sequence). The reference updates
+        the TLAS inside the same frame submission (Scene.cpp:148-189);
+        here fusing also lets XLA overlap the refit with early raster
+        stages that don't consume it."""
+        key = ("dyn", history_valid, use_subset, update_lights)
+        if key in self._fns:
+            return self._fns[key]
+        from ..scene.dynamic import update_transforms, \
+            update_transforms_subset
+
+        frame = self._frame_body(history_valid)
+
+        def dyn(scene, host_packed, state, tracer, maps, transforms,
+                vert_idx, tri_idx):
+            if use_subset:
+                new_data = update_transforms_subset(
+                    scene, maps, transforms, vert_idx, tri_idx,
+                    update_lights=update_lights)
+            else:
+                new_data = update_transforms(scene, maps, transforms)
+            new_tracer = tracer.refit(new_data)
+            out, new_state, stats = frame(new_data, host_packed, state,
+                                          new_tracer)
+            return out, new_state, stats, new_data, new_tracer
+
+        fn = jax.jit(dyn, donate_argnums=(2,))
+        self._fns[key] = fn
+        return fn
+
+    def render_dynamic(self, cam_state, maps, transforms, vert_idx,
+                       tri_idx, use_subset: bool, update_lights: bool,
+                       exposure: float = 1.0,
+                       svgf_phi=(4.0, 128.0, 0.02, 0.0)):
+        """One-dispatch dynamic frame (DynamicScene.commit_and_render is
+        the entity-level entry). Updates self.scene/self.tracer to the
+        post-update device pytrees, exactly as commit() would."""
+        packed = self._pack_row(cam_state, exposure, svgf_phi,
+                                self.frame_count)
+        fn = self._get_dynamic_fn(self.frame_count > 0, use_subset,
+                                  update_lights)
+        out, self.state, self._stats, self.scene, self.tracer = fn(
+            self.scene, packed, self.state, self.tracer, maps,
+            transforms, vert_idx, tri_idx)
+        self.frame_count += 1
+        return out
+
     # --- public API -----------------------------------------------------
     def render(self, cam_state, exposure: float = 1.0,
                svgf_phi=(4.0, 128.0, 0.02, 0.0)):

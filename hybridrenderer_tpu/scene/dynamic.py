@@ -352,6 +352,26 @@ class DynamicScene:
         self._idx_cache[key] = out
         return out
 
+    def commit_and_render(self, cam_state, **kw):
+        """Fused commit + refit + render: ONE device dispatch per
+        dynamic frame instead of three (update, refit, frame). Falls
+        back to a plain render when nothing is dirty. The per-frame
+        Scene::OnUpdate-inside-the-submission analog
+        (Scene.cpp:148-189)."""
+        r = self.renderer
+        if not self._dirty_entities:
+            return r.render(cam_state, **kw)
+        key = frozenset(self._dirty_entities)
+        vert_idx, tri_idx, lights_dirty, n_tri = self._dirty_indices(key)
+        use_subset = bool(n_tri
+                          and tri_idx.shape[0] <= self.ranges["n_tris"] // 2)
+        out = r.render_dynamic(cam_state, self.maps,
+                               jnp.asarray(self._transforms), vert_idx,
+                               tri_idx, use_subset=use_subset,
+                               update_lights=lights_dirty, **kw)
+        self._dirty_entities.clear()
+        return out
+
     def commit(self):
         if not self._dirty_entities:
             return

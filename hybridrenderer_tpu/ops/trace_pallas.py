@@ -1381,14 +1381,18 @@ def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
     kw.setdefault("packets_per_program",
                   int(_os.environ.get("WIDE_NPK",
                                       str(WIDE_PACKETS_PER_PROGRAM))))
-    # ordered-push implementation: "sort" = 19-comparator Batcher
-    # network (8-wide only), "rank" = vectorized all-pairs rank +
-    # one-hot scatter (width-generic; required for 16-wide). "auto"
-    # follows the width.
+    # ordered-push implementation: "rankv" (DEFAULT — vectorized keys:
+    # ONE lane-reduce for all child keys + static sublane-roll rank;
+    # r4 batch 3: head 106.9 vs 109.2, sponza-scale 212.3 vs 218.7,
+    # +4-5% isolated at 284k), "sort" = 19-comparator Batcher network
+    # (8-wide only; the r1-r3 default), "rank" = scalar-key all-pairs
+    # rank. All three are bit-identical (test-pinned).
     push_mode = kw.pop("push_mode", None) \
         or _os.environ.get("WIDE_PUSH", "auto")
     if push_mode == "auto":
-        push_mode = "rank" if nodes.shape[1] > 48 else "sort"
+        push_mode = "rankv"
+    if push_mode == "sort" and nodes.shape[1] > 48:
+        push_mode = "rankv"   # the sort network is 8-wide only
     return _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin,
                                   tmax, chunk_steps=chunk_steps,
                                   chunk_unroll=chunk_unroll,

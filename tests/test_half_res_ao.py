@@ -64,3 +64,79 @@ def test_half_res_refl_gi_render_matches_full_res_roughly():
     assert np.isfinite(half).all()
     # same scene, same lighting: reconstruction stays close on average
     assert np.abs(half - full).mean() < 0.05
+
+
+def test_reflection_half_res_quality_gate():
+    """reflection_half_res is a supported speed/quality option (VERDICT
+    r3 task 8): the depth-aware upsampled mirror signal must stay within
+    a tight bound of the full-res render (CPU-measured 2026-08: mean
+    0.38 / p99 1.0 / max 202 at isolated silhouette pixels on cornell,
+    4 frames). Catches upsample regressions; GI half-res is gated
+    separately (its interleaved-direction blocks interact with
+    resolution — see BENCH.md r4)."""
+    import numpy as np
+
+    from hybridrenderer_tpu.core.camera import OrbitCamera
+    from hybridrenderer_tpu.core.config import RenderSettings
+    from hybridrenderer_tpu.core.types import RenderFlags, RenderPathType
+    from hybridrenderer_tpu.runtime.output import to_u8
+    from hybridrenderer_tpu.runtime.renderer import Renderer
+    from hybridrenderer_tpu.scene import scene as scenes
+
+    flags = RenderFlags.default_hybrid() | RenderFlags.REFLECTION
+    data = scenes.cornell_scene().build()
+
+    def run(**kw):
+        s = RenderSettings(width=128, height=128,
+                           path=RenderPathType.HYBRID, flags=flags,
+                           ao_block=8, **kw)
+        r = Renderer.for_scene(s, data)
+        cam = OrbitCamera(width=128, height=128, distance=13.0,
+                          pitch=0.0, yaw=0.0, focal_point=(0, 2.5, 0))
+        img = None
+        for _ in range(4):
+            img = r.render_np(cam.step(taa_enabled=True))
+        return to_u8(img).astype(int)
+
+    d = np.abs(run() - run(reflection_half_res=True))
+    assert d.mean() <= 1.0, f"mean {d.mean()}"
+    assert np.percentile(d, 99) <= 4, f"p99 {np.percentile(d, 99)}"
+
+
+def test_gi_half_res_quality_gate():
+    """gi_half_res quality gate (VERDICT r3 task 8). The interleave
+    block is auto-halved at half-res so each direction block covers the
+    SAME full-res screen area (rt_passes.make_rt_gi_pass) — without the
+    halving the converged image drifted wholesale (CPU probe r4: mean
+    err 21.7 u8). Converged (12-frame SVGF) half-res GI must stay near
+    the full-res render; the bound is loose because GI is a denoised
+    stochastic signal (CPU-measured 2026-08: mean 2.6 / p99 ~32)."""
+    import numpy as np
+
+    from hybridrenderer_tpu.core.camera import OrbitCamera
+    from hybridrenderer_tpu.core.config import RenderSettings
+    from hybridrenderer_tpu.core.types import RenderFlags, RenderPathType
+    from hybridrenderer_tpu.runtime.output import to_u8
+    from hybridrenderer_tpu.runtime.renderer import Renderer
+    from hybridrenderer_tpu.scene import scene as scenes
+
+    flags = (RenderFlags.default_hybrid() | RenderFlags.GI
+             | RenderFlags.SVGF | RenderFlags.SVGF_TEMPORAL
+             | RenderFlags.SVGF_SPATIAL)
+    data = scenes.cornell_scene().build()
+
+    def run(**kw):
+        s = RenderSettings(width=128, height=128,
+                           path=RenderPathType.HYBRID, flags=flags,
+                           ao_block=8, gi_block=8, **kw)
+        r = Renderer.for_scene(s, data)
+        cam = OrbitCamera(width=128, height=128, distance=13.0,
+                          pitch=0.0, yaw=0.0, focal_point=(0, 2.5, 0))
+        img = None
+        for _ in range(12):
+            img = r.render_np(cam.step(taa_enabled=True))
+        return to_u8(img).astype(int)
+
+    d = np.abs(run() - run(gi_half_res=True))
+    assert d.mean() <= 6.0, f"mean {d.mean()}"
+    assert np.percentile(d, 99) <= 48, f"p99 {np.percentile(d, 99)}"

@@ -227,11 +227,13 @@ def main():
                                  [-s, 0, c, 0], [0, 0, 0, 1]], np.float32)
 
             def dframe(a):
-                # fused one-dispatch dynamic frame (update + refit +
-                # render in one device program; pixel-identical to
-                # commit(); render() — tests/test_dynamic.py)
+                # split commit(); render() — measured FASTER than the
+                # fused one-dispatch commit_and_render (r4 batch 4:
+                # 116.9 vs 119.4; the async split overlaps the commit
+                # with the previous frame's device work)
                 dyn.set_entity_transform(0, rot_y(a))
-                return dyn.commit_and_render(dcam.step(taa_enabled=True))
+                dyn.commit()
+                return dr.render(dcam.step(taa_enabled=True))
 
             out = dframe(0.05)
             out = dframe(0.10)

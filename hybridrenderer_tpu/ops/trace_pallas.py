@@ -869,7 +869,7 @@ def pack_meta_tiles(meta):
 def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                         chunk_unroll: int, ordered: bool,
                         push_mode: str,
-                        stream_leaves: bool,
+                        stream_leaves: bool, pkt_rows: int,
                         # scalar prefetch
                         tmin_ref,
                         # inputs (HBM)
@@ -931,7 +931,7 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
 
     rays = []
     for pkt in range(npk):
-        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        r0, r1 = pkt * pkt_rows, (pkt + 1) * pkt_rows
         rays.append((ox_ref[r0:r1, :], oy_ref[r0:r1, :], oz_ref[r0:r1, :],
                      dx_ref[r0:r1, :], dy_ref[r0:r1, :], dz_ref[r0:r1, :],
                      safe_inv(dx_ref[r0:r1, :]),
@@ -939,7 +939,7 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                      safe_inv(dz_ref[r0:r1, :])))
 
     def pkt_init(pkt):
-        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        r0, r1 = pkt * pkt_rows, (pkt + 1) * pkt_rows
         tmax_rows = tmax_ref[r0:r1, :]
         tri0 = jnp.where(tmax_rows < 0.0, jnp.int32(INACTIVE_TRI),
                          jnp.int32(-1))
@@ -951,8 +951,8 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                 jnp.zeros((1, 128), jnp.int32),     # leaf-id stack
                 tmax_rows,
                 tri0,
-                jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32),
-                jnp.zeros((PACKET_ROWS, PACKET_COLS), jnp.float32))
+                jnp.zeros((pkt_rows, PACKET_COLS), jnp.float32),
+                jnp.zeros((pkt_rows, PACKET_COLS), jnp.float32))
 
     init = (jnp.int32(0),) + tuple(
         x for pkt in range(npk) for x in pkt_init(pkt))
@@ -1270,7 +1270,7 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
             leaf_fetch_wait(pkt)   # drain the last lookahead DMAs
     for pkt in range(npk):
         t, tri, u, v = state[1 + NS * pkt + 4:1 + NS * pkt + NS]
-        r0, r1 = pkt * PACKET_ROWS, (pkt + 1) * PACKET_ROWS
+        r0, r1 = pkt * pkt_rows, (pkt + 1) * pkt_rows
         miss = tri < 0
         t_out[r0:r1, :] = jnp.where(miss, jnp.inf, t)
         tri_out[r0:r1, :] = tri
@@ -1282,26 +1282,31 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                    static_argnames=("any_hit", "interpret",
                                     "packets_per_program", "chunk_steps",
                                     "chunk_unroll", "ordered", "push_mode",
-                                    "stream_leaves"))
+                                    "stream_leaves", "pkt_rows"))
 def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                            any_hit: bool = False, interpret: bool = False,
                            packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
                            active=None, chunk_steps: int = 8,
                            chunk_unroll: int = None, ordered: bool = True,
                            push_mode: str = "sort",
-                           stream_leaves: bool = False):
+                           stream_leaves: bool = False,
+                           pkt_rows: int = PACKET_ROWS):
     """Wide-BVH packet traversal with direct-child-id stacks and VMEM
     meta tiles (pack_meta_tiles) — no SMEM meta table, so scene capacity
     is bounded only by the VMEM record budget; with ``stream_leaves``
     the leaf records stay in HBM behind per-packet lookahead DMAs and
     only the node records bound capacity. ``ordered`` pushes children
-    farthest-first (near-first pops). Contract matches intersect_wide."""
+    farthest-first (near-first pops). Contract matches intersect_wide.
+    ``pkt_rows`` sets the packet height (rays per packet = pkt_rows*128):
+    taller packets amortize the fixed per-step cost (pops, one-hot
+    extracts, rank push) over more rays at the price of wider traversal
+    unions — a win only for direction-coherent ray sets."""
     npk = packets_per_program
     R = o.shape[0]
-    group = PACKET * npk
+    group = pkt_rows * PACKET_COLS * npk
     pad = (-R) % group
     n_programs = (R + pad) // group
-    rows = n_programs * PACKET_ROWS * npk
+    rows = n_programs * pkt_rows * npk
 
     def plane(x, fill=0.0):
         x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
@@ -1316,7 +1321,7 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
     tmax_p = jnp.pad(tmax_full, (0, pad),
                      constant_values=-1.0).reshape(rows, PACKET_COLS)
 
-    blk_rows = PACKET_ROWS * npk
+    blk_rows = pkt_rows * npk
     ray_spec = pl.BlockSpec((blk_rows, PACKET_COLS), lambda i, *_: (i, 0))
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
@@ -1348,7 +1353,7 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
         chunk_unroll = 1 if interpret else WIDE_CHUNK_UNROLL
     kernel = functools.partial(_wide_direct_kernel, any_hit, npk,
                                chunk_steps, chunk_unroll, ordered,
-                               push_mode, stream_leaves)
+                               push_mode, stream_leaves, pkt_rows)
     vmem_args = (nodes, meta_tiles) if stream_leaves \
         else (nodes, leaves, meta_tiles)
     t, tri, u, v = pl.pallas_call(
@@ -1381,6 +1386,11 @@ def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
     kw.setdefault("packets_per_program",
                   int(_os.environ.get("WIDE_NPK",
                                       str(WIDE_PACKETS_PER_PROGRAM))))
+    # packet height in sublane rows (rays/packet = rows*128). Taller
+    # packets amortize fixed per-step work over more rays but widen the
+    # traversal union — only direction-coherent sets (sun shadow) can
+    # win. r4 batch 5 measures 8/16/32.
+    kw.setdefault("pkt_rows", int(_os.environ.get("WIDE_PKT_ROWS", "8")))
     # ordered-push implementation: "rankv" (DEFAULT — vectorized keys:
     # ONE lane-reduce for all child keys + static sublane-roll rank;
     # r4 batch 3: head 106.9 vs 109.2, sponza-scale 212.3 vs 218.7,

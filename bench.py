@@ -288,6 +288,24 @@ def main():
             except Exception as e:
                 extra["breakdown"]["sponza_textured_ms"] = \
                     f"error: {e!r}"[:120]
+            # Texture-fidelity axis (VERDICT r3 task 7): the textured
+            # headline scene at a 1024² texel density (the reference's
+            # bindless array serves full-res textures,
+            # ResourceManager.cpp:651-728). Default cap stays 512 —
+            # r4 batch 4 measured the fidelity premium at +35 ms
+            # (quad-bake 169.4 @128 / 204.9 @1024 vs 4-tap 226.4).
+            try:
+                hitex = scenes.stress_scene(
+                    num_objects=n_objects, textured=True,
+                    tex_size=1024).build()
+                hitex_ms = _time_config(
+                    settings_for(RenderPathType.HYBRID, hybrid_flags),
+                    hitex, cam_kw, ladder_frames)
+                extra["breakdown"]["headline_tex1024_ms"] = round(
+                    hitex_ms, 1)
+            except Exception as e:
+                extra["breakdown"]["headline_tex1024_ms"] = \
+                    f"error: {e!r}"[:120]
 
     # per-pixel error vs the stored forward-path golden (BASELINE.md
     # "per-pixel max/mean error vs. reference forward-path goldens" —

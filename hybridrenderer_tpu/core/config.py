@@ -147,15 +147,17 @@ class RenderSettings:
     reflection_half_res: bool = False
     gi_half_res: bool = False
 
-    # SVGF history-plane storage width: 32 (f32 exact — DEFAULT; the
-    # golden ladder pins this chain) or 16 (bf16 — the reference's
-    # RGBA16F analog, SVGFPass.cpp:24-164; halves history/window HBM
-    # traffic, filter math stays f32. r3 batch 9b measured head −3.0 ms
-    # / full graph −8.4 but the accumulated-history drift reads p99 4 /
-    # max 57 vs the f32 goldens (r3 judge bisect) — kept opt-in until
-    # it passes tests/test_svgf_bits.py's multi-frame quality gate with
-    # margin worth the ms).
-    svgf_bits: int = 32
+    # SVGF history-plane storage width: 16 (bf16 — DEFAULT; the
+    # reference's RGBA16F analog, SVGFPass.cpp:24-164; halves
+    # history/window HBM traffic, filter math stays f32) or 32 (f32
+    # exact). r4 batch 1 measured the flip at head −3.0 ms / full graph
+    # −7.2; quality is gated by tests/test_svgf_bits.py (8-frame drift
+    # vs the f32 chain: worst frame mean 0.21 / p99 5.5 / max 57 u8,
+    # decaying; bf16 flicker BELOW f32) and the golden ladder is
+    # generated under this default. The r3 exit shipped this flip with
+    # STALE goldens (5 red) — any future width change must regen
+    # goldens AND pass the drift gate.
+    svgf_bits: int = 16
     # SVGF spatial-kernel backend: "auto" (Pallas stencils on TPU) |
     # "pallas" | "jnp" (unfused XLA stencils — the A/B control for
     # Pallas-operand materialization effects, r3 batch 8)

@@ -1387,10 +1387,13 @@ def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                   int(_os.environ.get("WIDE_NPK",
                                       str(WIDE_PACKETS_PER_PROGRAM))))
     # packet height in sublane rows (rays/packet = rows*128). Taller
-    # packets amortize fixed per-step work over more rays but widen the
-    # traversal union — only direction-coherent sets (sun shadow) can
-    # win. r4 batch 5 measures 8/16/32.
-    kw.setdefault("pkt_rows", int(_os.environ.get("WIDE_PKT_ROWS", "8")))
+    # packets amortize fixed per-step work (pops, one-hot extracts,
+    # rankv rolls, meta fetch) over more rays but widen the traversal
+    # union. r4 batch 5 (one process, 65k): 16 rows beat 8 on EVERY ray
+    # type isolated (shadow 33.9->26.3, AO 27.0->24.3, closest
+    # 27.7->26.3 ms) and edged the head rung (105.6 vs 106.8); 32 rows
+    # give it back (shadow 31.0, head 114.8 — union growth). Default 16.
+    kw.setdefault("pkt_rows", int(_os.environ.get("WIDE_PKT_ROWS", "16")))
     # ordered-push implementation: "rankv" (DEFAULT — vectorized keys:
     # ONE lane-reduce for all child keys + static sublane-roll rank;
     # r4 batch 3: head 106.9 vs 109.2, sponza-scale 212.3 vs 218.7,

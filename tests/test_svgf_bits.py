@@ -1,22 +1,24 @@
 """SVGF storage-width quality gate (VERDICT r3 task 1).
 
 Round 3 flipped ``svgf_bits`` to 16 without a quality gate and broke 5
-goldens (judge bisect: p99 4 / max 57 vs the f32 goldens). Two standing
-gates prevent a repeat:
+goldens (judge bisect: p99 4 / max 57 vs the f32 goldens). Round 4
+flipped it PROPERLY: default 16 (the reference's RGBA16F analog,
+SVGFPass.cpp:24-164; head −3.0 ms / full graph −7.2, r4 batch 1), with
+the golden ladder regenerated under the new default. Two standing
+gates:
 
-1. ``test_default_bits_within_golden_tolerance`` — the DEFAULT config
-   must match the explicit ``svgf_bits=32`` chain within the golden
-   ladder's own tolerance (p99<=2 / max<=16). Flipping the default to a
-   storage width that cannot hold golden tolerance fails HERE with a
-   message naming the policy, not just in 5 opaque image diffs.
+1. ``test_default_bits_within_quality_bar`` — the DEFAULT chain must
+   stay within the MEASURED bf16 drift bound of the exact f32 chain
+   (per-frame mean<=0.5 / p99<=8 / max<=96 u8 over 8 frames). A future
+   default flip to a lossier width fails HERE with a message naming
+   the policy, not just in 5 opaque image diffs.
 
-2. ``test_bf16_chain_quality_bound`` — the opt-in bf16 chain's drift vs
-   f32 over 8 frames, bounded at measured-value + headroom (measured on
+2. ``test_bf16_chain_quality_bound`` — the bf16 chain's drift vs f32
+   over 8 frames, bounded at measured-value + headroom (measured on
    the CPU backend 2026-08: worst frame mean 0.21 / p99 5.5 / max 57,
    decaying after frame 2; flicker bf16 0.163 <= f32 0.208). Catches
-   catastrophic regression of the RGBA16F-analog path
-   (reference stores all SVGF images RGBA16F, SVGFPass.cpp:24-164)
-   and provides the evidence bar any future default flip must clear.
+   catastrophic regression of the RGBA16F-analog path and provides the
+   evidence bar any future width change must clear.
 """
 import dataclasses
 
@@ -49,18 +51,21 @@ def _settings(**kw):
                           flags=HY, ao_block=8, gi_block=8, **kw)
 
 
-def test_default_bits_within_golden_tolerance():
+def test_default_bits_within_quality_bar():
     data = scenes.cube_scene().build()
     s = _settings()
-    default_img = _frames(s, data, 2)[-1]
-    f32_img = _frames(dataclasses.replace(s, svgf_bits=32), data, 2)[-1]
-    diff = np.abs(default_img - f32_img)
-    assert np.percentile(diff, 99) <= 2 and diff.max() <= 16, (
-        f"default svgf_bits={s.svgf_bits} drifts from the f32 chain "
-        f"(p99 {np.percentile(diff, 99)}, max {diff.max()}): a storage-"
-        "width default flip must stay inside golden tolerance or "
-        "regenerate the golden ladder WITH a justified quality bar "
-        "(see test_bf16_chain_quality_bound)")
+    defaults = _frames(s, data, 8)
+    f32 = _frames(dataclasses.replace(s, svgf_bits=32), data, 8)
+    for f, (a, b) in enumerate(zip(defaults, f32)):
+        d = np.abs(a - b)
+        ok = d.mean() <= 0.5 and np.percentile(d, 99) <= 8 \
+            and d.max() <= 96
+        assert ok, (
+            f"default svgf_bits={s.svgf_bits} frame {f} drifts from the "
+            f"f32 chain (mean {d.mean()}, p99 {np.percentile(d, 99)}, "
+            f"max {d.max()}): a storage-width default flip must stay "
+            "inside the measured bf16 quality bar AND regenerate the "
+            "golden ladder (see test_bf16_chain_quality_bound)")
 
 
 def test_bf16_chain_quality_bound():

@@ -127,16 +127,17 @@ class RenderSettings:
     # (trace_radiance relayout; see ao_layout for the tradeoff).
     gi_layout: str = "tile"
     # Interleave block size (pixels) for the AO / GI pattern samplers.
-    # A 32×32-pixel traversal packet spans (32/block)² patterns: block=8
-    # → 16 distinct directions per packet, block=32 → ONE direction per
-    # packet (fastest; coarser spatial noise structure that SVGF
-    # temporal/spatial integrates, same argument as interleaving
-    # itself). Default 32: −11% headline / −15% full graph (batch 27)
-    # for +22% relative converged-AO error (0.0175 vs 0.0144 mean-abs
-    # on the 0-1 AO signal) and ~+30% residual flicker — both measured
-    # small (benchmarks/quality_ao_block2.py).
-    ao_block: int = 32
-    gi_block: int = 32
+    # block=8 → 16 distinct directions per 32²-ray packet, block>=32 →
+    # ONE direction per packet (fastest; coarser spatial noise structure
+    # that SVGF temporal/spatial integrates, same argument as
+    # interleaving itself). 8→32 measured −11% headline / −15% full
+    # graph (batch 27). Default 64 since r4 batch 6 (−2.4 head / −6.9
+    # full graph over 32): converged-AO err 0.0229 vs 0.0197 @32 at 256²
+    # (benchmarks/quality_ao_block64.py), converged-GI err IDENTICAL to
+    # @32 with LOWER flicker (quality_gi_block64.py). Goldens pin
+    # block=8 explicitly, so this tunable never moves them.
+    ao_block: int = 64
+    gi_block: int = 64
 
     # Reflection roughness cutoff (reflection.rgen:55-63)
     reflection_roughness_cutoff: float = 0.6

@@ -14,6 +14,8 @@ plus vector lerps. 4x the texture memory, 4x fewer gathers.
 """
 from __future__ import annotations
 
+import os as _os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,7 +105,16 @@ def sample_bilinear_quad(quads, stack_sizes, tex_id, uv, default):
     xi = jnp.mod(x0.astype(jnp.int32), w.astype(jnp.int32))
     yi = jnp.mod(y0.astype(jnp.int32), h.astype(jnp.int32))
 
-    q = quads[tid, yi, xi]                      # the one gather
+    if _os.environ.get("HR_TEX_GATHER", "flat") == "flat":
+        # ONE-dimensional row gather: the (tid, yi, xi) advanced index
+        # lowers to a multi-operand-dim gather that bypasses XLA's fast
+        # small-table row-gather path; pre-flattening the index makes
+        # this the same op shape as every other fast gather in the
+        # frame (r4 batch 8 A/B; same rows, bit-identical)
+        N, TH, TW, C = quads.shape
+        q = quads.reshape(N * TH * TW, C)[(tid * TH + yi) * TW + xi]
+    else:
+        q = quads[tid, yi, xi]                  # the one gather
     top = q[..., 0:4] * (1 - fx) + q[..., 4:8] * fx
     bot = q[..., 8:12] * (1 - fx) + q[..., 12:16] * fx
     out = top * (1 - fy) + bot * fy

@@ -99,6 +99,24 @@ def test_quad_layout_matches_four_tap():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_quad_gather_variants_identical(monkeypatch):
+    """The flattened 1-D row-index gather (HR_TEX_GATHER=flat, the
+    default — engages XLA's fast small-table row-gather path) is
+    bit-exact vs the 3-D advanced index."""
+    rng = np.random.default_rng(5)
+    stack = _rand_stack(rng)
+    quads = tex_ops.build_quads(stack.data, stack.sizes)
+    uv = jnp.asarray(rng.random((257, 2)) * 6.0 - 3.0, jnp.float32)
+    tid = jnp.asarray(rng.integers(-1, 3, 257), jnp.int32)
+    dflt = jnp.asarray([9.0, 8.0, 7.0, 1.0], jnp.float32)
+    outs = []
+    for mode in ("flat", "3d"):
+        monkeypatch.setenv("HR_TEX_GATHER", mode)
+        outs.append(np.asarray(tex_ops.sample_bilinear_quad(
+            quads, stack.sizes, tid, uv, dflt)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_sample_stack_dispatch():
     """sample_stack picks the quad path when quads are present and the
     4-tap path otherwise — identical results either way."""

@@ -66,9 +66,16 @@ def sample_bilinear(stack_data, stack_sizes, tex_id, uv, default):
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
+    flat_mode = _os.environ.get("HR_TEX_GATHER", "flat") == "flat"
+    N, TH, TW, C = stack_data.shape
+    flat_data = stack_data.reshape(N * TH * TW, C) if flat_mode else None
+
     def tap(xi, yi):
         xi = jnp.mod(xi.astype(jnp.int32), w.astype(jnp.int32))
         yi = jnp.mod(yi.astype(jnp.int32), h.astype(jnp.int32))
+        if flat_mode:
+            # single-operand-dim row gather (see sample_bilinear_quad)
+            return flat_data[(tid * TH + yi) * TW + xi]
         return stack_data[tid, yi, xi]
 
     c00 = tap(x0, y0)

@@ -179,10 +179,39 @@ def _bucket_order(keys, n_segments, cap, chunk: int = 8192):
     return order, starts, cnts
 
 
+def _gather_stream_rows(packed, idx, mode: str = "whole",
+                        budget: int = 14 * 2**20):
+    """Gather ``packed[idx]`` — optionally column-chunked.
+
+    The fast-gather gate is TABLE bytes ≲ 16 MB (VMEM residency, r3
+    batch 4, dtype-agnostic); the joined record table at stress scale is
+    (T2, 120) f32 ≈ 71 MB, so the cap-sized stream gather pays the slow
+    per-row rate (~29 ns/row — the bin stage's biggest piece, batch 41).
+    ``mode="split"`` gathers in column chunks whose sliced table each
+    fits the gate (barrier-materialized so XLA gathers from the small
+    copy, not a view of the big buffer) — same rows, same bytes out,
+    bit-identical concat. Knob: RASTER_STREAM_GATHER (r4 batch 9)."""
+    if mode != "split":
+        return packed[idx]
+    t_rows, t_cols = packed.shape
+    cols = max(8, budget // max(1, 4 * t_rows))
+    if cols >= t_cols:
+        return packed[idx]
+    parts = []
+    for c0 in range(0, t_cols, cols):
+        tbl = jax.lax.optimization_barrier(packed[:, c0:c0 + cols])
+        parts.append(tbl[idx])
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _sorted_stream(packed, entry_key, entry_cand, n_segments, cap,
-                   method: str = "argsort"):
+                   method: str = "argsort", gather: str = None):
     """Group entries by key, truncate to ``cap``, gather records, and
     return (blocked stream, starts, counts) over ``n_segments`` keys."""
+    if gather is None:
+        import os
+
+        gather = os.environ.get("RASTER_STREAM_GATHER", "whole")
     if method == "chunked":
         order_cap, starts, counts = _bucket_order(entry_key, n_segments, cap)
         idx = entry_cand[order_cap]
@@ -199,7 +228,7 @@ def _sorted_stream(packed, entry_key, entry_cand, n_segments, cap,
         # kernel's over-fetch lanes (masked) — no extra kill needed.
         idx = entry_cand[order[:cap]]
         n_live = bounds[-1]
-    stream = packed[idx]
+    stream = _gather_stream_rows(packed, idx, gather)
     pad = (-stream.shape[0]) % BLOCK + BLOCK
     stream = jnp.pad(stream, ((0, pad), (0, 0)))
     return _to_blocks(stream), starts, counts, n_live

@@ -268,3 +268,16 @@ def test_binned_near_plane_crosser_matches():
     assert np.array_equal(np.asarray(ref.tri_id), np.asarray(out.tri_id))
     assert np.allclose(np.asarray(ref.depth), np.asarray(out.depth),
                        atol=1e-5)
+
+
+def test_stream_gather_split_matches_whole():
+    """RASTER_STREAM_GATHER=split (column-chunked fast-path gather,
+    r4 batch 9) must be bit-identical to the whole-table gather."""
+    rng = np.random.default_rng(7)
+    packed = jnp.asarray(rng.standard_normal((512, 120)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 512, 300), jnp.int32)
+    whole = raster_pallas._gather_stream_rows(packed, idx, "whole")
+    # tiny budget forces many column chunks (including a ragged tail)
+    split = raster_pallas._gather_stream_rows(packed, idx, "split",
+                                              budget=512 * 4 * 16)
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(split))

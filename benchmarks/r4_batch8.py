@@ -72,8 +72,9 @@ def s(x):
 
 
 # ---- isolated 2M-sample quad gather (DCE-proof fori chain) -------------
-def tex_probe(tex_size, mode):
+def tex_probe(tex_size, mode, bits="32"):
     os.environ["HR_TEX_GATHER"] = mode
+    os.environ["HR_TEX_BITS"] = bits
     data = scenes.stress_scene(num_objects=50, textured=True,
                                tex_size=tex_size).build()
     quads = data.textures.quads
@@ -99,10 +100,10 @@ def tex_probe(tex_size, mode):
         r = loop(jnp.float32(0.0))
         _ = float(r)
         ms = (time.perf_counter() - t0) / ITERS * 1e3
-        print(json.dumps({"probe": f"qsample_{tex_size}_{mode}",
+        print(json.dumps({"probe": f"qsample_{tex_size}_{mode}_b{bits}",
                           "ms": round(ms, 2)}), flush=True)
     except Exception as e:
-        print(json.dumps({"probe": f"qsample_{tex_size}_{mode}",
+        print(json.dumps({"probe": f"qsample_{tex_size}_{mode}_b{bits}",
                           "error": repr(e)[:250]}), flush=True)
         time.sleep(120)
 
@@ -110,6 +111,11 @@ def tex_probe(tex_size, mode):
 for size in (128, 512):
     for mode in ("3d", "flat"):
         tex_probe(size, mode)
+# u8 storage (HR_TEX_BITS=8, reference RGBA8 parity): the 512² quad
+# stack drops 67 MB (f32, over the ≲16 MB fast-gather gate) → 16.8 MB
+tex_probe(512, "flat", bits="8")
+tex_probe(1024, "flat", bits="8")
+os.environ["HR_TEX_BITS"] = "32"
 
 
 def burst_ms(data, flags, k=4, **skw):
@@ -160,10 +166,25 @@ guard("headtex1k_3d", lambda: burst_ms(data_tex1k, HEAD))
 os.environ["HR_TEX_GATHER"] = "flat"
 guard("headtex1k_flat", lambda: burst_ms(data_tex1k, HEAD))
 
-# Sponza-scale textured flagship, both modes
+# 512² textures (the HR_TEX_MAX default) at 65k: f32 vs u8 storage
+os.environ["HR_TEX_GATHER"] = "flat"
+data_tex512 = scenes.stress_scene(num_objects=250, textured=True,
+                                  tex_size=512).build()
+guard("headtex512_flat", lambda: burst_ms(data_tex512, HEAD))
+os.environ["HR_TEX_BITS"] = "8"
+data_tex512_b8 = scenes.stress_scene(num_objects=250, textured=True,
+                                     tex_size=512).build()
+guard("headtex512_flat_b8", lambda: burst_ms(data_tex512_b8, HEAD))
+os.environ["HR_TEX_BITS"] = "32"
+
+# Sponza-scale textured flagship: gather-shape modes + u8 storage
 data262t = scenes.stress_scene(num_objects=1000, textured=True).build()
 os.environ["HR_TEX_GATHER"] = "3d"
 guard("sponzatex_3d", lambda: burst_ms(data262t, HEAD, k=2))
 os.environ["HR_TEX_GATHER"] = "flat"
 guard("sponzatex_flat", lambda: burst_ms(data262t, HEAD, k=2))
+os.environ["HR_TEX_BITS"] = "8"
+data262t_b8 = scenes.stress_scene(num_objects=1000, textured=True).build()
+guard("sponzatex_flat_b8", lambda: burst_ms(data262t_b8, HEAD, k=2))
+os.environ["HR_TEX_BITS"] = "32"
 print("EXIT=0", flush=True)

@@ -20,6 +20,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _decode(q):
+    """Decode a gathered texel row from its storage dtype.
+
+    u8 storage (HR_TEX_BITS=8, schema.TextureStack.finalized) matches
+    the reference's RGBA8 texture formats (ResourceManager.cpp:651-728)
+    and shrinks the gather TABLE 4x — the fast-gather gate is table
+    bytes ≲ 16 MB (BENCH.md r3 batch 4), which a 512² quad stack misses
+    at f32 (~67 MB) but approaches at u8. Filter math stays f32."""
+    if q.dtype == jnp.uint8:
+        return q.astype(jnp.float32) * (1.0 / 255.0)
+    return q
+
+
+def quantize_u8(data):
+    """Host-side u8 quantization of a [0,1] texture stack (round-trip
+    exact for u8-sourced images; ≤1/510 per channel otherwise)."""
+    d = np.asarray(data)
+    return jnp.asarray(
+        np.clip(np.round(d * 255.0), 0.0, 255.0).astype(np.uint8))
+
+
 def build_quads(data, sizes):
     """Bake the 2x2 bilinear footprint of every texel into one 16-float
     row: quads[n, y, x] = concat(T[y,x], T[y,x+1], T[y+1,x], T[y+1,x+1])
@@ -75,8 +96,8 @@ def sample_bilinear(stack_data, stack_sizes, tex_id, uv, default):
         yi = jnp.mod(yi.astype(jnp.int32), h.astype(jnp.int32))
         if flat_mode:
             # single-operand-dim row gather (see sample_bilinear_quad)
-            return flat_data[(tid * TH + yi) * TW + xi]
-        return stack_data[tid, yi, xi]
+            return _decode(flat_data[(tid * TH + yi) * TW + xi])
+        return _decode(stack_data[tid, yi, xi])
 
     c00 = tap(x0, y0)
     c10 = tap(x0 + 1, y0)
@@ -122,6 +143,7 @@ def sample_bilinear_quad(quads, stack_sizes, tex_id, uv, default):
         q = quads.reshape(N * TH * TW, C)[(tid * TH + yi) * TW + xi]
     else:
         q = quads[tid, yi, xi]                  # the one gather
+    q = _decode(q)
     top = q[..., 0:4] * (1 - fx) + q[..., 4:8] * fx
     bot = q[..., 8:12] * (1 - fx) + q[..., 12:16] * fx
     out = top * (1 - fy) + bot * fy
@@ -146,6 +168,6 @@ def sample_nearest(stack_data, stack_sizes, tex_id, uv, default):
     w = stack_sizes[tid, 1]
     xi = jnp.mod((uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32), w)
     yi = jnp.mod((uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32), h)
-    out = stack_data[tid, yi, xi]
+    out = _decode(stack_data[tid, yi, xi])
     valid = (tex_id >= 0)[..., None]
     return jnp.where(valid, out, jnp.broadcast_to(default, out.shape))

@@ -224,7 +224,7 @@ class TextureStack:
         budget above)."""
         import os
 
-        from ..ops.texture import build_quads  # local: avoid import cycle
+        from ..ops.texture import build_quads, quantize_u8  # local: cycle
         usage = (
             any(m.colour_texture >= 0 for m in materials),
             any(m.emission_texture >= 0 for m in materials),
@@ -232,11 +232,18 @@ class TextureStack:
             any(m.normal_texture >= 0 for m in materials),
         )
         nontrivial = self.data.shape[1] > 1 or self.data.shape[2] > 1
+        # HR_TEX_BITS=8: u8 storage for data + quads (reference RGBA8
+        # parity, ResourceManager.cpp:651-728) — 4x smaller gather
+        # tables; samplers decode after the gather (ops/texture._decode)
+        data = self.data
+        if (os.environ.get("HR_TEX_BITS", "32") == "8" and nontrivial
+                and data.dtype != jnp.uint8):
+            data = quantize_u8(data)
         quads = self.quads
         budget = int(os.environ.get(
             "HR_QUAD_MAX_MB", str(self.QUAD_BYTES_MAX // (1024 * 1024)))) \
             * 1024 * 1024
-        quad_bytes = int(np.prod(self.data.shape)) * 4 * 4
+        quad_bytes = int(np.prod(data.shape)) * data.dtype.itemsize * 4
         if bake_quads and nontrivial and quads is None:
             if quad_bytes > budget:
                 from ..runtime.log import core as _log
@@ -245,8 +252,8 @@ class TextureStack:
                             "%d MB (bilinear falls back to 4-tap)",
                             quad_bytes >> 20, budget >> 20)
             else:
-                quads = build_quads(self.data, self.sizes)
-        return TextureStack(data=self.data, sizes=self.sizes, quads=quads,
+                quads = build_quads(data, self.sizes)
+        return TextureStack(data=data, sizes=self.sizes, quads=quads,
                             slot_usage=usage)
 
 

@@ -173,3 +173,53 @@ def test_quad_bake_budget_gate(monkeypatch):
     a = np.asarray(Renderer.for_scene(s, data).render_np(st))
     b = np.asarray(Renderer.for_scene(s, data2).render_np(st))
     assert np.abs(a - b).max() < 1e-5
+
+
+def test_u8_storage_matches_f32_for_u8_sources():
+    """HR_TEX_BITS=8 (u8 data + quad stacks, reference RGBA8 parity):
+    bit-exact vs f32 storage when sources are u8-quantized, and the
+    quad path stays bit-exact vs the 4-tap path under u8 storage."""
+    rng = np.random.default_rng(11)
+    stack = _rand_stack(rng)
+    # u8-quantized source: u8 round trip is exact
+    data = jnp.round(stack.data * 255.0) / 255.0
+    data8 = tex_ops.quantize_u8(data)
+    assert data8.dtype == jnp.uint8
+    quads = tex_ops.build_quads(data, stack.sizes)
+    quads8 = tex_ops.build_quads(data8, stack.sizes)
+    assert quads8.dtype == jnp.uint8
+    uv = jnp.asarray(rng.random((257, 2)) * 6.0 - 3.0, jnp.float32)
+    tid = jnp.asarray(rng.integers(-1, 3, 257), jnp.int32)
+    dflt = jnp.asarray([9.0, 8.0, 7.0, 1.0], jnp.float32)
+    ref4 = np.asarray(tex_ops.sample_bilinear(
+        data, stack.sizes, tid, uv, dflt))
+    out4 = np.asarray(tex_ops.sample_bilinear(
+        data8, stack.sizes, tid, uv, dflt))
+    np.testing.assert_allclose(out4, ref4, atol=1e-6)
+    refq = np.asarray(tex_ops.sample_bilinear_quad(
+        quads, stack.sizes, tid, uv, dflt))
+    outq = np.asarray(tex_ops.sample_bilinear_quad(
+        quads8, stack.sizes, tid, uv, dflt))
+    np.testing.assert_allclose(outq, refq, atol=1e-6)
+    np.testing.assert_array_equal(outq, out4)
+
+
+def test_finalized_u8_storage(monkeypatch):
+    """TextureStack.finalized under HR_TEX_BITS=8 stores u8 data and
+    quads; a textured frame stays within u8 quantization error of the
+    f32-storage frame."""
+    monkeypatch.setenv("HR_TEX_BITS", "8")
+    from hybridrenderer_tpu.scene.scene import stress_scene
+
+    data = stress_scene(num_objects=4, textured=True, tex_size=16).build()
+    assert data.textures.data.dtype == jnp.uint8
+    assert data.textures.quads.dtype == jnp.uint8
+    monkeypatch.delenv("HR_TEX_BITS")
+    data32 = stress_scene(num_objects=4, textured=True, tex_size=16).build()
+    st = RenderSettings(width=64, height=64, path=RenderPathType.FORWARD,
+                        flags=RenderFlags.LIGHT)
+    cam = OrbitCamera(width=64, height=64, distance=25.0).step()
+    a = Renderer.for_scene(st, data).render_np(cam)
+    b = Renderer.for_scene(st, data32).render_np(cam)
+    # u8 storage error ≤ 1/510 per channel pre-shading; allow shading gain
+    assert np.abs(a.astype(np.float64) - b.astype(np.float64)).max() <= 3

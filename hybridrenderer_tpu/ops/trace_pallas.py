@@ -1379,10 +1379,13 @@ def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                           **kw):
     """Public entry: resolves chunk_steps/unroll OUTSIDE the jit
     boundary (env knob WIDE_CHUNK_STEPS read per call, so frame-level
-    A/Bs retrace; batch-14 retune on the ordered direct kernel:
-    isolated shadow 63.6/57.1/49.2 Mrays/s at 8/16/24 → default 8)."""
+    A/Bs retrace; r2 batch-14 retune on the ordered direct kernel:
+    isolated shadow 63.6/57.1/49.2 Mrays/s at 8/16/24 → 8. r4 batch 7
+    re-tuned under pkt_rows=16: 2048-ray packets take ~half the steps
+    per chunk check, so the termination-overshoot optimum drops —
+    head rung 103.2/102.6/99.5 at cs 8/4/6 → default 6)."""
     if chunk_steps is None:
-        chunk_steps = int(_os.environ.get("WIDE_CHUNK_STEPS", "8"))
+        chunk_steps = int(_os.environ.get("WIDE_CHUNK_STEPS", "6"))
     kw.setdefault("packets_per_program",
                   int(_os.environ.get("WIDE_NPK",
                                       str(WIDE_PACKETS_PER_PROGRAM))))

@@ -231,6 +231,15 @@ class TextureStack:
             any(m.roughness_texture >= 0 for m in materials),
             any(m.normal_texture >= 0 for m in materials),
         )
+        # HR_SLOT_MASK (debug/bisect, e.g. "0000"): force-disable slots
+        # to measure a textured scene with its sample sites compiled out
+        # (r4 batch 10 — splits textured-frame overhead into sample-site
+        # vs structural cost). Not a quality knob: disabled slots render
+        # untextured.
+        mask = os.environ.get("HR_SLOT_MASK")
+        if mask:
+            usage = tuple(u and mask[i:i + 1] == "1"
+                          for i, u in enumerate(usage))
         nontrivial = self.data.shape[1] > 1 or self.data.shape[2] > 1
         # HR_TEX_BITS=8: u8 storage for data + quads (reference RGBA8
         # parity, ResourceManager.cpp:651-728) — 4x smaller gather

@@ -194,7 +194,7 @@ def _gather_stream_rows(packed, idx, mode: str = "whole",
     if mode != "split":
         return packed[idx]
     t_rows, t_cols = packed.shape
-    cols = max(8, budget // max(1, 4 * t_rows))
+    cols = max(8, budget // max(1, packed.dtype.itemsize * t_rows))
     if cols >= t_cols:
         return packed[idx]
     parts = []
@@ -412,6 +412,54 @@ def _walk_streams(eval_block, carry, rec_ref, sem_ref,
 
     carry = run_stream(stream_a_hbm, start_a, count_a, carry)
     carry = run_stream(stream_b_hbm, start_b, count_b, carry)
+
+    def ovf_body(b, c):
+        return eval_block(overflow_ref[b], 0, n_ovf - b * BLOCK, c)
+
+    return jax.lax.fori_loop(0, pl.cdiv(n_ovf, BLOCK), ovf_body, carry)
+
+
+def _walk_streams_merged(eval_block, carry, rec_ref, sem_ref,
+                         stream_hbm, overflow_ref,
+                         start_a, count_a, start_b, count_b, n_ovf):
+    """Single-loop stream walk: class-A and class-B blocks ride ONE
+    fori_loop (they live in the same blocked stream — bin_candidates
+    emits one combined sort), so the kernel pays one loop construct's
+    carry round-trip instead of two, and pallas_call carries ONE HBM
+    stream operand instead of two aliases of the same array. The rare
+    class-C overflow list keeps its own (usually 0-trip) loop."""
+    blk_a0 = start_a // BLOCK
+    n_a = pl.cdiv(start_a + count_a, BLOCK) - blk_a0
+    blk_b0 = start_b // BLOCK
+    n_b = pl.cdiv(start_b + count_b, BLOCK) - blk_b0
+    n_blocks = n_a + n_b
+
+    def blk_of(b):
+        return jnp.where(b < n_a, blk_a0 + b, blk_b0 + (b - n_a))
+
+    def dma(slot, b):
+        return pltpu.make_async_copy(
+            stream_hbm.at[blk_of(b)], rec_ref.at[slot], sem_ref.at[slot])
+
+    @pl.when(n_blocks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def blk_body(b, c):
+        slot = b % 2
+
+        @pl.when(b + 1 < n_blocks)
+        def _():
+            dma((b + 1) % 2, b + 1).start()
+
+        dma(slot, b).wait()
+        in_a = b < n_a
+        base = blk_of(b) * BLOCK
+        lo = jnp.where(in_a, start_a, start_b) - base
+        hi = jnp.where(in_a, start_a + count_a, start_b + count_b) - base
+        return eval_block(rec_ref[slot], lo, hi, c)
+
+    carry = jax.lax.fori_loop(0, n_blocks, blk_body, carry)
 
     def ovf_body(b, c):
         return eval_block(overflow_ref[b], 0, n_ovf - b * BLOCK, c)
@@ -684,13 +732,12 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
             [lerpT / sT_safe, constT], axis=0)[None].astype(attr_ref.dtype)
 
 
-def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs,
+def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs, walk, probe,
                      # scalar prefetch
                      starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
                      novf_ref,
-                     # inputs
-                     stream_a_hbm, stream_b_hbm, overflow_ref,
-                     # outputs (packed vis[, attr]) then scratch
+                     # inputs: (stream,) merged / (stream_a, stream_b) split,
+                     # then overflow
                      *refs):
     """Transposed ("v4") block eval: every per-program value lives in
     (1, P) / (rows, P) layout — pixels ALWAYS on the lane dimension.
@@ -712,6 +759,10 @@ def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs,
     the v2 integer key (17-bit quantized reversed-Z << 7 | lane; the
     depth STORED is the winner's exact affine eval), so v4 output is
     v2-tie-compatible by construction."""
+    if walk == "merged":
+        stream_hbm, overflow_ref, *refs = refs
+    else:
+        stream_a_hbm, stream_b_hbm, overflow_ref, *refs = refs
     if has_attrs:
         vis_ref, attr_ref, rec_ref, sem_ref = refs
     else:
@@ -817,10 +868,19 @@ def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs,
         carry = carry + (jnp.zeros((VPACK_ROWS, P), jnp.float32),
                          jnp.zeros((CONST_ROWS, P), jnp.float32))
 
-    carry = _walk_streams(eval_block, carry, rec_ref, sem_ref,
-                          stream_a_hbm, stream_b_hbm, overflow_ref,
-                          starts_a_ref[t], counts_a_ref[t],
-                          starts_b_ref[ty], counts_b_ref[ty], novf_ref[0])
+    if probe == "noloops":
+        pass  # floor probe: program skeleton + carry init + output writes
+    elif walk == "merged":
+        carry = _walk_streams_merged(
+            eval_block, carry, rec_ref, sem_ref, stream_hbm, overflow_ref,
+            starts_a_ref[t], counts_a_ref[t],
+            starts_b_ref[ty], counts_b_ref[ty], novf_ref[0])
+    else:
+        carry = _walk_streams(eval_block, carry, rec_ref, sem_ref,
+                              stream_a_hbm, stream_b_hbm, overflow_ref,
+                              starts_a_ref[t], counts_a_ref[t],
+                              starts_b_ref[ty], counts_b_ref[ty],
+                              novf_ref[0])
 
     zT, triT, n1T, n2T, sT = carry[:5]
     miss = triT < 0.0
@@ -849,13 +909,29 @@ def resolve_eval_mode(eval_mode: str = None) -> str:
     return eval_mode
 
 
+def resolve_walk(walk: str = None) -> str:
+    """Stream-walk variant for the v4 kernel: "merged" (one combined
+    A+B loop, one stream operand) or "split" (per-class loops).
+    Env RASTER_WALK overrides; resolved outside the jit (static key)."""
+    if walk is None:
+        import os
+
+        walk = os.environ.get("RASTER_WALK", "merged")
+    return walk
+
+
 def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
                  eval_mode: str = None, raw: bool = False,
-                 attr_bits: int = 32):
+                 attr_bits: int = 32, walk: str = None, probe: str = None):
+    if probe is None:
+        import os
+
+        probe = os.environ.get("RASTER_FLOOR_PROBE", "none")
     return _raster_tiles(bins, width, height, tile_h=tile_h, tile_w=tile_w,
                          interpret=interpret,
                          eval_mode=resolve_eval_mode(eval_mode), raw=raw,
-                         attr_bits=attr_bits)
+                         attr_bits=attr_bits, walk=resolve_walk(walk),
+                         probe=probe)
 
 
 _WARNED_DOWNGRADE = set()
@@ -864,10 +940,11 @@ _WARNED_DOWNGRADE = set()
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "tile_h", "tile_w",
                                     "interpret", "eval_mode", "raw",
-                                    "attr_bits"))
+                                    "attr_bits", "walk", "probe"))
 def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
                   eval_mode: str = "v4", raw: bool = False,
-                  attr_bits: int = 32):
+                  attr_bits: int = 32, walk: str = "merged",
+                  probe: str = "none"):
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
@@ -905,12 +982,19 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
         out_shape.append(
             jax.ShapeDtypeStruct((ntiles, ATTR_OUT, P), attr_dt))
 
+    # merged walk: class-A/B blocks live in ONE combined stream (see
+    # bin_candidates) — pass it once and walk it with one loop. v4 only;
+    # the legacy kernels keep the split walk.
+    merged = (eval_mode == "v4") and (walk == "merged")
+    stream_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # combined stream
+    stream_args = (bins["stream_a"],)
+    if not merged:
+        stream_specs = stream_specs + [pl.BlockSpec(memory_space=pl.ANY)]
+        stream_args = (bins["stream_a"], bins["stream_b"])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # stream A (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),      # stream B (HBM)
+        in_specs=stream_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # class-C list
         ],
         out_specs=out_specs,
@@ -921,7 +1005,8 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
     )
     if eval_mode == "v4":
         kernel = functools.partial(_raster_kernel_t, ntx, tile_h, tile_w,
-                                   has_attrs)
+                                   has_attrs, walk if merged else "split",
+                                   probe)
     else:
         kernel = functools.partial(_raster_kernel, ntx, tile_h, tile_w,
                                    eval_mode, has_attrs)
@@ -937,7 +1022,7 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
             vmem_limit_bytes=max(32 * 1024 * 1024, 24 * P * 128 * 4)),
     )(bins["starts_a"], bins["counts_a"], bins["starts_b"], bins["counts_b"],
       bins["n_overflow"][None],
-      bins["stream_a"], bins["stream_b"], bins["overflow"])
+      *stream_args, bins["overflow"])
     if raw:  # perf probes: kernel outputs without the (H, W) relayout
         return outs
     packed_vis = outs[0]                            # (ntiles, 4, P)

@@ -35,8 +35,21 @@ def _decode(q):
 
 def quantize_u8(data):
     """Host-side u8 quantization of a [0,1] texture stack (round-trip
-    exact for u8-sourced images; ≤1/510 per channel otherwise)."""
+    exact for u8-sourced images; ≤1/510 per channel otherwise).
+
+    Note vs the reference: it loads LDR color textures as
+    VK_FORMAT_R8G8B8A8_SRGB (u8 in sRGB space, decoded at sample time,
+    ResourceManager.cpp:651-728) while this quantizes the already-linear
+    stack — u8-in-linear loses dark-range precision relative to
+    u8-in-sRGB. HDR content (values > 1, e.g. LoadHDRTexture's
+    R32G32B32A32_SFLOAT) would be clipped, so it is refused here."""
     d = np.asarray(data)
+    if np.max(d) > 1.0 + 1e-6:
+        from ..runtime.log import core as _log
+
+        _log().warn("HR_TEX_BITS=8 skipped: stack holds HDR texels "
+                    "(max %.3g > 1) that u8 would clip", float(np.max(d)))
+        return jnp.asarray(d)
     return jnp.asarray(
         np.clip(np.round(d * 255.0), 0.0, 255.0).astype(np.uint8))
 

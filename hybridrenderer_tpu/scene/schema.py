@@ -238,7 +238,11 @@ class TextureStack:
         # untextured.
         mask = os.environ.get("HR_SLOT_MASK")
         if mask:
-            usage = tuple(u and mask[i:i + 1] == "1"
+            if len(mask) != 4 or any(c not in "01" for c in mask):
+                raise ValueError(
+                    f"HR_SLOT_MASK must be 4 chars of 0/1, got {mask!r} "
+                    "(a short mask would silently disable trailing slots)")
+            usage = tuple(u and mask[i] == "1"
                           for i, u in enumerate(usage))
         nontrivial = self.data.shape[1] > 1 or self.data.shape[2] > 1
         # HR_TEX_BITS=8: u8 storage for data + quads (reference RGBA8

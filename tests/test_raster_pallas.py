@@ -281,3 +281,29 @@ def test_stream_gather_split_matches_whole():
     split = raster_pallas._gather_stream_rows(packed, idx, "split",
                                               budget=512 * 4 * 16)
     np.testing.assert_array_equal(np.asarray(whole), np.asarray(split))
+
+
+def test_merged_walk_matches_split():
+    """The merged single-loop stream walk (RASTER_WALK=merged, r5) must
+    be bit-identical to the split per-class walk: same blocks, same
+    order (A then B then overflow), one loop construct."""
+    data = scene_mod.stress_scene(num_objects=12).build()
+    cam = OrbitCamera(width=W, height=H, distance=30.0, pitch=0.5,
+                      yaw=0.8, focal_point=(0, 2.0, 0)).step()
+    clip = raster.transform_to_clip(
+        data.vertices.world_position,
+        jnp.asarray(cam.proj) @ jnp.asarray(cam.view))
+    tris = raster.clip_triangles(clip, data.triangles.i0, data.triangles.i1,
+                                 data.triangles.i2, W, H)
+    packed, bbox, valid = raster_pallas.pack_candidates(
+        tris, attr_table=data.raster_rows)
+    bins = raster_pallas.bin_candidates(packed, bbox, valid, W, H, 8, 128)
+    vis_m, att_m = raster_pallas.raster_tiles(bins, W, H, interpret=True,
+                                              walk="merged")
+    vis_s, att_s = raster_pallas.raster_tiles(bins, W, H, interpret=True,
+                                              walk="split")
+    for a, b in zip([vis_m.tri_id, vis_m.depth, vis_m.bary1, vis_m.bary2,
+                     att_m],
+                    [vis_s.tri_id, vis_s.depth, vis_s.bary1, vis_s.bary2,
+                     att_s]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

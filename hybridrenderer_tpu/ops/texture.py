@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os as _os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -146,14 +147,43 @@ def sample_bilinear_quad(quads, stack_sizes, tex_id, uv, default):
     xi = jnp.mod(x0.astype(jnp.int32), w.astype(jnp.int32))
     yi = jnp.mod(y0.astype(jnp.int32), h.astype(jnp.int32))
 
-    if _os.environ.get("HR_TEX_GATHER", "flat") == "flat":
+    mode = _os.environ.get("HR_TEX_GATHER", "flat")
+    if mode != "nd":
         # ONE-dimensional row gather: the (tid, yi, xi) advanced index
         # lowers to a multi-operand-dim gather that bypasses XLA's fast
         # small-table row-gather path; pre-flattening the index makes
         # this the same op shape as every other fast gather in the
         # frame (r4 batch 8 A/B; same rows, bit-identical)
         N, TH, TW, C = quads.shape
-        q = quads.reshape(N * TH * TW, C)[(tid * TH + yi) * TW + xi]
+        flat = quads.reshape(N * TH * TW, C)
+        idx = (tid * TH + yi) * TW + xi
+        if mode == "u16" and flat.dtype == jnp.float32:
+            # EXACT f32 via two u16 gathers (the shade_rows trick,
+            # BENCH.md r3 batch 3): 16-bit tables ≤64k rows ride XLA's
+            # fast row-gather path (~3.8 vs ~12 ns/row isolated) — the
+            # in-frame albedo gather is the entire ~50 ms textured
+            # overhead (r5 batch 10), so 2x the gathers at a faster
+            # rate can still win. Bitcast+deinterleave runs per trace
+            # (table-sized, ~1 ms/frame at 4 MB; hoistable to scene
+            # build if accepted).
+            pair = jax.lax.bitcast_convert_type(flat, jnp.uint16)
+            lo_t = pair[..., 0]
+            hi_t = pair[..., 1]
+            hi = hi_t[idx].astype(jnp.uint32)
+            lo = lo_t[idx].astype(jnp.uint32)
+            q = jax.lax.bitcast_convert_type(
+                (hi << 16) | lo, jnp.float32)
+        elif mode == "bf16" and flat.dtype == jnp.float32:
+            # single bf16 gather (fast 16-bit path; ≤0.2% relative
+            # texel error — below the u8 source quantization)
+            q = flat.astype(jnp.bfloat16)[idx].astype(jnp.float32)
+        elif mode == "barrier":
+            # probe: materialize index + table before the gather (is
+            # the in-frame 2x-vs-isolated row rate fusion fallout?)
+            idx, flat = jax.lax.optimization_barrier((idx, flat))
+            q = flat[idx]
+        else:
+            q = flat[idx]
     else:
         q = quads[tid, yi, xi]                  # the one gather
     q = _decode(q)

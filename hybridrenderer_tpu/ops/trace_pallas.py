@@ -870,6 +870,7 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                         chunk_unroll: int, ordered: bool,
                         push_mode: str,
                         stream_leaves: bool, pkt_rows: int,
+                        extract_mode: str,
                         # scalar prefetch
                         tmin_ref,
                         # inputs (HBM)
@@ -982,6 +983,19 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
         valid = jnp.sum(jnp.where(sp > 0, 1, 0))     # scalar 0/1
         return e, valid, jnp.maximum(sp - 1, 0)
 
+    def extract(tile, oh):
+        """(R, 128) tile × (1, 128) one-hot → (R, 1) column.
+
+        mode "mxu": ride the MXU as a K=128 contraction — offloads the
+        lane reduction from the VPU (the per-step critical path is pure
+        VPU work; three of these run every step). mode "vpu": the
+        broadcast-multiply + lane-reduce tree (r1-r4 default)."""
+        if extract_mode == "mxu":
+            return jax.lax.dot_general(
+                tile, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return jnp.sum(tile * oh, axis=1, keepdims=True)
+
     def step(pkt, sub):
         isp, lsp, istack, lstack, t_best, tri_best, u_best, v_best = sub
         ox, oy, oz, dx, dy, dz, ix, iy, iz = rays[pkt]
@@ -1000,7 +1014,7 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
             ltile = leaves_ref[pkt].astype(jnp.float32)
         else:
             ltile = leaves_ref[k >> 7].astype(jnp.float32)  # (12*lt, 128)
-        lcol = jnp.sum(ltile * kloh, axis=1, keepdims=True)
+        lcol = extract(ltile, kloh)
 
         def lf(r):
             return lcol[r:r + 1]
@@ -1050,7 +1064,7 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
         popcnt = _popcnt16_vec if width > 8 else _popcnt8_vec
         iloh = (lane_iota == (i & 127)).astype(jnp.float32)
         itile = nodes_ref[i >> 7].astype(jnp.float32)        # (6w, 128)
-        icol = jnp.sum(itile * iloh, axis=1, keepdims=True)  # (6w, 1)
+        icol = extract(itile, iloh)                          # (6w, 1)
 
         def nfv(r):
             return icol[r:r + 1]
@@ -1102,8 +1116,13 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
 
         # meta via the node's lane one-hot (VMEM, no SMEM table)
         mtile = mtiles_ref[i >> 7]                            # (8, 128)
-        iloh_i = (lane_iota == (i & 127)).astype(jnp.int32)
-        mcol = jnp.sum(mtile * iloh_i, axis=1, keepdims=True)  # (8, 1)
+        if extract_mode == "mxu":
+            # f32 round-trip is exact: bases < 2^24 (≤16M records)
+            mcol = extract(mtile.astype(jnp.float32),
+                           iloh).astype(jnp.int32)
+        else:
+            iloh_i = (lane_iota == (i & 127)).astype(jnp.int32)
+            mcol = jnp.sum(mtile * iloh_i, axis=1, keepdims=True)  # (8, 1)
         ibase, imask = mcol[0:1], mcol[1:2]
         lbase, lmask = mcol[2:3], mcol[3:4]
 
@@ -1282,7 +1301,8 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                    static_argnames=("any_hit", "interpret",
                                     "packets_per_program", "chunk_steps",
                                     "chunk_unroll", "ordered", "push_mode",
-                                    "stream_leaves", "pkt_rows"))
+                                    "stream_leaves", "pkt_rows",
+                                    "extract_mode"))
 def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                            any_hit: bool = False, interpret: bool = False,
                            packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
@@ -1290,7 +1310,8 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                            chunk_unroll: int = None, ordered: bool = True,
                            push_mode: str = "sort",
                            stream_leaves: bool = False,
-                           pkt_rows: int = PACKET_ROWS):
+                           pkt_rows: int = PACKET_ROWS,
+                           extract_mode: str = "vpu"):
     """Wide-BVH packet traversal with direct-child-id stacks and VMEM
     meta tiles (pack_meta_tiles) — no SMEM meta table, so scene capacity
     is bounded only by the VMEM record budget; with ``stream_leaves``
@@ -1353,7 +1374,8 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
         chunk_unroll = 1 if interpret else WIDE_CHUNK_UNROLL
     kernel = functools.partial(_wide_direct_kernel, any_hit, npk,
                                chunk_steps, chunk_unroll, ordered,
-                               push_mode, stream_leaves, pkt_rows)
+                               push_mode, stream_leaves, pkt_rows,
+                               extract_mode)
     vmem_args = (nodes, meta_tiles) if stream_leaves \
         else (nodes, leaves, meta_tiles)
     t, tri, u, v = pl.pallas_call(
@@ -1397,6 +1419,9 @@ def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
     # 27.7->26.3 ms) and edged the head rung (105.6 vs 106.8); 32 rows
     # give it back (shadow 31.0, head 114.8 — union growth). Default 16.
     kw.setdefault("pkt_rows", int(_os.environ.get("WIDE_PKT_ROWS", "16")))
+    # one-hot column extracts on the MXU ("mxu") vs VPU lane reduces
+    # ("vpu"); see _wide_direct_kernel.extract (r5 batch probe)
+    kw.setdefault("extract_mode", _os.environ.get("WIDE_EXTRACT", "vpu"))
     # ordered-push implementation: "rankv" (DEFAULT — vectorized keys:
     # ONE lane-reduce for all child keys + static sublane-roll rank;
     # r4 batch 3: head 106.9 vs 109.2, sponza-scale 212.3 vs 218.7,

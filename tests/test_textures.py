@@ -223,3 +223,27 @@ def test_finalized_u8_storage(monkeypatch):
     b = Renderer.for_scene(st, data32).render_np(cam)
     # u8 storage error ≤ 1/510 per channel pre-shading; allow shading gain
     assert np.abs(a.astype(np.float64) - b.astype(np.float64)).max() <= 3
+
+
+def test_quad_gather_modes_agree(monkeypatch):
+    """HR_TEX_GATHER u16/barrier are bit-exact vs flat; bf16 within
+    0.5/255 (below the u8 source quantization step)."""
+    import os
+
+    rng = np.random.default_rng(3)
+    N, TH, TW = 2, 16, 16
+    data = jnp.asarray(rng.random((N, TH, TW, 4), np.float32))
+    sizes = jnp.asarray(np.full((N, 2), 16, np.int32))
+    quads = tex_ops.build_quads(data, sizes)
+    tex_id = jnp.asarray(rng.integers(-1, N, (64,)).astype(np.int32))
+    uv = jnp.asarray((rng.random((64, 2)) * 2 - 0.5).astype(np.float32))
+    default = jnp.ones((4,), jnp.float32)
+
+    outs = {}
+    for m in ["flat", "u16", "bf16", "barrier"]:
+        monkeypatch.setenv("HR_TEX_GATHER", m)
+        outs[m] = np.asarray(tex_ops.sample_bilinear_quad(
+            quads, sizes, tex_id, uv, default))
+    for m in ["u16", "barrier"]:
+        np.testing.assert_array_equal(outs["flat"], outs[m])
+    assert np.abs(outs["bf16"] - outs["flat"]).max() < 0.5 / 255.0 + 1e-3

@@ -264,3 +264,31 @@ def test_rank_push_matches_sort_push(any_hit):
                                      push_mode=mode)
         for x, y in zip(a, r):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("any_hit", [False, True])
+def test_direct_mxu_extract_matches_vpu(any_hit):
+    """extract_mode="mxu" (one-hot column extracts as K=128 MXU
+    contractions) is bit-identical to the VPU lane-reduce extracts:
+    a one-hot contraction has exactly one nonzero product per output."""
+    data = scenes.cornell_scene().build()
+    s, b, w = _build(data)
+    mt = tp.pack_meta_tiles(w.meta)
+    rng = np.random.default_rng(13)
+    R = 2048
+    v0 = np.asarray(s.v0)
+    c = v0.mean(0)
+    ext = v0.max(0) - v0.min(0)
+    o = jnp.asarray((c + rng.normal(0, 0.5, (R, 3)) * ext)
+                    .astype(np.float32))
+    d = rng.normal(0, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    nodes, leaves = jnp.asarray(w.nodes), jnp.asarray(w.leaves)
+    ref = tp.intersect_wide_direct(nodes, leaves, mt, o, d, 1e-3, 1e6,
+                                   any_hit=any_hit, interpret=True)
+    mxu = tp.intersect_wide_direct(nodes, leaves, mt, o, d, 1e-3, 1e6,
+                                   any_hit=any_hit, interpret=True,
+                                   extract_mode="mxu")
+    for a, bb in zip(ref, mxu):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))

@@ -787,7 +787,23 @@ class SceneTracer:
             jnp.zeros((3,), jnp.float32)
 
         shadow_origin = sampling.offset_ray(world_pos, geo_n)
-        gate = os.environ.get("SHADE_OCC_GATE", "1") != "0"
+        # occlusion gating ladder (SHADE_OCC_GATE): "0" = none, "1" =
+        # facing gates (r2 batch 31 default), "lum" = facing + skip
+        # occlusion rays whose UNSHADOWED contribution luminance is
+        # below OCC_LUM_EPS (default 2e-3 linear HDR) — the BRDF·light
+        # product is computed anyway, so the gate is free; skipped rays
+        # contribute 0 (bias bounded by the threshold per sample).
+        gate_mode = os.environ.get("SHADE_OCC_GATE", "1")
+        gate = gate_mode != "0"
+        lum_gate = gate_mode == "lum"
+        lum_eps = float(os.environ.get("OCC_LUM_EPS", "2e-3"))
+
+        def _lum(rgb):
+            return (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1]
+                    + 0.0722 * rgb[..., 2])
+
+        sun_brdf = shade.eval_pbr(mp.colour, 1.5, mp.roughness,
+                                  mp.metallic, n, view, sun_dir) * sun_int
         if light_on:
             # hits facing away from the sun get zero BRDF — skip their
             # occlusion traversal (inactive rays return shadow=0, same
@@ -795,6 +811,8 @@ class SceneTracer:
             sun_facing = maths.dot(geo_n, jnp.broadcast_to(
                 sun_dir, d.shape)) > 0.0 if gate else \
                 jnp.ones(d.shape[:-1], bool)
+            if lum_gate:
+                sun_facing = sun_facing & (_lum(sun_brdf) > lum_eps)
             sun_act = sun_facing if active is None else \
                 (sun_facing & active)
             if skip_occlusion:
@@ -806,9 +824,7 @@ class SceneTracer:
                     1000.0, active=sun_act)
         else:
             sun_shadow = jnp.zeros(d.shape[:-1], jnp.float32)
-        direct = shade.eval_pbr(mp.colour, 1.5, mp.roughness, mp.metallic,
-                                n, view, sun_dir) * \
-            sun_shadow[..., None] * sun_int
+        direct = sun_brdf * sun_shadow[..., None]
 
         # emissive area-light NEE (closesthit.rchit:82-96)
         if sc.lights.count > 0 and stage != "nonee":
@@ -821,12 +837,6 @@ class SceneTracer:
             has = maths.length(ldir) > 0.001
             if gate:
                 has = has & (maths.dot(geo_n, ldir) > 0.0)
-            nee_act = has if active is None else (has & active)
-            if skip_occlusion:
-                lshadow = nee_act.astype(jnp.float32)
-            else:
-                lshadow = self.occluded(sc, shadow_origin, ldir, 1000.0,
-                                        active=nee_act)
             s_inst = jnp.maximum(sampled_inst, 0)
             # per-instance emission joined at N-table size so the sampled
             # light costs ONE per-ray gather instead of two chained ones
@@ -835,6 +845,14 @@ class SceneTracer:
             l_rad = inst_emission[s_inst]
             nee = shade.eval_pbr(mp.colour, 1.5, mp.roughness, mp.metallic,
                                  n, view, ldir) * l_rad
+            if lum_gate:
+                has = has & (_lum(nee) > lum_eps)
+            nee_act = has if active is None else (has & active)
+            if skip_occlusion:
+                lshadow = nee_act.astype(jnp.float32)
+            else:
+                lshadow = self.occluded(sc, shadow_origin, ldir, 1000.0,
+                                        active=nee_act)
             ok = (has & (lshadow > 0.5) & (sampled_inst >= 0))[..., None]
             direct = direct + jnp.where(ok, nee, 0.0)
 

@@ -101,3 +101,20 @@ def test_half_res_secondary_renders():
     img = np.asarray(r.render(cam.step()))
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
+
+
+def test_lum_occlusion_gate_bias_bounded(cornell, monkeypatch):
+    """SHADE_OCC_GATE=lum skips occlusion rays whose unshadowed
+    contribution luminance is below OCC_LUM_EPS — the per-pixel bias is
+    bounded by the threshold (skipped rays drop a ≤eps-luminance term)."""
+    data, settings, tracer = cornell
+    ctx = _ctx(data, settings)
+    o, d = _rays(32, 32)
+    rgb_ref, _ = tracer.trace_radiance(data, o, d, ctx)
+    monkeypatch.setenv("SHADE_OCC_GATE", "lum")
+    monkeypatch.setenv("OCC_LUM_EPS", "2e-3")
+    rgb_gate, _ = tracer.trace_radiance(data, o, d, ctx)
+    diff = np.abs(np.asarray(rgb_ref) - np.asarray(rgb_gate))
+    # dropped terms have luminance <= eps; per-channel bound eps/0.0722
+    assert diff.max() <= 2e-3 / 0.0722 + 1e-5
+    assert diff.mean() < 5e-4

@@ -267,7 +267,13 @@ def make_forward_pass(settings):
             shadow[..., None] * intensity
 
         # ambient / IBL (forward.frag:42-58)
-        has_sky = bool(flags & RenderFlags.IBL)
+        # FWD_STAGE (diagnostic, r5 batch): "flatamb" = skip the two
+        # env evals (ambient falls back to flat), "noskybg" = skip the
+        # background sky block entirely — decomposes the forward pass's
+        # +31 ms IBL-flag delta (r5 batch 1: ctl 75.7 / noibl 44.5)
+        fwd_stage = os.environ.get("FWD_STAGE", "full")
+        has_sky = bool(flags & RenderFlags.IBL) \
+            and fwd_stage != "flatamb"
         if has_sky:
             r = maths.reflect(-v, n)
             env_spec = sky.sample_environment(r, sc.sky_texture, sc.textures,
@@ -299,17 +305,21 @@ def make_forward_pass(settings):
             color = gb.depth[..., None] * jnp.ones(3)
 
         # background: sky (or black) — forward path has no composition pass
-        view_dir = maths.normalize(gb.world_pos - cam.position)
-        H, W = gb.depth.shape
-        uv = img_ops.pixel_uv_grid(H, W)
-        ndc = jnp.concatenate(
-            [uv * 2.0 - 1.0, jnp.zeros((H, W, 1)), jnp.ones((H, W, 1))], -1)
-        far_h = ndc @ cam.view_proj_inverse.T
-        far_pt = far_h[..., :3] / jnp.where(
-            jnp.abs(far_h[..., 3:4]) < 1e-12, 1e-12, far_h[..., 3:4])
-        bg_dir = maths.normalize(far_pt - cam.position)
-        sky_rgb = sky.sample_environment(bg_dir, sc.sky_texture, sc.textures,
-                                         has_sky)
+        if fwd_stage == "noskybg":
+            sky_rgb = jnp.zeros_like(color)
+        else:
+            H, W = gb.depth.shape
+            uv = img_ops.pixel_uv_grid(H, W)
+            ndc = jnp.concatenate(
+                [uv * 2.0 - 1.0, jnp.zeros((H, W, 1)),
+                 jnp.ones((H, W, 1))], -1)
+            far_h = ndc @ cam.view_proj_inverse.T
+            far_pt = far_h[..., :3] / jnp.where(
+                jnp.abs(far_h[..., 3:4]) < 1e-12, 1e-12, far_h[..., 3:4])
+            bg_dir = maths.normalize(far_pt - cam.position)
+            sky_rgb = sky.sample_environment(
+                bg_dir, sc.sky_texture, sc.textures,
+                bool(flags & RenderFlags.IBL))
         color = jnp.where(bg[..., None], sky_rgb, color)
         return {RS.FINAL_COLOR: color}
 

@@ -732,7 +732,7 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
             [lerpT / sT_safe, constT], axis=0)[None].astype(attr_ref.dtype)
 
 
-def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs, walk, probe,
+def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs, walk, probe, tiles_pp,
                      # scalar prefetch
                      starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
                      novf_ref,
@@ -761,25 +761,46 @@ def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs, walk, probe,
     v2-tie-compatible by construction."""
     if walk == "merged":
         stream_hbm, overflow_ref, *refs = refs
+        streams = (stream_hbm, None)
     else:
         stream_a_hbm, stream_b_hbm, overflow_ref, *refs = refs
+        streams = (stream_a_hbm, stream_b_hbm)
     if has_attrs:
         vis_ref, attr_ref, rec_ref, sem_ref = refs
     else:
         vis_ref, rec_ref, sem_ref = refs
-    t = pl.program_id(0)
+        attr_ref = None
+    P = tile_h * tile_w
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    cand = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+
+    # tiles_pp > 1: several tiles SEQUENTIALLY per grid program — the
+    # per-program fixed loop cost (r5 batch 1: zero-trip dynamic loops
+    # cost ~4 µs/program, invariant under loop-count merging — a grid
+    # pipelining stall, not per-construct work) amortizes over K tiles.
+    g = pl.program_id(0)
+    for j in range(tiles_pp):
+        _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe,
+                   g * tiles_pp + j, j, P, lane, cand, pidx,
+                   starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
+                   novf_ref, streams, overflow_ref, rec_ref, sem_ref,
+                   vis_ref, attr_ref)
+
+
+def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe, t, j, P,
+               lane, cand, pidx,
+               starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
+               novf_ref, streams, overflow_ref, rec_ref, sem_ref,
+               vis_ref, attr_ref):
+    stream_hbm, stream_b_hbm = streams
     ty = t // ntx
     tx = t % ntx
-    P = tile_h * tile_w
 
     # pixel coefficient rows (3, P): px / py / 1 at pixel centers
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     pxr = (pidx % tile_w).astype(jnp.float32) + (tx * tile_w) + 0.5
     pyr = (pidx // tile_w).astype(jnp.float32) + (ty * tile_h) + 0.5
     pixT = jnp.concatenate([pxr, pyr, jnp.ones_like(pxr)], axis=0)  # (3, P)
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
-    cand = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
     txf = jnp.float32(tx)
 
     def eval_block(rec, lo, hi, carry):
@@ -877,7 +898,7 @@ def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs, walk, probe,
             starts_b_ref[ty], counts_b_ref[ty], novf_ref[0])
     else:
         carry = _walk_streams(eval_block, carry, rec_ref, sem_ref,
-                              stream_a_hbm, stream_b_hbm, overflow_ref,
+                              stream_hbm, stream_b_hbm, overflow_ref,
                               starts_a_ref[t], counts_a_ref[t],
                               starts_b_ref[ty], counts_b_ref[ty],
                               novf_ref[0])
@@ -885,15 +906,15 @@ def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs, walk, probe,
     zT, triT, n1T, n2T, sT = carry[:5]
     miss = triT < 0.0
     s_safe = jnp.where(jnp.abs(sT) < 1e-20, 1e-20, sT)
-    vis_ref[...] = jnp.concatenate(
+    vis_ref[j] = jnp.concatenate(
         [jnp.where(miss, 0.0, zT),
          jnp.where(miss, -1.0, triT),
          jnp.where(miss, 0.0, n1T / s_safe),
-         jnp.where(miss, 0.0, n2T / s_safe)], axis=0)[None]
+         jnp.where(miss, 0.0, n2T / s_safe)], axis=0)
     if has_attrs:
         lerpT, constT = carry[5:]
-        attr_ref[...] = jnp.concatenate(
-            [lerpT / s_safe, constT], axis=0)[None].astype(attr_ref.dtype)
+        attr_ref[j] = jnp.concatenate(
+            [lerpT / s_safe, constT], axis=0).astype(attr_ref.dtype)
 
 
 def resolve_eval_mode(eval_mode: str = None) -> str:
@@ -922,16 +943,19 @@ def resolve_walk(walk: str = None) -> str:
 
 def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
                  eval_mode: str = None, raw: bool = False,
-                 attr_bits: int = 32, walk: str = None, probe: str = None):
-    if probe is None:
-        import os
+                 attr_bits: int = 32, walk: str = None, probe: str = None,
+                 tiles_pp: int = None):
+    import os
 
+    if probe is None:
         probe = os.environ.get("RASTER_FLOOR_PROBE", "none")
+    if tiles_pp is None:
+        tiles_pp = int(os.environ.get("RASTER_TPP", "1"))
     return _raster_tiles(bins, width, height, tile_h=tile_h, tile_w=tile_w,
                          interpret=interpret,
                          eval_mode=resolve_eval_mode(eval_mode), raw=raw,
                          attr_bits=attr_bits, walk=resolve_walk(walk),
-                         probe=probe)
+                         probe=probe, tiles_pp=tiles_pp)
 
 
 _WARNED_DOWNGRADE = set()
@@ -940,11 +964,12 @@ _WARNED_DOWNGRADE = set()
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "tile_h", "tile_w",
                                     "interpret", "eval_mode", "raw",
-                                    "attr_bits", "walk", "probe"))
+                                    "attr_bits", "walk", "probe",
+                                    "tiles_pp"))
 def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
                   eval_mode: str = "v4", raw: bool = False,
                   attr_bits: int = 32, walk: str = "merged",
-                  probe: str = "none"):
+                  probe: str = "none", tiles_pp: int = 1):
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
@@ -963,13 +988,27 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
         eval_mode = "v1"
 
     P = tile_h * tile_w
+    if eval_mode != "v4":
+        tiles_pp = 1
+    K = tiles_pp
+    # tiles_pp > 1 amortizes the per-program fixed loop cost (r5 batch
+    # 1) over K sequential tiles; pad the tile axis so the grid divides
+    ntiles_p = -(-ntiles // K) * K
+    starts_a, counts_a = bins["starts_a"], bins["counts_a"]
+    starts_b, counts_b = bins["starts_b"], bins["counts_b"]
+    if ntiles_p != ntiles:
+        starts_a = jnp.pad(starts_a, (0, ntiles_p - ntiles))
+        counts_a = jnp.pad(counts_a, (0, ntiles_p - ntiles))
+    if (ntiles_p - 1) // ntx >= nty:  # padded tiles can index row nty
+        starts_b = jnp.pad(starts_b, (0, 1))
+        counts_b = jnp.pad(counts_b, (0, 1))
     # one packed (4, P) visibility block per tile — P on the lane dim
     # (separate (P, 1) planes pad 128× in HBM; see kernel comment)
     out_specs = [
-        pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0)),
+        pl.BlockSpec((K, 4, P), lambda t, *_: (t, 0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((ntiles, 4, P), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles_p, 4, P), jnp.float32),
     ]
     if has_attrs:
         # 16-bit interpolated-attribute planes match the reference's
@@ -978,9 +1017,9 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
         # fixed per-program floor (batch 8: ~330 MB/frame)
         attr_dt = jnp.bfloat16 if attr_bits == 16 else jnp.float32
         out_specs.append(
-            pl.BlockSpec((1, ATTR_OUT, P), lambda t, *_: (t, 0, 0)))
+            pl.BlockSpec((K, ATTR_OUT, P), lambda t, *_: (t, 0, 0)))
         out_shape.append(
-            jax.ShapeDtypeStruct((ntiles, ATTR_OUT, P), attr_dt))
+            jax.ShapeDtypeStruct((ntiles_p, ATTR_OUT, P), attr_dt))
 
     # merged walk: class-A/B blocks live in ONE combined stream (see
     # bin_candidates) — pass it once and walk it with one loop. v4 only;
@@ -993,7 +1032,7 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
         stream_args = (bins["stream_a"], bins["stream_b"])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(ntiles,),
+        grid=(ntiles_p // K,),
         in_specs=stream_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # class-C list
         ],
@@ -1006,7 +1045,7 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
     if eval_mode == "v4":
         kernel = functools.partial(_raster_kernel_t, ntx, tile_h, tile_w,
                                    has_attrs, walk if merged else "split",
-                                   probe)
+                                   probe, K)
     else:
         kernel = functools.partial(_raster_kernel, ntx, tile_h, tile_w,
                                    eval_mode, has_attrs)
@@ -1020,9 +1059,11 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
         # scoped-vmem budget (measured: th16 compile HTTP 500)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=max(32 * 1024 * 1024, 24 * P * 128 * 4)),
-    )(bins["starts_a"], bins["counts_a"], bins["starts_b"], bins["counts_b"],
+    )(starts_a, counts_a, starts_b, counts_b,
       bins["n_overflow"][None],
       *stream_args, bins["overflow"])
+    if ntiles_p != ntiles:
+        outs = [o[:ntiles] for o in outs]
     if raw:  # perf probes: kernel outputs without the (H, W) relayout
         return outs
     packed_vis = outs[0]                            # (ntiles, 4, P)

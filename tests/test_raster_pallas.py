@@ -307,3 +307,28 @@ def test_merged_walk_matches_split():
                     [vis_s.tri_id, vis_s.depth, vis_s.bary1, vis_s.bary2,
                      att_s]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tiles_per_program_matches():
+    """tiles_pp=K (K sequential tiles per grid program, r5) is
+    bit-identical to the one-tile kernel, including the padded tail."""
+    data = scene_mod.stress_scene(num_objects=12).build()
+    cam = OrbitCamera(width=256, height=72, distance=30.0, pitch=0.5,
+                      yaw=0.8, focal_point=(0, 2.0, 0)).step()
+    clip = raster.transform_to_clip(
+        data.vertices.world_position,
+        jnp.asarray(cam.proj) @ jnp.asarray(cam.view))
+    tris = raster.clip_triangles(clip, data.triangles.i0, data.triangles.i1,
+                                 data.triangles.i2, 256, 72)
+    packed, bbox, valid = raster_pallas.pack_candidates(
+        tris, attr_table=data.raster_rows)
+    bins = raster_pallas.bin_candidates(packed, bbox, valid, 256, 72, 8, 128)
+    ref = raster_pallas.raster_tiles(bins, 256, 72, interpret=True,
+                                     tiles_pp=1)
+    out = raster_pallas.raster_tiles(bins, 256, 72, interpret=True,
+                                     tiles_pp=4)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

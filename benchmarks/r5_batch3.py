@@ -177,6 +177,32 @@ os.environ["RASTER_TPP"] = "4"
 guard("head_tpp4", lambda: burst_ms(HEAD))
 os.environ["RASTER_TPP"] = "1"
 
+# ---- A2: textured head with the gather OUTPUT barriered (standalone
+# gather op vs gather-in-fusion — the last candidate for the 5.5x
+# in-frame row-rate gap) ----
+data_tex = scenes.stress_scene(num_objects=250, textured=True).build()
+
+
+def burst_tex(flags, **skw):
+    st = RenderSettings(width=W, height=H, path=RenderPathType.HYBRID,
+                        flags=flags, **skw)
+    r = Renderer.for_scene(st, data_tex)
+    c = OrbitCamera(width=W, height=H, **cam_kw)
+    rows = [c.step(taa_enabled=True) for _ in range(4)]
+    out = r.render_burst(rows)
+    out = r.render_burst(rows)
+    _ = np.asarray(out[-1, 0, 0])
+    t0 = time.perf_counter()
+    out = r.render_burst(rows)
+    _ = np.asarray(out[-1, 0, 0])
+    return 1000.0 * (time.perf_counter() - t0) / 4
+
+
+os.environ["HR_TEX_GATHER"] = "obar"
+guard("headtex_obar", lambda: burst_tex(HEAD))
+os.environ["HR_TEX_GATHER"] = "flat"
+guard("headtex_flat2", lambda: burst_tex(HEAD))
+
 # ---- B: forward FWD_STAGE bisect ----
 guard("fwd_ctl", lambda: burst_ms(FWD, RenderPathType.FORWARD))
 os.environ["FWD_STAGE"] = "flatamb"
@@ -184,6 +210,14 @@ guard("fwd_flatamb", lambda: burst_ms(FWD, RenderPathType.FORWARD))
 os.environ["FWD_STAGE"] = "noskybg"
 guard("fwd_noskybg", lambda: burst_ms(FWD, RenderPathType.FORWARD))
 del os.environ["FWD_STAGE"]
+
+# ---- B2: traversal packets/program in-frame (r5 batch 2: npk4 +24%
+# isolated on random rays; default 2) ----
+os.environ["WIDE_NPK"] = "4"
+guard("head_npk4", lambda: burst_ms(HEAD))
+os.environ["WIDE_NPK"] = "3"
+guard("head_npk3", lambda: burst_ms(HEAD))
+del os.environ["WIDE_NPK"]
 
 # ---- C: full graph with the occlusion luminance gate ----
 guard("fullg_ctl", lambda: burst_ms(FULL))

@@ -182,6 +182,13 @@ def sample_bilinear_quad(quads, stack_sizes, tex_id, uv, default):
             # the in-frame 2x-vs-isolated row rate fusion fallout?)
             idx, flat = jax.lax.optimization_barrier((idx, flat))
             q = flat[idx]
+        elif mode == "obar":
+            # probe: barrier the gather on BOTH sides — forces a
+            # standalone gather op instead of a gather-inside-fusion
+            # lowering (suspected cause of the 5.5x in-frame-vs-
+            # isolated row-rate gap, r5 batch 2)
+            idx = jax.lax.optimization_barrier(idx)
+            q = jax.lax.optimization_barrier(flat[idx])
         else:
             q = flat[idx]
     else:

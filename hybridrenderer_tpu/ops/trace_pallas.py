@@ -870,17 +870,21 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                         chunk_unroll: int, ordered: bool,
                         push_mode: str,
                         stream_leaves: bool, pkt_rows: int,
-                        extract_mode: str,
+                        extract_mode: str, count_steps: bool,
                         # scalar prefetch
                         tmin_ref,
                         # inputs (HBM)
                         nodes_hbm, leaves_hbm, mtiles_hbm,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tmax_ref,
-                        # outputs
-                        t_out, tri_out, u_out, v_out,
-                        # scratch
-                        nodes_ref, leaves_ref, mtiles_ref, copy_sems):
+                        # outputs (t, tri, u, v[, steps])
+                        *refs):
+    if count_steps:
+        t_out, tri_out, u_out, v_out, steps_out, \
+            nodes_ref, leaves_ref, mtiles_ref, copy_sems = refs
+    else:
+        t_out, tri_out, u_out, v_out, \
+            nodes_ref, leaves_ref, mtiles_ref, copy_sems = refs
     """``stream_leaves``: leaf records stay in HBM; each packet owns one
     (12*lt, 128) prefetch buffer (leaves_ref[pkt]) filled by a ONE-STEP
     lookahead DMA — after a step's pushes, the next pop's stack top is
@@ -1287,6 +1291,8 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
     if stream_leaves:
         for pkt in range(npk):
             leaf_fetch_wait(pkt)   # drain the last lookahead DMAs
+    if count_steps:
+        steps_out[...] = jnp.broadcast_to(state[0], steps_out.shape)
     for pkt in range(npk):
         t, tri, u, v = state[1 + NS * pkt + 4:1 + NS * pkt + NS]
         r0, r1 = pkt * pkt_rows, (pkt + 1) * pkt_rows
@@ -1302,7 +1308,7 @@ def _wide_direct_kernel(any_hit: bool, npk: int, chunk_steps: int,
                                     "packets_per_program", "chunk_steps",
                                     "chunk_unroll", "ordered", "push_mode",
                                     "stream_leaves", "pkt_rows",
-                                    "extract_mode"))
+                                    "extract_mode", "count_steps"))
 def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                            any_hit: bool = False, interpret: bool = False,
                            packets_per_program: int = WIDE_PACKETS_PER_PROGRAM,
@@ -1311,7 +1317,8 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                            push_mode: str = "sort",
                            stream_leaves: bool = False,
                            pkt_rows: int = PACKET_ROWS,
-                           extract_mode: str = "vpu"):
+                           extract_mode: str = "vpu",
+                           count_steps: bool = False):
     """Wide-BVH packet traversal with direct-child-id stacks and VMEM
     meta tiles (pack_meta_tiles) — no SMEM meta table, so scene capacity
     is bounded only by the VMEM record budget; with ``stream_leaves``
@@ -1346,11 +1353,26 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
     ray_spec = pl.BlockSpec((blk_rows, PACKET_COLS), lambda i, *_: (i, 0))
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
+    out_specs = [ray_spec] * 4
+    shape2 = (rows, PACKET_COLS)
+    out_shape = [
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.int32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+        jax.ShapeDtypeStruct(shape2, jnp.float32),
+    ]
+    if count_steps:
+        # per-program traversal step count (ceiling-analysis debug)
+        out_specs = out_specs + [
+            pl.BlockSpec((1, PACKET_COLS), lambda i, *_: (i, 0))]
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_programs, PACKET_COLS), jnp.int32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_programs,),
         in_specs=[hbm, hbm, hbm] + [ray_spec] * 7,
-        out_specs=[ray_spec] * 4,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(nodes.shape, nodes.dtype),
             # streaming: one lookahead tile buffer per packet; resident:
@@ -1362,23 +1384,16 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
                                     else (3,)),
         ],
     )
-    shape2 = (rows, PACKET_COLS)
-    out_shape = [
-        jax.ShapeDtypeStruct(shape2, jnp.float32),
-        jax.ShapeDtypeStruct(shape2, jnp.int32),
-        jax.ShapeDtypeStruct(shape2, jnp.float32),
-        jax.ShapeDtypeStruct(shape2, jnp.float32),
-    ]
 
     if chunk_unroll is None:
         chunk_unroll = 1 if interpret else WIDE_CHUNK_UNROLL
     kernel = functools.partial(_wide_direct_kernel, any_hit, npk,
                                chunk_steps, chunk_unroll, ordered,
                                push_mode, stream_leaves, pkt_rows,
-                               extract_mode)
+                               extract_mode, count_steps)
     vmem_args = (nodes, meta_tiles) if stream_leaves \
         else (nodes, leaves, meta_tiles)
-    t, tri, u, v = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -1391,8 +1406,11 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
       op[..., 0], op[..., 1], op[..., 2],
       dp[..., 0], dp[..., 1], dp[..., 2],
       tmax_p)
+    t, tri, u, v = outs[:4]
 
     flat = lambda x: x.reshape(-1)[:R]
+    if count_steps:
+        return flat(t), flat(tri), flat(u), flat(v), outs[4][:, 0]
     return flat(t), flat(tri), flat(u), flat(v)
 
 

@@ -421,13 +421,19 @@ def _walk_streams(eval_block, carry, rec_ref, sem_ref,
 
 def _walk_streams_merged(eval_block, carry, rec_ref, sem_ref,
                          stream_hbm, overflow_ref,
-                         start_a, count_a, start_b, count_b, n_ovf):
+                         start_a, count_a, start_b, count_b, n_ovf,
+                         probe="none"):
     """Single-loop stream walk: class-A and class-B blocks ride ONE
     fori_loop (they live in the same blocked stream — bin_candidates
     emits one combined sort), so the kernel pays one loop construct's
     carry round-trip instead of two, and pallas_call carries ONE HBM
     stream operand instead of two aliases of the same array. The rare
-    class-C overflow list keeps its own (usually 0-trip) loop."""
+    class-C overflow list keeps its own (usually 0-trip) loop.
+
+    ``probe`` (floor anatomy, r5): "idbody" = loops with an identity
+    body (no eval trace, no DMA) — prices the bare loop+carry
+    machinery; "nodma" = real eval, DMA machinery removed (reads
+    whatever is in scratch)."""
     blk_a0 = start_a // BLOCK
     n_a = pl.cdiv(start_a + count_a, BLOCK) - blk_a0
     blk_b0 = start_b // BLOCK
@@ -441,18 +447,22 @@ def _walk_streams_merged(eval_block, carry, rec_ref, sem_ref,
         return pltpu.make_async_copy(
             stream_hbm.at[blk_of(b)], rec_ref.at[slot], sem_ref.at[slot])
 
-    @pl.when(n_blocks > 0)
-    def _():
-        dma(0, 0).start()
+    use_dma = probe not in ("idbody", "nodma")
+    if use_dma:
+        @pl.when(n_blocks > 0)
+        def _():
+            dma(0, 0).start()
 
     def blk_body(b, c):
+        if probe == "idbody":
+            return c
         slot = b % 2
+        if use_dma:
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                dma((b + 1) % 2, b + 1).start()
 
-        @pl.when(b + 1 < n_blocks)
-        def _():
-            dma((b + 1) % 2, b + 1).start()
-
-        dma(slot, b).wait()
+            dma(slot, b).wait()
         in_a = b < n_a
         base = blk_of(b) * BLOCK
         lo = jnp.where(in_a, start_a, start_b) - base
@@ -462,6 +472,8 @@ def _walk_streams_merged(eval_block, carry, rec_ref, sem_ref,
     carry = jax.lax.fori_loop(0, n_blocks, blk_body, carry)
 
     def ovf_body(b, c):
+        if probe == "idbody":
+            return c
         return eval_block(overflow_ref[b], 0, n_ovf - b * BLOCK, c)
 
     return jax.lax.fori_loop(0, pl.cdiv(n_ovf, BLOCK), ovf_body, carry)
@@ -895,7 +907,7 @@ def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe, t, j, P,
         carry = _walk_streams_merged(
             eval_block, carry, rec_ref, sem_ref, stream_hbm, overflow_ref,
             starts_a_ref[t], counts_a_ref[t],
-            starts_b_ref[ty], counts_b_ref[ty], novf_ref[0])
+            starts_b_ref[ty], counts_b_ref[ty], novf_ref[0], probe=probe)
     else:
         carry = _walk_streams(eval_block, carry, rec_ref, sem_ref,
                               stream_hbm, stream_b_hbm, overflow_ref,

@@ -202,9 +202,120 @@ def sample_bilinear_quad(quads, stack_sizes, tex_id, uv, default):
     return jnp.where(valid, out, jnp.broadcast_to(default, out.shape))
 
 
+WINDOW_WS = 8       # window texels per axis
+WINDOW_STRIDE = 4   # window origin stride (overlap WS - STRIDE)
+WINDOW_GY = 4       # pixel group shape (image-mode sampling)
+WINDOW_GX = 4
+
+
+def build_window_atlas(data, sizes):
+    """Overlapping-window atlas for group-window sampling: every
+    STRIDE-aligned origin gets a WS×WS texel window with REPEAT wrap
+    baked in — (N·NWY·NWX, WS·WS·4) f32, 4× texel memory (the same
+    multiplier as build_quads). One atlas row then serves a whole
+    4×4-pixel group's bilinear taps: gathers are row-count-priced
+    (~25 ns/row in-frame, BENCH.md r5), so this cuts the per-pixel
+    sample gather 16×. Host-side, runs once at scene build."""
+    d = np.asarray(data)
+    sz = np.asarray(sizes)
+    n, th, tw, c = d.shape
+    ws, stride = WINDOW_WS, WINDOW_STRIDE
+    nwy, nwx = max(1, th // stride), max(1, tw // stride)
+    atlas = np.zeros((n, nwy, nwx, ws, ws, c), d.dtype)
+    for i in range(n):
+        h, w = int(sz[i, 0]), int(sz[i, 1])
+        t = d[i, :h, :w]
+        for a in range(min(nwy, -(-h // stride))):
+            ys = (a * stride + np.arange(ws)) % h
+            rows = t[ys]
+            for b in range(min(nwx, -(-w // stride))):
+                xs = (b * stride + np.arange(ws)) % w
+                atlas[i, a, b] = rows[:, xs]
+    return (jnp.asarray(atlas.reshape(n * nwy * nwx, ws * ws * c)),
+            nwy, nwx)
+
+
+def sample_window(textures, tex_id, uv, default):
+    """Group-window bilinear over (H, W) image-shaped queries: one
+    1 KB row gather per 4×4 pixel group + separable one-hot weight
+    contractions. Matches sample_bilinear whenever the group's texel
+    span fits the window (texels-per-pixel ≲ 1 per axis; REPEAT-seam
+    straddles handled by centered wrapped deltas); wider spans clamp
+    to the window edge (minification — mips are the structural fix).
+    MXU contraction precision ≈ 1 u8 step (bf16 multiplies)."""
+    atlas, nwy, nwx = textures.windows
+    H, W = tex_id.shape
+    GY, GX, WS, STRIDE = WINDOW_GY, WINDOW_GX, WINDOW_WS, WINDOW_STRIDE
+    Gy, Gx = H // GY, W // GX
+    C = 4
+    sizes = textures.sizes
+
+    tid = jnp.maximum(tex_id, 0)
+    h = sizes[tid, 0].astype(jnp.float32)
+    w = sizes[tid, 1].astype(jnp.float32)
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)
+    fy = (y - y0).astype(jnp.float32)
+    hi = h.astype(jnp.int32)
+    wi = w.astype(jnp.int32)
+    xi = jnp.mod(x0.astype(jnp.int32), wi)
+    yi = jnp.mod(y0.astype(jnp.int32), hi)
+
+    def to_groups(a):
+        return a.reshape(Gy, GY, Gx, GX) \
+                .transpose(0, 2, 1, 3).reshape(Gy * Gx, GY * GX)
+
+    xig, yig = to_groups(xi), to_groups(yi)
+    fxg, fyg = to_groups(fx), to_groups(fy)
+    tg = to_groups(tid)[:, 0]
+    hg = to_groups(hi)[:, 0]
+    wg = to_groups(wi)[:, 0]
+
+    def origin_off(cg, size):
+        # circular-aware group min via centered wrapped deltas from
+        # pixel 0 (REPEAT-seam straddles resolve correctly)
+        delta = jnp.mod(cg - cg[:, :1] + size[:, None] // 2,
+                        size[:, None]) - size[:, None] // 2
+        cmin = cg[:, 0] + delta.min(1)
+        origin = (cmin // STRIDE) * STRIDE
+        widx = jnp.mod(origin, size) // STRIDE
+        off = jnp.clip(cg[:, :1] + delta - origin[:, None], 0, WS - 2)
+        return widx, off
+
+    wyx, offy = origin_off(yig, hg)
+    wxx, offx = origin_off(xig, wg)
+    row = atlas[(tg * nwy + wyx) * nwx + wxx]       # THE gather (G rows)
+    win = row.reshape(-1, WS, WS * C)
+
+    pos = jnp.arange(WS, dtype=jnp.int32)[None, None, :]
+    wym = jnp.where(pos == offy[..., None], 1.0 - fyg[..., None], 0.0) \
+        + jnp.where(pos == offy[..., None] + 1, fyg[..., None], 0.0)
+    wxm = jnp.where(pos == offx[..., None], 1.0 - fxg[..., None], 0.0) \
+        + jnp.where(pos == offx[..., None] + 1, fxg[..., None], 0.0)
+
+    t1 = jnp.einsum("gpy,gyz->gpz", wym, win,
+                    preferred_element_type=jnp.float32)
+    t1 = t1.reshape(-1, GY * GX, WS, C)
+    out = jnp.sum(wxm[..., None] * t1, axis=2)      # (G, P, C)
+
+    res = out.reshape(Gy, Gx, GY, GX, C).transpose(0, 2, 1, 3, 4) \
+             .reshape(H, W, C)
+    valid = (tex_id >= 0)[..., None]
+    return jnp.where(valid, res, jnp.broadcast_to(default, res.shape))
+
+
 def sample_stack(textures, tex_id, uv, default):
-    """Bilinear sample a TextureStack; takes the one-gather quad path
-    when the stack carries baked quads (scene build default)."""
+    """Bilinear sample a TextureStack: the group-window path when the
+    stack carries a window atlas AND the query is image-shaped with
+    group-divisible dims, else the one-gather quad path, else 4-tap."""
+    if getattr(textures, "windows", None) is not None \
+            and jnp.ndim(tex_id) == 2 \
+            and tex_id.shape[0] % WINDOW_GY == 0 \
+            and tex_id.shape[1] % WINDOW_GX == 0:
+        return sample_window(textures, tex_id, uv, default)
     if getattr(textures, "quads", None) is not None:
         return sample_bilinear_quad(
             textures.quads, textures.sizes, tex_id, uv, default)

@@ -195,6 +195,10 @@ class TextureStack:
     data: Any   # (N, H, W, 4) f32, linear color
     sizes: Any  # (N, 2) i32 (height, width) actually used
     quads: Any = None  # (N, H, W, 16) f32 baked bilinear footprints
+    # (atlas, nwy, nwx) from ops/texture.build_window_atlas — the
+    # group-window sampler's overlapping 8x8 windows (r5); baked when
+    # HR_TEX_SAMPLER=window
+    windows: Any = None
     slot_usage: tuple = dataclasses.field(
         metadata=dict(static=True), default=(True, True, True, True))
 
@@ -224,7 +228,8 @@ class TextureStack:
         budget above)."""
         import os
 
-        from ..ops.texture import build_quads, quantize_u8  # local: cycle
+        from ..ops.texture import (build_quads, build_window_atlas,
+                                   quantize_u8)  # local: cycle
         usage = (
             any(m.colour_texture >= 0 for m in materials),
             any(m.emission_texture >= 0 for m in materials),
@@ -266,8 +271,15 @@ class TextureStack:
                             quad_bytes >> 20, budget >> 20)
             else:
                 quads = build_quads(data, self.sizes)
+        windows = self.windows
+        if (os.environ.get("HR_TEX_SAMPLER", "quad") == "window"
+                and nontrivial and windows is None
+                and quad_bytes <= budget):
+            # window atlas shares the quad bake's 4x multiplier; image-
+            # shaped samples take it, flat (hit-point) samples keep quads
+            windows = build_window_atlas(data, self.sizes)
         return TextureStack(data=data, sizes=self.sizes, quads=quads,
-                            slot_usage=usage)
+                            windows=windows, slot_usage=usage)
 
 
 @jax.tree_util.register_dataclass

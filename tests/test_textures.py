@@ -247,3 +247,40 @@ def test_quad_gather_modes_agree(monkeypatch):
     for m in ["u16", "barrier"]:
         np.testing.assert_array_equal(outs["flat"], outs[m])
     assert np.abs(outs["bf16"] - outs["flat"]).max() < 0.5 / 255.0 + 1e-3
+
+
+def test_window_sampler_matches_bilinear(monkeypatch):
+    """HR_TEX_SAMPLER=window (group-window atlas path, r5): matches
+    sample_bilinear on a coherent uv field incl. a REPEAT-seam crossing
+    (CPU einsum is exact f32; TPU MXU adds ~1 u8 of rounding)."""
+    rng = np.random.default_rng(9)
+    N, T = 3, 64
+    data = jnp.asarray(rng.random((N, T, T, 4), np.float32))
+    sizes = jnp.asarray(np.full((N, 2), T, np.int32))
+    atlas = tex_ops.build_window_atlas(data, sizes)
+
+    import dataclasses as dc
+
+    from hybridrenderer_tpu.scene.schema import TextureStack
+    stack = TextureStack(data=data, sizes=sizes, windows=atlas)
+
+    H, W = 64, 128
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    # group texel span <= 3 per axis (the window-span condition:
+    # texels-per-pixel ~<= 1 including cross-derivatives)
+    uv = np.stack([xx / W * 1.5 + 0.03 * np.sin(yy / 17),
+                   yy / H * 0.8 + 0.03 * np.cos(xx / 23)], axis=-1)
+    uv = jnp.asarray(uv.astype(np.float32))
+    tex_id = jnp.asarray(((xx.astype(np.int32) // 32) % N))
+    tex_id = tex_id.at[0, 0].set(-1)   # default path still works
+    default = jnp.ones((4,), jnp.float32)
+
+    ref = tex_ops.sample_bilinear(data, sizes, tex_id, uv, default)
+    got = tex_ops.sample_stack(stack, tex_id, uv, default)
+    err = np.abs(np.asarray(ref) - np.asarray(got))
+    assert err.max() < 1e-5, err.max()
+    # flat-shaped queries fall back to the non-window path
+    flat = tex_ops.sample_stack(stack, tex_id.reshape(-1),
+                                uv.reshape(-1, 2), default)
+    np.testing.assert_allclose(np.asarray(flat).reshape(H, W, 4),
+                               np.asarray(ref), atol=1e-5)

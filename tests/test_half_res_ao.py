@@ -104,7 +104,11 @@ def test_reflection_half_res_quality_gate():
 
 
 def test_gi_half_res_quality_gate():
-    """gi_half_res quality gate (VERDICT r3 task 8). The interleave
+    """gi_half_res REGRESSION gate — the knob is documented
+    EXPERIMENTAL (core/config.py): converged p99 ~32 u8 is preview
+    quality, and this bound only catches the upsample path rotting
+    further, not banding. (VERDICT r3 task 8 / r4 weak #7.) The
+    interleave
     block is auto-halved at half-res so each direction block covers the
     SAME full-res screen area (rt_passes.make_rt_gi_pass) — without the
     halving the converged image drifted wholesale (CPU probe r4: mean

@@ -81,11 +81,17 @@ class Viewer:
     """Owns the renderer + camera behind a lock; translates input
     messages into camera / settings mutations (Input.cpp analog)."""
 
-    def __init__(self, renderer, camera):
+    def __init__(self, renderer, camera, pipeline: bool = True):
         self.renderer = renderer
         self.camera = camera
         self.lock = threading.Lock()
         self.frame_ms = deque(maxlen=30)
+        # one frame in flight (Renderer.cpp frames-in-flight analog):
+        # serve frame N while N+1 computes, so steady-state viewer FPS
+        # tracks the frame time instead of frame + ~30 ms readback
+        # fence (VERDICT r4 task 9)
+        self.pipeline = pipeline
+        self._pending = None
 
     # --- input (EditorCamera controls: orbit/zoom/pan/fly) --------------
     def handle_input(self, msg: dict) -> dict:
@@ -102,22 +108,39 @@ class Viewer:
                 f, s, l = (float(x) for x in msg["fly"])
                 self.camera.fly(fwd=f, strafe=s, lift=l)
             if "path" in msg:
+                self._drop_pending()
                 self.renderer.switch_path(_PATHS[str(msg["path"])])
             if "display" in msg:
+                self._drop_pending()
                 mode = DisplayMode[str(msg["display"]).upper()]
                 self.renderer.apply_settings(display_mode=mode)
             if "toggle" in msg:
+                self._drop_pending()
                 flag = RenderFlags[str(msg["toggle"]).upper()]
                 self.renderer.apply_settings(
                     flags=self.renderer.settings.flags ^ flag)
         return self.state()
 
+    def _drop_pending(self):
+        """Flush the in-flight frame before a settings/path switch (it
+        was rendered under the old pipeline)."""
+        if self._pending is not None:
+            _ = np.asarray(self._pending)
+            self._pending = None
+
     def frame_png(self) -> bytes:
         with self.lock:
             t0 = time.perf_counter()
-            img = self.renderer.render_np(self.camera.step(
+            cam = self.camera.step(
                 taa_enabled=bool(self.renderer.settings.flags
-                                 & RenderFlags.TAA)))
+                                 & RenderFlags.TAA))
+            if self.pipeline:
+                prev = self._pending
+                self._pending = self.renderer.render(cam)
+                img = np.asarray(prev if prev is not None
+                                 else self._pending)
+            else:
+                img = self.renderer.render_np(cam)
             self.frame_ms.append(1000.0 * (time.perf_counter() - t0))
             return encode_png(np.clip(img, 0.0, 1.0))
 

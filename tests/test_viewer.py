@@ -65,6 +65,10 @@ def test_orbit_changes_frame(server_url):
     url, _viewer = server_url
     _, png_a = _get(url + "/frame.png")
     _post(url + "/input", {"orbit": [0.8, 0.2], "zoom": -1.0})
+    # frame pipelining keeps ONE frame in flight, so the first fetch
+    # after an input may serve the pre-input frame; the second fetch
+    # must reflect the moved camera
+    _get(url + "/frame.png")
     _, png_b = _get(url + "/frame.png")
     assert png_a != png_b  # camera moved → different pixels
 

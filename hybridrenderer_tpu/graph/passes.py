@@ -317,9 +317,14 @@ def make_forward_pass(settings):
             far_pt = far_h[..., :3] / jnp.where(
                 jnp.abs(far_h[..., 3:4]) < 1e-12, 1e-12, far_h[..., 3:4])
             bg_dir = maths.normalize(far_pt - cam.position)
+            # has_sky MUST be the static scene flag: the default-True
+            # path was a discarded 2M-row gather into the placeholder
+            # stack — the ENTIRE 30 ms forward IBL-flag delta
+            # (r5 batch 3: fwd_noskybg 45.5 vs ctl 75.8)
             sky_rgb = sky.sample_environment(
                 bg_dir, sc.sky_texture, sc.textures,
-                bool(flags & RenderFlags.IBL))
+                bool(flags & RenderFlags.IBL),
+                has_sky=sc.has_sky_texture)
         color = jnp.where(bg[..., None], sky_rgb, color)
         return {RS.FINAL_COLOR: color}
 

@@ -895,6 +895,21 @@ def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe, t, j, P,
         constT = constT * (1.0 - t_f) + new_const * t_f
         return out + (lerpT, constT)
 
+    if probe == "tinybody":
+        # floor probe: loop-bound body (lo is iteration-dependent — not
+        # DCE-able) with ~zero footprint
+        def eval_block(rec, lo, hi, carry):  # noqa: F811
+            return (carry[0] + jnp.float32(lo) * 1e-30,) + carry[1:]
+    elif probe == "f0body":
+        # floor probe: ONE (3,BLOCK)x(3,P) matmul body
+        def eval_block(rec, lo, hi, carry):  # noqa: F811
+            F0 = jax.lax.dot_general(
+                rec[_R_F0:_R_F0 + 3, :], pixT,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return (carry[0] + F0[0:1] * (jnp.float32(lo) * 1e-30),) \
+                + carry[1:]
+
     zrow = jnp.zeros((1, P), jnp.float32)
     carry = (zrow, zrow - 1.0, zrow, zrow, zrow + 1.0)
     if has_attrs:
@@ -903,6 +918,11 @@ def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe, t, j, P,
 
     if probe == "noloops":
         pass  # floor probe: program skeleton + carry init + output writes
+    elif probe == "bodyonce":
+        # floor probe: the FULL eval body traced exactly once, no loop
+        # constructs — discriminates "body cost needs a loop around it"
+        # from "body presence costs per se" (flattened-grid viability)
+        carry = eval_block(rec_ref[0], 0, 0, carry)
     elif walk == "merged":
         carry = _walk_streams_merged(
             eval_block, carry, rec_ref, sem_ref, stream_hbm, overflow_ref,

@@ -1362,11 +1362,12 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
         jax.ShapeDtypeStruct(shape2, jnp.float32),
     ]
     if count_steps:
-        # per-program traversal step count (ceiling-analysis debug)
+        # per-program traversal step count (ceiling-analysis debug);
+        # (1, 8, 128) blocks — Mosaic needs the last two dims tileable
         out_specs = out_specs + [
-            pl.BlockSpec((1, PACKET_COLS), lambda i, *_: (i, 0))]
+            pl.BlockSpec((1, 8, PACKET_COLS), lambda i, *_: (i, 0, 0))]
         out_shape.append(
-            jax.ShapeDtypeStruct((n_programs, PACKET_COLS), jnp.int32))
+            jax.ShapeDtypeStruct((n_programs, 8, PACKET_COLS), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1410,7 +1411,7 @@ def _intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
 
     flat = lambda x: x.reshape(-1)[:R]
     if count_steps:
-        return flat(t), flat(tri), flat(u), flat(v), outs[4][:, 0]
+        return flat(t), flat(tri), flat(u), flat(v), outs[4][:, 0, 0]
     return flat(t), flat(tri), flat(u), flat(v)
 
 

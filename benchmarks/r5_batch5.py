@@ -184,4 +184,101 @@ guard("head_r5", lambda: burst_ms(data, HEAD))
 guard("fullg_r5", lambda: burst_ms(data, FULL))
 data_sp = scenes.stress_scene(num_objects=1100).build()
 guard("sponza_head_r5", lambda: burst_ms(data_sp, HEAD))
+
+# ---- D: traversal ceiling data (re-run of batch 4's failed probes) ----
+from hybridrenderer_tpu.ops import bvh as bvh_mod  # noqa: E402
+from hybridrenderer_tpu.ops import bvh_wide, sampling  # noqa: E402
+from hybridrenderer_tpu.ops import image as img_ops  # noqa: E402
+from hybridrenderer_tpu.ops import trace_pallas as tp  # noqa: E402
+
+s_tri = data.triangles
+b = bvh_mod.build_bvh(s_tri.v0, s_tri.v1, s_tri.v2)
+wide = bvh_wide.build_wide(b, s_tri.v0, s_tri.v1, s_tri.v2)
+nodes = jnp.asarray(wide.nodes)
+leaves = jnp.asarray(wide.leaves)
+mt = tp.pack_meta_tiles(jnp.asarray(wide.meta))
+
+
+@jax.jit
+def frame_rays():
+    corners = jnp.stack(
+        [raster_ops.transform_to_clip(data.triangles.v0, vp),
+         raster_ops.transform_to_clip(data.triangles.v1, vp),
+         raster_ops.transform_to_clip(data.triangles.v2, vp)], axis=1)
+    tris = raster_ops.clip_triangles(
+        None, None, None, None, W, H, None,
+        data.triangles.single_sided, corners=corners)
+    packed, bbox, valid = raster_pallas.pack_candidates(tris)
+    bins = raster_pallas.bin_candidates(packed, bbox, valid, W, H, 8, 128)
+    vis = raster_pallas.raster_tiles(bins, W, H)
+    tri = jnp.maximum(vis.tri_id, 0)
+    b1 = vis.bary1[..., None]
+    b2 = vis.bary2[..., None]
+    p0 = data.triangles.v0[tri]
+    p1 = data.triangles.v1[tri]
+    p2 = data.triangles.v2[tri]
+    wp = p0 * (1 - b1 - b2) + p1 * b1 + p2 * b2
+    n = jnp.cross(p1 - p0, p2 - p0)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    active = vis.tri_id >= 0
+    return wp, n, active
+
+
+wp, n, active = frame_rays()
+sun = jnp.asarray([0.4, 1.0, 0.3], jnp.float32)
+sun = sun / jnp.linalg.norm(sun)
+d_sh = jnp.broadcast_to(sun, wp.shape)
+o_sh = wp + n * 1e-3
+
+
+def ceiling(name, any_hit, o, d, act, tmax=1e6):
+    try:
+        out = tp.intersect_wide_direct(
+            nodes, leaves, mt, o.reshape(-1, 3), d.reshape(-1, 3),
+            1e-3, tmax, any_hit=any_hit, active=act.reshape(-1),
+            count_steps=True)
+        steps = np.asarray(out[4]).astype(np.int64)
+        n_act = int(np.asarray(jnp.sum(act.astype(jnp.int32))))
+
+        @jax.jit
+        def loop(oo):
+            def body(_, c):
+                t, tri, u, v = tp.intersect_wide_direct(
+                    nodes, leaves, mt, c, d.reshape(-1, 3), 1e-3, tmax,
+                    any_hit=any_hit, active=act.reshape(-1))
+                return c + jnp.clip(t[:, None], 0.0, 1.0) * 1e-6
+            return jax.lax.fori_loop(0, 4, body, oo)
+
+        r = loop(o.reshape(-1, 3))
+        _ = np.asarray(r[0, 0])
+        t0 = time.perf_counter()
+        r = loop(o.reshape(-1, 3))
+        _ = np.asarray(r[0, 0])
+        ms = (time.perf_counter() - t0) / 4 * 1e3
+        tot = int(steps.sum())
+        print(json.dumps({
+            "probe": name, "ms": round(ms, 2),
+            "steps_total": tot,
+            "steps_mean": round(float(steps.mean()), 1),
+            "steps_max": int(steps.max()),
+            "active": n_act,
+            "mrays_active": round(n_act / ms / 1e3, 1),
+            "ns_per_step_program": round(ms * 1e6 / max(tot, 1), 1)}),
+            flush=True)
+    except Exception as e:
+        print(json.dumps({"probe": name, "error": repr(e)[:250]}),
+              flush=True)
+        time.sleep(120)
+
+
+o_t, _ = img_ops.to_tile_major(o_sh)
+d_t, _ = img_ops.to_tile_major(d_sh)
+a_t, _ = img_ops.to_tile_major(active)
+ceiling("ceil_shadow", True, o_t, d_t, a_t)
+
+d_ao = sampling.interleaved_cos_hemisphere(jnp.uint32(0), n, block=64)
+o_p, _ = img_ops.to_pattern_major(o_sh)
+d_p, _ = img_ops.to_pattern_major(d_ao)
+a_p, _ = img_ops.to_pattern_major(active)
+ceiling("ceil_ao", True, o_p, d_p, a_p, tmax=2.0)
 print("EXIT=0", flush=True)

@@ -387,7 +387,11 @@ def _walk_streams(eval_block, carry, rec_ref, sem_ref,
     def run_stream(hbm, start, count, carry):
         blk0 = start // BLOCK
         end = start + count
-        n_blocks = pl.cdiv(end, BLOCK) - blk0
+        # count == 0 with an unaligned start otherwise yields ONE dead
+        # block (cdiv(start) - floor(start) = 1) — at 1080p that was a
+        # full dead 128-lane eval per empty stream per tile, ~8 ms/frame
+        # of the r5 batch-1 "zero-trip loop floor"
+        n_blocks = jnp.where(count > 0, pl.cdiv(end, BLOCK) - blk0, 0)
 
         def dma(slot, b):
             return pltpu.make_async_copy(
@@ -435,9 +439,13 @@ def _walk_streams_merged(eval_block, carry, rec_ref, sem_ref,
     machinery; "nodma" = real eval, DMA machinery removed (reads
     whatever is in scratch)."""
     blk_a0 = start_a // BLOCK
-    n_a = pl.cdiv(start_a + count_a, BLOCK) - blk_a0
+    # count == 0 must yield ZERO blocks (an unaligned start otherwise
+    # rounds to one dead 128-lane eval — see _walk_streams)
+    n_a = jnp.where(count_a > 0,
+                    pl.cdiv(start_a + count_a, BLOCK) - blk_a0, 0)
     blk_b0 = start_b // BLOCK
-    n_b = pl.cdiv(start_b + count_b, BLOCK) - blk_b0
+    n_b = jnp.where(count_b > 0,
+                    pl.cdiv(start_b + count_b, BLOCK) - blk_b0, 0)
     n_blocks = n_a + n_b
 
     def blk_of(b):

@@ -834,9 +834,7 @@ def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe, t, j, P,
             [zr[0:2], zr[2:3] - 2.0 * (1.0 - ind)], axis=0)
         pieces = [rec[_R_F0:_R_F0 + 3, :], rec[_R_F1:_R_F1 + 3, :],
                   rec[_R_F2:_R_F2 + 3, :], zr]
-        if has_attrs:
-            pieces += [rec[_R_N1:_R_N1 + 3, :], rec[_R_N2:_R_N2 + 3, :]]
-        rhs = jnp.concatenate(pieces, axis=1)           # (3, k·BLOCK)
+        rhs = jnp.concatenate(pieces, axis=1)           # (3, 4·BLOCK)
         ALL = jax.lax.dot_general(                       # (k·BLOCK, P)
             rhs, pixT, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -881,13 +879,18 @@ def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe, t, j, P,
 
         # attribute ride-along, already channel-major: bary-numerator
         # weights per candidate, three (16, BLOCK) x (BLOCK, P) lerp
-        # matmuls + one const pick, gated by `take` in (C, P) space
+        # matmuls + one const pick, gated by `take` in (C, P) space.
+        # The weight rows come from the WINNER's affine numerators
+        # (already picked): onehot has one nonzero per pixel, so
+        # N1 * onehot == affine(3) * onehot at every live position —
+        # this drops N1/N2 from the main forms matmul entirely (ALL
+        # shrinks (6·BLOCK, P) → (4·BLOCK, P), r5 eval diet). Last-ulp
+        # deltas vs the old path are possible (MXU k=3 vs VPU 3-term
+        # sum associativity); goldens gate it.
         lerpT, constT = carry[5:]
-        N1 = ALL[4 * BLOCK:5 * BLOCK]
-        N2 = ALL[5 * BLOCK:6 * BLOCK]
-        W1 = N1 * onehot
-        W2 = N2 * onehot
-        W0 = (F0 + F1 + F2) * onehot - W1 - W2
+        W1 = affine(3) * onehot
+        W2 = affine(6) * onehot
+        W0 = affine(9) * onehot - W1 - W2
 
         def pickT(r0, n, w):
             return jax.lax.dot_general(

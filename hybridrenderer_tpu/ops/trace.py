@@ -804,6 +804,7 @@ class SceneTracer:
 
         sun_brdf = shade.eval_pbr(mp.colour, 1.5, mp.roughness,
                                   mp.metallic, n, view, sun_dir) * sun_int
+        sun_act = None
         if light_on:
             # hits facing away from the sun get zero BRDF — skip their
             # occlusion traversal (inactive rays return shadow=0, same
@@ -815,18 +816,9 @@ class SceneTracer:
                 sun_facing = sun_facing & (_lum(sun_brdf) > lum_eps)
             sun_act = sun_facing if active is None else \
                 (sun_facing & active)
-            if skip_occlusion:
-                sun_shadow = sun_act.astype(jnp.float32)
-            else:
-                sun_shadow = self.occluded(
-                    sc, shadow_origin,
-                    jnp.broadcast_to(sun_dir, d.shape),
-                    1000.0, active=sun_act)
-        else:
-            sun_shadow = jnp.zeros(d.shape[:-1], jnp.float32)
-        direct = sun_brdf * sun_shadow[..., None]
 
-        # emissive area-light NEE (closesthit.rchit:82-96)
+        # emissive area-light NEE setup (closesthit.rchit:82-96)
+        nee_act = None
         if sc.lights.count > 0 and stage != "nonee":
             R = o.shape[0]
             idx = jnp.arange(R, dtype=jnp.uint32) if ray_idx is None \
@@ -848,11 +840,35 @@ class SceneTracer:
             if lum_gate:
                 has = has & (_lum(nee) > lum_eps)
             nee_act = has if active is None else (has & active)
-            if skip_occlusion:
+
+        # occlusion dispatches: the sun and NEE queries share origins —
+        # fuse them into ONE any-hit traversal (2R rays) when both are
+        # live, halving the per-dispatch overhead of every radiance
+        # pass. Per-ray results are dispatch-layout-independent, so the
+        # fused call is exact.
+        sun_shadow = jnp.zeros(d.shape[:-1], jnp.float32)
+        lshadow = None
+        sun_dirs = jnp.broadcast_to(sun_dir, d.shape)
+        if skip_occlusion:
+            if sun_act is not None:
+                sun_shadow = sun_act.astype(jnp.float32)
+            if nee_act is not None:
                 lshadow = nee_act.astype(jnp.float32)
-            else:
+        elif sun_act is not None and nee_act is not None:
+            both = self.occluded(
+                sc, jnp.concatenate([shadow_origin, shadow_origin]),
+                jnp.concatenate([sun_dirs, ldir]), 1000.0,
+                active=jnp.concatenate([sun_act, nee_act]))
+            sun_shadow, lshadow = both[:d.shape[0]], both[d.shape[0]:]
+        else:
+            if sun_act is not None:
+                sun_shadow = self.occluded(sc, shadow_origin, sun_dirs,
+                                           1000.0, active=sun_act)
+            if nee_act is not None:
                 lshadow = self.occluded(sc, shadow_origin, ldir, 1000.0,
                                         active=nee_act)
+        direct = sun_brdf * sun_shadow[..., None]
+        if nee_act is not None:
             ok = (has & (lshadow > 0.5) & (sampled_inst >= 0))[..., None]
             direct = direct + jnp.where(ok, nee, 0.0)
 

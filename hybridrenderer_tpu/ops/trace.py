@@ -517,11 +517,22 @@ class SceneTracer:
                     self.wide_meta, o, d, tmin, tmax, any_hit=any_hit,
                     active=active)
             if self.wide_meta_tiles is not None:
+                kw = {}
+                if not any_hit:
+                    # packet height for closest-hit (radiance) rays:
+                    # reflection/GI directions are incoherent, so their
+                    # 2048-ray unions may prefer shorter packets than
+                    # the coherent shadow/AO default (WIDE_PKT_ROWS=16)
+                    import os as _os2
+
+                    pr = _os2.environ.get("RT_CLOSEST_PKT_ROWS")
+                    if pr:
+                        kw["pkt_rows"] = int(pr)
                 return trace_pallas.intersect_wide_direct(
                     self.wide_nodes, self.wide_leaves,
                     self.wide_meta_tiles, o, d, tmin, tmax,
                     any_hit=any_hit, active=active,
-                    stream_leaves=self.leaf_stream)
+                    stream_leaves=self.leaf_stream, **kw)
             if trace_pallas.WIDE_EXTRACT == "scalar" \
                     and self.wide_nodes_flat is not None:
                 return trace_pallas.intersect_wide(

@@ -1439,8 +1439,11 @@ def intersect_wide_direct(nodes, leaves, meta_tiles, o, d, tmin, tmax,
     # give it back (shadow 31.0, head 114.8 — union growth). Default 16.
     kw.setdefault("pkt_rows", int(_os.environ.get("WIDE_PKT_ROWS", "16")))
     # one-hot column extracts on the MXU ("mxu") vs VPU lane reduces
-    # ("vpu"); see _wide_direct_kernel.extract (r5 batch probe)
-    kw.setdefault("extract_mode", _os.environ.get("WIDE_EXTRACT", "vpu"))
+    # ("vpu"); see _wide_direct_kernel.extract (r5 batch 2: mxu was
+    # neutral isolated, ~-1.3 in-frame — kept as a knob). Distinct from
+    # the legacy WIDE_EXTRACT (intersect_wide onehot/scalar).
+    kw.setdefault("extract_mode",
+                  _os.environ.get("WIDE_DIRECT_EXTRACT", "vpu"))
     # ordered-push implementation: "rankv" (DEFAULT — vectorized keys:
     # ONE lane-reduce for all child keys + static sublane-roll rank;
     # r4 batch 3: head 106.9 vs 109.2, sponza-scale 212.3 vs 218.7,

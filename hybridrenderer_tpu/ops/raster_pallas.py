@@ -45,6 +45,22 @@ from .raster import AREA_EPS, ClippedTriangles, VisibilityBuffer, _edge_coeffs
 RECORD_ROWS = 48   # padded row count of a record block
 BLOCK = 128        # records per block (lane dimension)
 
+
+def _deadblock_fix() -> bool:
+    """r5 A/B gate, resolved OUTSIDE the jit (static cache key):
+    count==0 segments yield zero blocks."""
+    import os
+
+    return os.environ.get("RASTER_DEADBLOCK_FIX", "1") != "0"
+
+
+def _attrw_mode() -> str:
+    """r5 A/B gate: attr lerp weights "affine" (winner-affine values,
+    N1/N2 dropped from the forms matmul) or "matmul" (the r4 path)."""
+    import os
+
+    return os.environ.get("RASTER_ATTRW", "affine")
+
 # Row indices inside a record block. ALL interpolated quantities are
 # stored as affine screen-space coefficient triples (value(x,y) =
 # a·x + b·y + c): the kernel evaluates every one as a (P, 3) × (3, 128)
@@ -377,7 +393,8 @@ def bin_candidates(packed, bbox, valid, width, height, tile_h, tile_w,
 
 def _walk_streams(eval_block, carry, rec_ref, sem_ref,
                   stream_a_hbm, stream_b_hbm, overflow_ref,
-                  start_a, count_a, start_b, count_b, n_ovf):
+                  start_a, count_a, start_b, count_b, n_ovf,
+                  deadblock_fix=True):
     """Shared stream-walk scaffolding for the raster kernels: walk the
     tile's class-A and class-B record streams with block-aligned
     double-buffered DMA, then the (VMEM-resident) overflow list, folding
@@ -391,7 +408,11 @@ def _walk_streams(eval_block, carry, rec_ref, sem_ref,
         # block (cdiv(start) - floor(start) = 1) — at 1080p that was a
         # full dead 128-lane eval per empty stream per tile, ~8 ms/frame
         # of the r5 batch-1 "zero-trip loop floor"
-        n_blocks = jnp.where(count > 0, pl.cdiv(end, BLOCK) - blk0, 0)
+        # (RASTER_DEADBLOCK_FIX=0 restores the old arithmetic for A/B)
+        if deadblock_fix:
+            n_blocks = jnp.where(count > 0, pl.cdiv(end, BLOCK) - blk0, 0)
+        else:
+            n_blocks = pl.cdiv(end, BLOCK) - blk0
 
         def dma(slot, b):
             return pltpu.make_async_copy(
@@ -426,7 +447,7 @@ def _walk_streams(eval_block, carry, rec_ref, sem_ref,
 def _walk_streams_merged(eval_block, carry, rec_ref, sem_ref,
                          stream_hbm, overflow_ref,
                          start_a, count_a, start_b, count_b, n_ovf,
-                         probe="none"):
+                         probe="none", deadblock_fix=True):
     """Single-loop stream walk: class-A and class-B blocks ride ONE
     fori_loop (they live in the same blocked stream — bin_candidates
     emits one combined sort), so the kernel pays one loop construct's
@@ -439,13 +460,17 @@ def _walk_streams_merged(eval_block, carry, rec_ref, sem_ref,
     machinery; "nodma" = real eval, DMA machinery removed (reads
     whatever is in scratch)."""
     blk_a0 = start_a // BLOCK
-    # count == 0 must yield ZERO blocks (an unaligned start otherwise
-    # rounds to one dead 128-lane eval — see _walk_streams)
-    n_a = jnp.where(count_a > 0,
-                    pl.cdiv(start_a + count_a, BLOCK) - blk_a0, 0)
     blk_b0 = start_b // BLOCK
-    n_b = jnp.where(count_b > 0,
-                    pl.cdiv(start_b + count_b, BLOCK) - blk_b0, 0)
+    if deadblock_fix:
+        # count == 0 must yield ZERO blocks (an unaligned start
+        # otherwise rounds to one dead 128-lane eval — _walk_streams)
+        n_a = jnp.where(count_a > 0,
+                        pl.cdiv(start_a + count_a, BLOCK) - blk_a0, 0)
+        n_b = jnp.where(count_b > 0,
+                        pl.cdiv(start_b + count_b, BLOCK) - blk_b0, 0)
+    else:
+        n_a = pl.cdiv(start_a + count_a, BLOCK) - blk_a0
+        n_b = pl.cdiv(start_b + count_b, BLOCK) - blk_b0
     n_blocks = n_a + n_b
 
     def blk_of(b):
@@ -753,6 +778,7 @@ def _raster_kernel(ntx, tile_h, tile_w, eval_mode, has_attrs,
 
 
 def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs, walk, probe, tiles_pp,
+                     deadblock_fix, attrw,
                      # scalar prefetch
                      starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
                      novf_ref,
@@ -802,13 +828,15 @@ def _raster_kernel_t(ntx, tile_h, tile_w, has_attrs, walk, probe, tiles_pp,
     g = pl.program_id(0)
     for j in range(tiles_pp):
         _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe,
+                   deadblock_fix, attrw,
                    g * tiles_pp + j, j, P, lane, cand, pidx,
                    starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
                    novf_ref, streams, overflow_ref, rec_ref, sem_ref,
                    vis_ref, attr_ref)
 
 
-def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe, t, j, P,
+def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe,
+               deadblock_fix, attrw, t, j, P,
                lane, cand, pidx,
                starts_a_ref, counts_a_ref, starts_b_ref, counts_b_ref,
                novf_ref, streams, overflow_ref, rec_ref, sem_ref,
@@ -834,7 +862,9 @@ def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe, t, j, P,
             [zr[0:2], zr[2:3] - 2.0 * (1.0 - ind)], axis=0)
         pieces = [rec[_R_F0:_R_F0 + 3, :], rec[_R_F1:_R_F1 + 3, :],
                   rec[_R_F2:_R_F2 + 3, :], zr]
-        rhs = jnp.concatenate(pieces, axis=1)           # (3, 4·BLOCK)
+        if has_attrs and attrw == "matmul":
+            pieces += [rec[_R_N1:_R_N1 + 3, :], rec[_R_N2:_R_N2 + 3, :]]
+        rhs = jnp.concatenate(pieces, axis=1)           # (3, k·BLOCK)
         ALL = jax.lax.dot_general(                       # (k·BLOCK, P)
             rhs, pixT, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -888,9 +918,16 @@ def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe, t, j, P,
         # deltas vs the old path are possible (MXU k=3 vs VPU 3-term
         # sum associativity); goldens gate it.
         lerpT, constT = carry[5:]
-        W1 = affine(3) * onehot
-        W2 = affine(6) * onehot
-        W0 = affine(9) * onehot - W1 - W2
+        if attrw == "matmul":
+            N1 = ALL[4 * BLOCK:5 * BLOCK]
+            N2 = ALL[5 * BLOCK:6 * BLOCK]
+            W1 = N1 * onehot
+            W2 = N2 * onehot
+            W0 = (F0 + F1 + F2) * onehot - W1 - W2
+        else:
+            W1 = affine(3) * onehot
+            W2 = affine(6) * onehot
+            W0 = affine(9) * onehot - W1 - W2
 
         def pickT(r0, n, w):
             return jax.lax.dot_general(
@@ -938,13 +975,14 @@ def _tile_body(ntx, tile_h, tile_w, has_attrs, walk, probe, t, j, P,
         carry = _walk_streams_merged(
             eval_block, carry, rec_ref, sem_ref, stream_hbm, overflow_ref,
             starts_a_ref[t], counts_a_ref[t],
-            starts_b_ref[ty], counts_b_ref[ty], novf_ref[0], probe=probe)
+            starts_b_ref[ty], counts_b_ref[ty], novf_ref[0], probe=probe,
+            deadblock_fix=deadblock_fix)
     else:
         carry = _walk_streams(eval_block, carry, rec_ref, sem_ref,
                               stream_hbm, stream_b_hbm, overflow_ref,
                               starts_a_ref[t], counts_a_ref[t],
                               starts_b_ref[ty], counts_b_ref[ty],
-                              novf_ref[0])
+                              novf_ref[0], deadblock_fix=deadblock_fix)
 
     zT, triT, n1T, n2T, sT = carry[:5]
     miss = triT < 0.0
@@ -998,7 +1036,9 @@ def raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
                          interpret=interpret,
                          eval_mode=resolve_eval_mode(eval_mode), raw=raw,
                          attr_bits=attr_bits, walk=resolve_walk(walk),
-                         probe=probe, tiles_pp=tiles_pp)
+                         probe=probe, tiles_pp=tiles_pp,
+                         deadblock_fix=_deadblock_fix(),
+                         attrw=_attrw_mode())
 
 
 _WARNED_DOWNGRADE = set()
@@ -1008,11 +1048,13 @@ _WARNED_DOWNGRADE = set()
                    static_argnames=("width", "height", "tile_h", "tile_w",
                                     "interpret", "eval_mode", "raw",
                                     "attr_bits", "walk", "probe",
-                                    "tiles_pp"))
+                                    "tiles_pp", "deadblock_fix",
+                                    "attrw"))
 def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
                   eval_mode: str = "v4", raw: bool = False,
                   attr_bits: int = 32, walk: str = "merged",
-                  probe: str = "none", tiles_pp: int = 1):
+                  probe: str = "none", tiles_pp: int = 1,
+                  deadblock_fix: bool = True, attrw: str = "affine"):
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty
@@ -1088,7 +1130,7 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
     if eval_mode == "v4":
         kernel = functools.partial(_raster_kernel_t, ntx, tile_h, tile_w,
                                    has_attrs, walk if merged else "split",
-                                   probe, K)
+                                   probe, K, deadblock_fix, attrw)
     else:
         kernel = functools.partial(_raster_kernel, ntx, tile_h, tile_w,
                                    eval_mode, has_attrs)

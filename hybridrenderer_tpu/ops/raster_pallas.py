@@ -55,11 +55,15 @@ def _deadblock_fix() -> bool:
 
 
 def _attrw_mode() -> str:
-    """r5 A/B gate: attr lerp weights "affine" (winner-affine values,
-    N1/N2 dropped from the forms matmul) or "matmul" (the r4 path)."""
+    """r5 A/B gate: attr lerp weights "matmul" (DEFAULT — the r4 path:
+    N1/N2 ride the forms matmul) or "affine" (winner-affine values —
+    a smaller eval isolated but measured +32 ms on the HEAD frame,
+    r5 batch 8: head 97.9 matmul vs 130.4 affine; mechanism not
+    attributed — the kernel is unchanged isolated, so the cost is in
+    how the frame schedules around the (1,P)-broadcast weights)."""
     import os
 
-    return os.environ.get("RASTER_ATTRW", "affine")
+    return os.environ.get("RASTER_ATTRW", "matmul")
 
 # Row indices inside a record block. ALL interpolated quantities are
 # stored as affine screen-space coefficient triples (value(x,y) =
@@ -1054,7 +1058,7 @@ def _raster_tiles(bins, width, height, tile_h=8, tile_w=128, interpret=False,
                   eval_mode: str = "v4", raw: bool = False,
                   attr_bits: int = 32, walk: str = "merged",
                   probe: str = "none", tiles_pp: int = 1,
-                  deadblock_fix: bool = True, attrw: str = "affine"):
+                  deadblock_fix: bool = True, attrw: str = "matmul"):
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     ntiles = ntx * nty

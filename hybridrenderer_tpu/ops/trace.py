@@ -865,7 +865,8 @@ class SceneTracer:
                 sun_shadow = sun_act.astype(jnp.float32)
             if nee_act is not None:
                 lshadow = nee_act.astype(jnp.float32)
-        elif sun_act is not None and nee_act is not None:
+        elif sun_act is not None and nee_act is not None \
+                and os.environ.get("SHADE_OCC_FUSE", "1") != "0":
             both = self.occluded(
                 sc, jnp.concatenate([shadow_origin, shadow_origin]),
                 jnp.concatenate([sun_dirs, ldir]), 1000.0,

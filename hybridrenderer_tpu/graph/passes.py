@@ -38,6 +38,9 @@ class FrameContext:
     history_valid: bool          # static: False on frame 0 / after resize
     shadow_query: Optional[Callable] = None  # (origin, dir, tmax) -> visibility
     trace_radiance: Optional[Callable] = None
+    # fused two-query variant (sun/light shadow + AO in ONE any-hit
+    # dispatch, per-ray tmax) — see SceneTracer.shadow_query_pair
+    shadow_query_pair: Optional[Callable] = None
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,8 @@ mirroring the reference's graceful RT-unsupported fallback
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from ..core import maths
@@ -45,6 +47,7 @@ def make_rt_shadow_pass(settings):
         seed = sampling.init_random_seed(pixel_idx, params.frame_index)
 
         shadow = jnp.ones((H, W), jnp.float32)
+        l = None
         if settings.flags & RenderFlags.SHADOW:
             ldir, sampled_inst, seed = sampling.sample_lights(
                 sc, gb.world_pos, seed)
@@ -52,6 +55,28 @@ def make_rt_shadow_pass(settings):
             sun_dir = maths.normalize(-params.sun_direction)
             l = jnp.where(has_area[..., None], ldir,
                           jnp.broadcast_to(sun_dir, ldir.shape))
+
+        # fused shadow+AO dispatch (RT_FUSE_SHADOW_AO, r5): both queries
+        # share origins and the tile layout; one traversal with per-ray
+        # tMax replaces two dispatches (+ one VMEM scene load)
+        fuse = (os.environ.get("RT_FUSE_SHADOW_AO", "0") == "1"
+                and l is not None
+                and (settings.flags & RenderFlags.AO)
+                and settings.ao_interleaved
+                and settings.ao_layout == "tile"
+                and ctx.shadow_query_pair is not None)
+        if fuse:
+            ao_dir = sampling.interleaved_cos_hemisphere(
+                params.frame_index, n, block=settings.ao_block)
+            shadow, ao = ctx.shadow_query_pair(
+                gb.world_pos, n, l, 1e10, ao_dir, settings.ao_radius,
+                active=~bg)
+            shadow = jnp.where(bg, 1.0, shadow)
+            ao = jnp.where(bg, 1.0, ao)
+            return {RS.CUR_COLOR: jnp.stack(
+                [shadow, ao, jnp.zeros_like(ao), jnp.ones_like(ao)],
+                axis=-1)}
+        if l is not None:
             shadow = ctx.shadow_query(gb.world_pos, n, l, 1e10,
                                       active=~bg)
 

@@ -310,7 +310,14 @@ def sample_window(textures, tex_id, uv, default):
 def sample_stack(textures, tex_id, uv, default):
     """Bilinear sample a TextureStack: the group-window path when the
     stack carries a window atlas AND the query is image-shaped with
-    group-divisible dims, else the one-gather quad path, else 4-tap."""
+    group-divisible dims, else the one-gather quad path, else 4-tap.
+
+    HR_TEX_STUB=1 (diagnostic): skip the fetch entirely and return
+    ``default`` everywhere — prices the sample SITE minus the gather
+    (in-frame textured bisect, r5)."""
+    if _os.environ.get("HR_TEX_STUB", "0") == "1":
+        shape = tex_id.shape + (4,)
+        return jnp.broadcast_to(default, shape) + uv[..., :1] * 0.0
     if getattr(textures, "windows", None) is not None \
             and jnp.ndim(tex_id) == 2 \
             and tex_id.shape[0] % WINDOW_GY == 0 \

@@ -506,6 +506,43 @@ class SceneTracer:
             return inv(vis, H, W)
         return vis.reshape(H, W)
 
+    def shadow_query_pair(self, scene, world_pos, normal,
+                          dir_a, tmax_a, dir_b, tmax_b,
+                          active=None, layout: str = "tile"):
+        """TWO any-hit queries from the same surface points (sun/light
+        shadow + AO) fused into ONE traversal dispatch with per-ray
+        tMax — same per-ray results as two shadow_query calls (any-hit
+        visibility is packet-layout-independent), one dispatch + one
+        VMEM scene load instead of two. Returns (vis_a, vis_b)."""
+        H, W = world_pos.shape[:2]
+        origin_img = sampling.offset_ray(world_pos, normal)
+        fwd = (img_ops.to_pattern_major if layout == "pattern"
+               else img_ops.to_tile_major)
+        inv = (img_ops.from_pattern_major if layout == "pattern"
+               else img_ops.from_tile_major)
+        origin, _ = fwd(origin_img)
+        da, _ = fwd(dir_a)
+        db, _ = fwd(dir_b)
+        act_img = jnp.ones((H, W), bool) if active is None else active
+        act, _ = fwd(act_img)
+        R = origin.shape[0]
+        o2 = jnp.concatenate([origin, origin])
+        d2 = jnp.concatenate([da, db])
+        t2 = jnp.concatenate([
+            jnp.full((R,), jnp.minimum(jnp.asarray(tmax_a, jnp.float32),
+                                       10000.0)),
+            jnp.full((R,), jnp.minimum(jnp.asarray(tmax_b, jnp.float32),
+                                       10000.0))])
+        a2 = jnp.concatenate([act, act])
+        if scene.has_alpha_test:
+            occ = self._occluded_alpha(scene, o2, d2, 0.01, t2, a2)
+            vis = jnp.where(occ, 0.0, 1.0)
+        else:
+            t, tri, _, _ = self._intersect(scene, o2, d2, 0.01, t2,
+                                           any_hit=True, active=a2)
+            vis = jnp.where(tri >= 0, 0.0, 1.0)
+        return inv(vis[:R], H, W), inv(vis[R:], H, W)
+
     def _intersect(self, scene, o, d, tmin, tmax, any_hit, active=None):
         soup = scene.triangles
         if self.backend == "pallas-wide":

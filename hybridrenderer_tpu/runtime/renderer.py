@@ -89,10 +89,16 @@ class Renderer:
             )
             shadow_query = None
             trace_radiance = None
+            shadow_query_pair = None
             if has_tracer:
                 def shadow_query(p, n, d, t, active=None, **kw):
                     return tracer.shadow_query(scene, p, n, d, t,
                                                active=active, **kw)
+
+                def shadow_query_pair(p, n, da, ta, db, tb,
+                                      active=None, **kw):
+                    return tracer.shadow_query_pair(
+                        scene, p, n, da, ta, db, tb, active=active, **kw)
 
                 def trace_radiance(o, d, c, dep, active=None, **kw):
                     return tracer.trace_radiance(scene, o, d, c, dep,
@@ -100,7 +106,8 @@ class Renderer:
             ctx = FrameContext(
                 scene=scene, cam=cam_state, params=params, settings=settings,
                 state=state, history_valid=history_valid,
-                shadow_query=shadow_query, trace_radiance=trace_radiance)
+                shadow_query=shadow_query, trace_radiance=trace_radiance,
+                shadow_query_pair=shadow_query_pair)
             out, new_state, registry = path.run(ctx, state)
             # canonicalize: strip weak types so both history variants
             # produce byte-identical state signatures (a drifting weak

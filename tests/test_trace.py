@@ -124,3 +124,29 @@ def test_native_builder_matches_jnp():
                                np.asarray(ref.node_min), atol=0)
     np.testing.assert_allclose(np.asarray(nat.node_max),
                                np.asarray(ref.node_max), atol=0)
+
+
+def test_fused_shadow_ao_pass_matches_split(monkeypatch):
+    """RT_FUSE_SHADOW_AO=1 (one any-hit dispatch for sun/light shadow +
+    AO with per-ray tMax) renders bit-identically to the split
+    dispatches — any-hit visibility is packet-layout-independent."""
+    import numpy as np
+
+    from hybridrenderer_tpu.core.camera import OrbitCamera
+    from hybridrenderer_tpu.core.config import RenderSettings
+    from hybridrenderer_tpu.core.types import RenderFlags, RenderPathType
+    from hybridrenderer_tpu.runtime.renderer import Renderer
+    from hybridrenderer_tpu.scene import scene as scenes
+
+    data = scenes.cornell_scene().build()
+    flags = (RenderFlags.LIGHT | RenderFlags.IBL | RenderFlags.EMISSIVE
+             | RenderFlags.SHADOW | RenderFlags.AO | RenderFlags.SVGF
+             | RenderFlags.SVGF_SPATIAL)
+    st = RenderSettings(width=64, height=64, path=RenderPathType.HYBRID,
+                        flags=flags)
+    cam = OrbitCamera(width=64, height=64, distance=6.0, pitch=0.4,
+                      focal_point=(0, 1, 0)).step()
+    img0 = np.asarray(Renderer.for_scene(st, data).render(cam))
+    monkeypatch.setenv("RT_FUSE_SHADOW_AO", "1")
+    img1 = np.asarray(Renderer.for_scene(st, data).render(cam))
+    np.testing.assert_array_equal(img0, img1)

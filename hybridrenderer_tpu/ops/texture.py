@@ -34,6 +34,27 @@ def _decode(q):
     return q
 
 
+def _lookup_sizes(sizes, tid):
+    """Per-pixel (height, width) f32 for ``tid`` WITHOUT a plain tiny-
+    table gather.
+
+    Root cause (r5 sizes-probe ladder): a gather whose 2M indices are
+    NEAR-UNIFORM (every pixel of a surface has the same texture id)
+    serializes on the replicated row — 48 ms/frame at 1080p, and it was
+    the ENTIRE "textured overhead" misattributed to the texel gather
+    for three rounds (the texel rows themselves are spread and fast).
+    Fix: replicate the table 128× (row k of copy j at j*N + k) and
+    index by hardware lane (flat_pixel % 128) so concurrent lanes
+    always read distinct rows. ~4 ms for the same lookup; exact."""
+    N = sizes.shape[0]
+    rep = jnp.tile(sizes.astype(jnp.float32), (128, 1))   # (128·N, 2)
+    flat = tid.reshape(-1)
+    lane = jnp.arange(flat.shape[0], dtype=jnp.int32) % 128
+    hw = rep[lane * N + flat]
+    hw = hw.reshape(tid.shape + (2,))
+    return hw[..., 0], hw[..., 1]
+
+
 def quantize_u8(data):
     """Host-side u8 quantization of a [0,1] texture stack (round-trip
     exact for u8-sourced images; ≤1/510 per channel otherwise).
@@ -91,8 +112,7 @@ def sample_bilinear(stack_data, stack_sizes, tex_id, uv, default):
     Returns: (..., 4) f32
     """
     tid = jnp.maximum(tex_id, 0)
-    h = stack_sizes[tid, 0].astype(jnp.float32)
-    w = stack_sizes[tid, 1].astype(jnp.float32)
+    h, w = _lookup_sizes(stack_sizes, tid)
 
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
@@ -135,8 +155,7 @@ def sample_bilinear_quad(quads, stack_sizes, tex_id, uv, default):
     Returns: (..., 4) f32
     """
     tid = jnp.maximum(tex_id, 0)
-    h = stack_sizes[tid, 0].astype(jnp.float32)
-    w = stack_sizes[tid, 1].astype(jnp.float32)
+    h, w = _lookup_sizes(stack_sizes, tid)
 
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
@@ -251,8 +270,7 @@ def sample_window(textures, tex_id, uv, default):
     sizes = textures.sizes
 
     tid = jnp.maximum(tex_id, 0)
-    h = sizes[tid, 0].astype(jnp.float32)
-    w = sizes[tid, 1].astype(jnp.float32)
+    h, w = _lookup_sizes(sizes, tid)
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
     x0 = jnp.floor(x)
@@ -332,10 +350,11 @@ def sample_stack(textures, tex_id, uv, default):
 
 def sample_nearest(stack_data, stack_sizes, tex_id, uv, default):
     tid = jnp.maximum(tex_id, 0)
-    h = stack_sizes[tid, 0]
-    w = stack_sizes[tid, 1]
-    xi = jnp.mod((uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32), w)
-    yi = jnp.mod((uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32), h)
+    hf, wf = _lookup_sizes(stack_sizes, tid)
+    h = hf.astype(jnp.int32)
+    w = wf.astype(jnp.int32)
+    xi = jnp.mod((uv[..., 0] * wf).astype(jnp.int32), w)
+    yi = jnp.mod((uv[..., 1] * hf).astype(jnp.int32), h)
     out = _decode(stack_data[tid, yi, xi])
     valid = (tex_id >= 0)[..., None]
     return jnp.where(valid, out, jnp.broadcast_to(default, out.shape))

@@ -194,13 +194,21 @@ def sample_lights(scene, position, seed):
     rand_uv = jnp.stack([ru, rv], axis=-1)
 
     light_id = jnp.clip((rand_l * L).astype(jnp.int32), 0, L - 1)
-    inst = scene.lights.instance[light_id]
-    env = scene.lights.environment[light_id]
+    # few-light scenes make light_id NEAR-UNIFORM across 2M pixels —
+    # plain tiny-table gathers serialize on the replicated row
+    # (ops/texture.spread_gather, r5); one packed spread lookup instead
+    from .texture import spread_gather as _sg
+
+    lrow = _sg(jnp.stack([scene.lights.instance,
+                          scene.lights.environment,
+                          scene.lights.cdf_start,
+                          scene.lights.cdf_count], axis=-1), light_id)
+    inst = lrow[..., 0]
+    env = lrow[..., 1]
 
     # area-light branch
     elem = sample_discrete_cdf(
-        scene.lights.cdf, scene.lights.cdf_start[light_id],
-        scene.lights.cdf_count[light_id], rand_el)
+        scene.lights.cdf, lrow[..., 2], lrow[..., 3], rand_el)
     tri_uv = sample_triangle_uv(rand_uv)
 
     # global triangle index of that element within the instance's range:

@@ -34,24 +34,31 @@ def _decode(q):
     return q
 
 
-def _lookup_sizes(sizes, tid):
-    """Per-pixel (height, width) f32 for ``tid`` WITHOUT a plain tiny-
-    table gather.
+def spread_gather(table, idx):
+    """Row-gather a SMALL table by possibly NEAR-UNIFORM indices without
+    replicated-row serialization.
 
     Root cause (r5 sizes-probe ladder): a gather whose 2M indices are
-    NEAR-UNIFORM (every pixel of a surface has the same texture id)
-    serializes on the replicated row — 48 ms/frame at 1080p, and it was
+    near-uniform (every pixel of a surface shares a texture/material/
+    instance id) serializes on the replicated row at ~25 ns/lane —
+    48 ms/frame for the texture-sizes lookup alone at 1080p, which was
     the ENTIRE "textured overhead" misattributed to the texel gather
-    for three rounds (the texel rows themselves are spread and fast).
-    Fix: replicate the table 128× (row k of copy j at j*N + k) and
-    index by hardware lane (flat_pixel % 128) so concurrent lanes
-    always read distinct rows. ~4 ms for the same lookup; exact."""
-    N = sizes.shape[0]
-    rep = jnp.tile(sizes.astype(jnp.float32), (128, 1))   # (128·N, 2)
-    flat = tid.reshape(-1)
+    for three rounds (texel rows are index-spread and gather at
+    ~4.5 ns). Fix: replicate the table 128× (row k of copy j at
+    j*N + k) and index by hardware lane (flat_element % 128) so
+    concurrent lanes always read DISTINCT rows. Exact; the tile is
+    table-sized ×128, so use only for KB-scale tables."""
+    N = table.shape[0]
+    rep = jnp.tile(table, (128,) + (1,) * (table.ndim - 1))
+    flat = idx.reshape(-1)
     lane = jnp.arange(flat.shape[0], dtype=jnp.int32) % 128
-    hw = rep[lane * N + flat]
-    hw = hw.reshape(tid.shape + (2,))
+    out = rep[lane * N + flat]
+    return out.reshape(idx.shape + table.shape[1:])
+
+
+def _lookup_sizes(sizes, tid):
+    """Per-pixel (height, width) f32 for ``tid`` via spread_gather."""
+    hw = spread_gather(sizes.astype(jnp.float32), tid)
     return hw[..., 0], hw[..., 1]
 
 

@@ -753,7 +753,13 @@ class SceneTracer:
             qrow = sc.shade_rows_q[safe]
             inst = jnp.clip(qrow[..., schema.SHQ_INST].astype(jnp.int32),
                             0, sc.inst_shade.shape[0] - 1)
-            srow = schema.decode_shade_rows_q(qrow, sc.inst_shade[inst])
+            # per-instance side rows have NEAR-UNIFORM indices (rays
+            # hitting one object) — the plain gather serializes on the
+            # replicated row (texture.spread_gather docstring, r5)
+            from .texture import spread_gather as _sg
+
+            srow = schema.decode_shade_rows_q(qrow, _sg(sc.inst_shade,
+                                                        inst))
             lerp = srow[..., 0:9] * b0 + srow[..., 9:18] * b1 \
                 + srow[..., 18:27] * b2
             ln = lerp[..., 0:3]
@@ -882,7 +888,9 @@ class SceneTracer:
             # light costs ONE per-ray gather instead of two chained ones
             inst_emission = sc.materials.emission[sc.instances.material] \
                 * 5.0
-            l_rad = inst_emission[s_inst]
+            # sampled instances are near-uniform in few-light scenes —
+            # spread the tiny-table gather (texture.spread_gather, r5)
+            l_rad = texture.spread_gather(inst_emission, s_inst)
             nee = shade.eval_pbr(mp.colour, 1.5, mp.roughness, mp.metallic,
                                  n, view, ldir) * l_rad
             if lum_gate:

@@ -136,7 +136,12 @@ class RenderSettings:
     # (benchmarks/quality_ao_block64.py), converged-GI err IDENTICAL to
     # @32 with LOWER flicker (quality_gi_block64.py). Goldens pin
     # block=8 explicitly, so this tunable never moves them.
-    ao_block: int = 64
+    # ao_block 128 since r5: −2.0 ms headline; converged err at 512²
+    # 0.0329 vs 0.0315 @64, p99 0.225 vs 0.217, flicker 0.0049 vs
+    # 0.0045 (benchmarks/quality_ao_block128.py, TPU run) — the same
+    # marginal-quality trade the 32→64 flip made. gi_block stays 64
+    # (128 unprobed for GI).
+    ao_block: int = 128
     gi_block: int = 64
 
     # Reflection roughness cutoff (reflection.rgen:55-63)
